@@ -1,0 +1,18 @@
+"""Driver-facing query modules. Each module registers its queries with
+`dataengineeringproject_spark.registry` at import time."""
+
+from __future__ import annotations
+
+_LOADED = False
+
+
+def load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    from dataengineeringproject_spark.queries import (  # noqa: F401
+        reference_ops,
+        relational,
+    )
+
+    _LOADED = True

@@ -1,0 +1,267 @@
+"""Relational breadth (SURVEY.md §2.5 J1/O1-O3, §7.2.8): the full Spark
+join/sort/limit/set-op surface over the TPC-H-ish testdata. The
+reference has no joins — these exist for harness coverage and the
+north-star engine surface.
+
+Scale notes per query are in the docstrings; the common posture:
+- dimension tables (region/nation/supplier/customer/part) are broadcast
+  — no shuffle of the fact table on their account.
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  handles skew.
+- top-k is computed with row_number over a deterministic total order,
+  never a driver-side sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+
+
+# --- TPC-H Q1: pricing summary (scan + 2-key agg + 8 measures) -------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(avg(l_quantity), 6) AS avg_qty,
+           ROUND(avg(l_extendedprice), 4) AS avg_price,
+           ROUND(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. Physical plan: parquet scan with the shipdate filter
+    pushed down + partial hash-agg → 4-group shuffle → final agg; all
+    expressions codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- TPC-H Q3-ish: shipping priority (3-way join + top-k) ------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey, ROUND(revenue, 2) AS revenue, o_orderdate
+    FROM (
+      SELECT l.l_orderkey AS o_orderkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+             o.o_orderdate
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < DATE '1997-06-01'
+        AND l.l_shipdate > DATE '1997-06-01'
+      GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is a dim → broadcast into orders;
+    orders⋈lineitem shuffles on orderkey once. Top-10 uses a
+    deterministic tiebreak (orderkey) so the oracle can't diverge on
+    equal revenues; Spark executes orderBy+limit as a TakeOrderedAndProject
+    (per-partition top-k, no global sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("date")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("date")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", F.round("revenue", 2).alias("revenue"), "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5-ish: local supplier volume (5-way join) ----------------------
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one fact-fact shuffle (orders⋈lineitem on
+    orderkey); supplier/nation/region/customer all broadcast. Catalyst
+    prunes region→nation→supplier before the fact join (filter pushdown
+    through the dim chain)."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    dims = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --- O2: top-k per group (window) ------------------------------------------
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items by price per supplier — one shuffle on the
+    partition key; deterministic tiebreak on (orderkey, linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --- J1: semi/anti joins ----------------------------------------------------
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 'has_orders' ELSE 'no_orders' END AS status
+    FROM customer c
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT-EXISTS as left_semi/left_anti joins, unioned with a
+    tag — covers both join types in one hash-verifiable result."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    has = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "status", F.lit("has_orders")
+    )
+    not_has = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "status", F.lit("no_orders")
+    )
+    return has.unionByName(not_has)
+
+
+# --- O3: set ops ------------------------------------------------------------
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT — distinct set semantics on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return f.intersect(op).exceptAll(urgent.distinct())
+
+
+# --- grouping sets / rollup -------------------------------------------------
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — partial aggregation feeds every grouping
+    set from one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- O1: global sort --------------------------------------------------------
+
+@register(
+    "order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge of 25-row heads, NOT a full range-partitioned
+    sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )

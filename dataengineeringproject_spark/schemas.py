@@ -1,0 +1,87 @@
+"""Explicit schemas — the engine's contract (SURVEY.md §1.2: inference
+is a fallback, never the contract).
+
+`WEATHER_HISTORY` mirrors the reference's one input table
+(v2_group_project_dag.py:281-298 DDL; column names carry the dataset's
+spaces and the `Loud Cover` typo, v2_group_project_dag.py:77).
+Testdata schemas mirror /root/testdata (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Reference input table (weatherHistory.csv), 12 columns.
+WEATHER_HISTORY = T.StructType(
+    [
+        T.StructField("Formatted Date", T.StringType()),
+        T.StructField("Summary", T.StringType()),
+        T.StructField("Precip Type", T.StringType()),
+        T.StructField("Temperature (C)", T.DoubleType()),
+        T.StructField("Apparent Temperature (C)", T.DoubleType()),
+        T.StructField("Humidity", T.DoubleType()),
+        T.StructField("Wind Speed (km/h)", T.DoubleType()),
+        T.StructField("Wind Bearing (degrees)", T.DoubleType()),
+        T.StructField("Visibility (km)", T.DoubleType()),
+        T.StructField("Loud Cover", T.DoubleType()),
+        T.StructField("Pressure (millibars)", T.DoubleType()),
+        T.StructField("Daily Summary", T.StringType()),
+    ]
+)
+
+# Measure columns cleaned/clamped/filled by the reference pipeline
+# (v5_group_project_dag.py:79-94).
+WEATHER_NUMERIC_COLS = [
+    "Temperature (C)",
+    "Apparent Temperature (C)",
+    "Humidity",
+    "Wind Speed (km/h)",
+    "Wind Bearing (degrees)",
+    "Visibility (km)",
+    "Loud Cover",
+    "Pressure (millibars)",
+]
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table. Parquet + explicit column use
+    downstream gives Catalyst pushdown + pruning for free (§4).
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark lacks a type
+    for; with `spark.sql.legacy.parquet.nanosAsLong` it scans as a long
+    we convert to a microsecond TimestampType here (testdata is
+    generated at µs precision, so the division is exact).
+    """
+    # Runtime-settable pins, needed even on sessions we didn't build
+    # (the driver passes its own SparkSession into queries()): UTC so
+    # date bucketing agrees with the UTC-naive DuckDB oracle regardless
+    # of the caller's session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
