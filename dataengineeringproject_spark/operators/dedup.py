@@ -1,0 +1,201 @@
+"""Deduplication operators for LLM-data pipelines (north star:
+BASELINE.json; SURVEY.md §7.2.10): exact, MinHash+LSH, SimHash, and
+n-gram Jaccard.
+
+Scale posture (the whole point of these at 100 TB):
+- exact dedup: one hash-groupBy shuffle on a 128-bit fingerprint;
+  cluster representative via min(id) — no window needed.
+- MinHash+LSH: explode docs→shingles (map-side), aggregate per-doc
+  minhash signature (one shuffle on doc id), explode signature→bands
+  (map-side), self-join on (band_id, band_key) — candidate pairs are
+  produced by an equi-join on the band bucket, NEVER an all-pairs
+  cross join. Verification (exact Jaccard) touches only candidates.
+- SimHash: per-doc aggregate of token-hash bit votes — one shuffle.
+- n-gram Jaccard: blocked all-pairs *within a small blocking key* —
+  only for bounded blocks; the unbounded path is MinHash+LSH.
+
+All hashing is md5-derived (`token_hash`) so the DuckDB oracle can
+reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.functions.text import (
+    md5_fingerprint,
+    token_hash,
+    tokens,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate clustering: rows sharing a normalized-text md5
+    fingerprint; representative = min id. Output: id, rep_id,
+    cluster_size (a user filters rep_id == id to materialize the
+    deduplicated corpus)."""
+    fp = df.select(F.col(id_col), md5_fingerprint(text_col).alias("__fp"))
+    clusters = fp.groupBy("__fp").agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        fp.join(clusters, "__fp")
+        .select(id_col, "rep_id", "cluster_size")
+    )
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """k-word shingles of the token list (distinct). Documents shorter
+    than k tokens get their full token string as a single shingle so
+    they still participate."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    k_shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, k_shingles).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def shingles_sql(text_col_tokens_sql: str, k: int = 3) -> str:
+    """DuckDB twin of `shingles` (takes the tokens-array SQL)."""
+    t = text_col_tokens_sql
+    parts = ", ".join(f"{t}[i + {j}]" for j in range(k))
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {k} "
+        f"THEN list_transform(generate_series(1, len({t}) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE [concat_ws(' ', {t})] END)"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: for seed j, min over shingles of
+    the md5-derived 60-bit hash. Output: id, mh_0..mh_{n-1}.
+
+    Physical shape: explode to (id, shingle) then ONE hash aggregation
+    computing all n minima — shingle fan-out happens map-side, the only
+    shuffle is the per-doc combine (partial min → final min)."""
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+    aggs = [
+        F.min(token_hash(F.col("sh"), seed=str(j))).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of
+    n_hashes/bands rows; docs sharing any band key become a candidate
+    pair (id_a < id_b, distinct).
+
+    The self-join is an equi-join on (band_id, band_key) — at scale a
+    plain shuffle join whose cost is bucket-sized, not corpus-sized."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold.
+    Joins the (small) candidate set back to per-doc shingle arrays."""
+    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash over distinct tokens: bit b is 1 when at
+    least half the token hashes have bit b set (majority vote with the
+    tie going to 1, expressed as 2*ones >= n). Pure array expressions —
+    no explode, no shuffle beyond the final projection."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, lambda t: token_hash(t))
+    n = F.size(hashes)
+    def _bit_filter(mask_val: int):
+        # single-arg closure: PySpark reads a 2-param lambda as (elem, idx)
+        return lambda h: h.bitwiseAND(F.lit(mask_val)) != 0
+
+    bit_terms = []
+    for b in range(bits):
+        mask = F.lit(int(2**b))
+        ones = F.size(F.filter(hashes, _bit_filter(int(2**b))))
+        bit_terms.append(
+            F.when((n > 0) & (ones * 2 >= n), mask).otherwise(F.lit(0))
+        )
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig + t
+    return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """n-gram Jaccard similarity for all pairs WITHIN a blocking key
+    (e.g. source) — bounded blocks only; the unbounded path is
+    MinHash+LSH. One shuffle on the block key."""
+    sh = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col), shingles(text_col, k).alias("sh")
+    )
+    a = sh.select("blk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(
+        F.col("blk").alias("blk_b"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (north star: BASELINE.json;
+SURVEY.md §7.2.10): brute-force cosine top-k as the correctness
+baseline, random-hyperplane LSH bucketing as the scale path.
+
+Scale posture:
+- brute force is query-set × corpus — fine when the query set is small
+  and broadcastable (the corpus is NEVER collected; the join fans out
+  map-side and top-k is a per-query window over the joined stream).
+- LSH buckets turn the cross join into an equi-join on bucket id:
+  corpus shuffles once by bucket, each query probes only its bucket.
+  Recall < 1 by design; the bucket count (2^n_planes) is the knob.
+
+Hyperplanes are derived from md5 via pure Python (`_plane_weight`) and
+embedded as literals into BOTH the Spark plan and the oracle SQL —
+deterministic and engine-independent.
+
+All arithmetic in float64: embeddings are array<float>, cast up before
+the dot product so Spark and DuckDB agree bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _plane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): md5(plane:dim)
+    reduced mod 2001 → scaled. Pure Python so the same constants can be
+    embedded in oracle SQL."""
+    h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
+    return [[_plane_weight(p, d) for d in range(n_dims)] for p in range(n_planes)]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a fold over zip_with — sequential left-to-right, the
+    same order DuckDB's list functions use, so doubles agree."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query id, the k nearest other
+    vectors. Ranking is on the ROUNDED cosine with id tie-break so the
+    oracle ranks identically. Output: query_id, neighbor_id, cosine, rank.
+
+    The query side is a tiny filtered subset → broadcast; the corpus
+    streams through the join without materializing."""
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = (
+        vecs.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = 1 iff v·plane_p >= 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(int(2**p))).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of `lsh_bucket` (list_dot_product against literal
+    plane arrays)."""
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 THEN {2**p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    n_planes: int = 4,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN via hyperplane-LSH: each query only scans its own bucket
+    (equi-join on bucket id instead of a cross join). Same output shape
+    as `cosine_topk`; recall is approximate by design."""
+    n_dims = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, n_dims)
+    vecs = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = vecs.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -11,6 +11,8 @@ def load() -> None:
     if _LOADED:
         return
     from dataengineeringproject_spark.queries import (  # noqa: F401
+        llm_text,
+        llm_vectors,
         reference_ops,
         relational,
     )

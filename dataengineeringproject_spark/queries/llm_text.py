@@ -1,0 +1,237 @@
+"""LLM-data text operators as driver queries over `documents`
+(north star: BASELINE.json; SURVEY.md §7.2.10): text stats, quality
+scoring, language-ID, fingerprinting, exact dedup, MinHash+LSH
+near-dup detection, SimHash, n-gram Jaccard.
+
+Oracle SQL is generated from the same Python constants/helpers as the
+Spark plans (functions/text.py, operators/dedup.py) so both sides share
+one definition of tokenization, hashing, and thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.functions import text as X
+from dataengineeringproject_spark.operators import dedup as D
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+
+_TOKS = X.tokens_sql("text")
+_N_HASHES, _BANDS, _SHINGLE_K, _NEARDUP_T = 8, 4, 3, 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- text stats + quality score --------------------------------------------
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len({_TOKS}) AS n_tokens,
+             len(list_distinct({_TOKS})) AS n_distinct_tokens,
+             {X.punct_ratio_sql('text')} AS punct_ratio,
+             {X.stopword_ratio_sql('text')} AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(
+             (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END) +
+             (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END) +
+             (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END), 6) AS quality_score
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring: length/punctuation/stopword
+    heuristics (the standard pretraining-corpus quality gates). Pure
+    projection — no shuffle, codegen end-to-end."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens("text")
+    n_tokens = F.size(toks)
+    punct = X.punct_ratio("text")
+    stop = X.stopword_ratio("text")
+    quality = (
+        F.when(n_tokens.between(10, 5000), F.lit(0.5)).otherwise(0.0)
+        + F.when(stop.between(0.05, 0.6), F.lit(0.3)).otherwise(0.0)
+        + F.when(punct < 0.2, F.lit(0.2)).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+# --- language ID ------------------------------------------------------------
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS meta_lang, {X.predict_lang_sql('text')} AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-unigram language ID (n-gram heuristic family), argmax with
+    alphabetical tie-break; 'unknown' when no marker hits."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("meta_lang"),
+        X.predict_lang("text").alias("pred_lang"),
+    )
+
+
+# --- fingerprints: md5 + min-shingle-hash + simhash -------------------------
+
+def _simhash_sql(bits: int = 16) -> str:
+    hashes = f"list_transform(list_distinct({_TOKS}), t -> {X.token_hash_sql('t')})"
+    terms = []
+    for b in range(bits):
+        ones = f"len(list_filter(h, x -> (x >> {b}) & 1 = 1))"
+        terms.append(f"(CASE WHEN n > 0 AND 2 * {ones} >= n THEN {2**b} ELSE 0 END)")
+    return (
+        f"SELECT doc_id, md5_fp, CAST({' + '.join(terms)} AS BIGINT) AS simhash "
+        f"FROM (SELECT doc_id, {X.md5_fingerprint_sql('text')} AS md5_fp, "
+        f"{hashes} AS h, len({hashes}) AS n FROM documents)"
+    )
+
+
+@register("doc_fingerprints", oracle=_simhash_sql())
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 + 16-bit SimHash over
+    distinct token hashes (rolling-hash family, md5-derived so the
+    oracle reproduces it bit-for-bit)."""
+    d = _docs(spark, sf_dir)
+    sim = D.simhash(d, "doc_id", "text", bits=16)
+    fp = d.select("doc_id", X.md5_fingerprint("text").alias("md5_fp"))
+    return fp.join(sim, "doc_id")
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, {X.md5_fingerprint_sql('text')} AS f FROM documents),
+    c AS (SELECT f, min(doc_id) AS rep_id, count(*) AS n FROM fp GROUP BY f)
+    SELECT fp.doc_id, c.rep_id, CAST(c.n AS BIGINT) AS cluster_size
+    FROM fp JOIN c USING (f)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint;
+    representative = min doc_id (SURVEY.md §7.2.10 'exact')."""
+    return D.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --- minhash signatures ------------------------------------------------------
+
+def _minhash_sql() -> str:
+    sh = D.shingles_sql(_TOKS, _SHINGLE_K)
+    cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> {X.token_hash_sql('s', str(j))}), 'min') AS mh_{j}"
+        for j in range(_N_HASHES)
+    )
+    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {sh} AS sh FROM documents)"
+
+
+@register("minhash_signatures", oracle=_minhash_sql())
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (8 seeded md5-hashes over 3-word
+    shingles) — the building block of LSH dedup; explode + single
+    aggregation, one shuffle on doc_id."""
+    return D.minhash_signatures(
+        _docs(spark, sf_dir), "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K
+    )
+
+
+# --- minhash + LSH near-dup pairs -------------------------------------------
+
+def _neardup_sql() -> str:
+    sh = D.shingles_sql(_TOKS, _SHINGLE_K)
+    mh = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> {X.token_hash_sql('s', str(j))}), 'min') AS mh_{j}"
+        for j in range(_N_HASHES)
+    )
+    rows_per_band = _N_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+    sigs AS (SELECT doc_id, {mh} FROM sh),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.sh, y.sh)) * 1.0 /
+             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+    FROM j WHERE jac >= {_NEARDUP_T}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_neardup_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: shingle→minhash→band→bucket
+    equi-join→exact-Jaccard verify ≥ 0.5. The candidate join is
+    bucket-sized, never corpus² (SURVEY.md §7.2.10 'minhash dedup')."""
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
+    return D.jaccard_on_pairs(
+        cand, d, "doc_id", "text", k=_SHINGLE_K, threshold=_NEARDUP_T
+    )
+
+
+# --- n-gram Jaccard within a blocking key -----------------------------------
+
+@register(
+    "ngram_jaccard_blocked",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source, doc_id, {D.shingles_sql(_TOKS, 2)} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    """,
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard for all pairs within a `source` block —
+    bounded-block exact similarity; the unbounded path is LSH."""
+    return D.ngram_jaccard_blocked(
+        _docs(spark, sf_dir), "doc_id", "text", "source", k=2, threshold=0.3
+    )

@@ -1,0 +1,82 @@
+"""Similarity search queries over `embeddings` (north star:
+BASELINE.json; SURVEY.md §7.2.10): brute-force cosine top-k (exact
+baseline) and hyperplane-LSH bucketed ANN (scale path).
+
+The LSH hyperplanes are Python-computed constants embedded into both
+the Spark plan and the oracle SQL (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataengineeringproject_spark.operators import similarity as S
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+
+_QUERY_IDS = list(range(10))
+_K, _N_PLANES, _N_DIMS = 5, 4, 64
+_QID_LIST = ", ".join(str(i) for i in _QUERY_IDS)
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{_K} for 10 query vectors: broadcast the
+    tiny query side, stream the corpus, per-query window for top-k.
+    Exact — the recall baseline for the ANN variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=_K)
+    return df.withColumn("rank", df["rank"].cast("long"))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', S.hyperplanes(_N_PLANES, _N_DIMS))} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+          FROM v WHERE vec_id IN ({_QID_LIST})),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via random-hyperplane LSH: bucket equi-join replaces
+    the cross join — each query probes 1/2^{_N_PLANES} of the corpus in
+    expectation. Approximate recall by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.lsh_cosine_topk(
+        emb, "vec_id", "embedding", _QUERY_IDS, n_planes=_N_PLANES, k=3
+    )
+    return df.withColumn("rank", df["rank"].cast("long"))
