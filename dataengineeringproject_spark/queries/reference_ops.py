@@ -222,6 +222,67 @@ def drop_unparseable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_unparseable(ev, ["k"])
 
 
+# --- end-to-end pipeline analog: clean → fill → classify → daily agg -------
+
+_PIPE_MS = "value_filled / 10.0"
+
+@register(
+    "pipeline_daily_weather_analog",
+    oracle=f"""
+    WITH clamped AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CASE WHEN value >= 0 AND value <= 408 THEN value END AS value_c
+      FROM events
+    ),
+    med AS (SELECT median(value_c) AS m FROM clamped),
+    filled AS (
+      SELECT day, coalesce(value_c, (SELECT m FROM med)) AS value_filled
+      FROM clamped
+    ),
+    labeled AS (
+      SELECT day, value_filled,
+             {classify_wind_sql(_PIPE_MS)} AS strength
+      FROM filled
+    ),
+    means AS (SELECT day, avg(value_filled) AS avg_value FROM labeled GROUP BY day),
+    c AS (
+      SELECT day, strength AS v, count(*) AS cnt
+      FROM labeled WHERE strength IS NOT NULL GROUP BY day, strength
+    ),
+    r AS (
+      SELECT day, v,
+             row_number() OVER (PARTITION BY day ORDER BY cnt DESC, v ASC) AS rn
+      FROM c
+    )
+    SELECT m.day, ROUND(m.avg_value, 6) AS avg_value, r.v AS mode_strength
+    FROM means m LEFT JOIN (SELECT day, v FROM r WHERE rn = 1) r USING (day)
+    """,
+)
+def pipeline_daily_weather_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end (clean → median-fill →
+    classify → daily means + strength mode) on events-as-weather: the
+    oracle-gated twin of plans/weather.py (whose exact-schema form is
+    golden-tested in tests/test_weather_pipeline.py)."""
+    from dataengineeringproject_spark.operators.cleaning import exact_medians
+
+    ev = _events(spark, sf_dir).select(
+        F.date_format(ts_to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("value").alias("value_c"),
+    )
+    clamped = clamp_to_null(ev, {"value_c": (0.0, 408.0, True, True)})
+    med = exact_medians(clamped, ["value_c"])["value_c"]
+    labeled = clamped.select(
+        "day",
+        F.coalesce("value_c", F.lit(med)).alias("value_filled"),
+    ).withColumn("strength", classify_wind(F.col("value_filled") / 10.0))
+    means = labeled.groupBy("day").agg(F.avg("value_filled").alias("avg_value"))
+    mode = agg_mode(labeled, ["day"], "strength", on_tie="min", alias="mode_strength")
+    return (
+        means.join(mode, "day", "left")
+        .select("day", F.round("avg_value", 6).alias("avg_value"), "mode_strength")
+    )
+
+
 # --- A6/A7: validation checks as a queryable summary -----------------------
 
 @register(

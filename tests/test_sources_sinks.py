@@ -1,0 +1,92 @@
+"""S1-S5 coverage: ingest (zip + plain), CSV round-trip, single-CSV
+sink, SQLite load with DDL + append, parquet partitioned sink."""
+
+from __future__ import annotations
+
+import sqlite3
+import zipfile
+from pathlib import Path
+
+import pytest
+
+
+@pytest.fixture()
+def tmp_url_zip(tmp_path):
+    csv = tmp_path / "inner.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    z = tmp_path / "payload.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.write(csv, "inner.csv")
+    return z.as_uri()
+
+
+def test_ingest_zip_extracts_members(tmp_url_zip, tmp_path):
+    from dataengineeringproject_spark.sources.ingest import ingest
+
+    out = ingest(tmp_url_zip, str(tmp_path / "land"))
+    assert len(out) == 1 and out[0].endswith("inner.csv")
+    assert Path(out[0]).read_text().startswith("a,b")
+
+
+def test_ingest_plain_file(tmp_path):
+    from dataengineeringproject_spark.sources.ingest import ingest
+
+    src = tmp_path / "plain.csv"
+    src.write_text("x\n1\n")
+    out = ingest(src.as_uri(), str(tmp_path / "land2"), filename="got.csv")
+    assert out[0].endswith("got.csv")
+    assert Path(out[0]).read_text() == "x\n1\n"
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dataengineeringproject_spark.sources.readers import read_csv
+    from dataengineeringproject_spark.sources.sinks import write_single_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, s string")
+    out = str(tmp_path / "out.csv")
+    write_single_csv(df, out)
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("s", T.StringType())]
+    )
+    back = read_csv(spark, out, schema=schema)
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, None)]
+
+
+def test_sqlite_load_creates_ddl_and_appends(spark, tmp_path):
+    from dataengineeringproject_spark.sources.sinks import write_sqlite
+
+    df = spark.createDataFrame(
+        [("2024-01", 1.5, "rain"), ("2024-02", 2.5, None)],
+        "Month string, monthly_avg_temperature double, mode_precipitation_type string",
+    )
+    db = str(tmp_path / "w.db")
+    assert write_sqlite(df, db, "monthly_weather") == 2
+    assert write_sqlite(df, db, "monthly_weather") == 2  # append (S5)
+
+    con = sqlite3.connect(db)
+    ddl = con.execute(
+        "SELECT sql FROM sqlite_master WHERE name='monthly_weather'"
+    ).fetchone()[0]
+    assert "AUTOINCREMENT" in ddl and '"Month" VARCHAR' in ddl
+    rows = con.execute(
+        "SELECT id, Month, mode_precipitation_type FROM monthly_weather ORDER BY id"
+    ).fetchall()
+    assert len(rows) == 4
+    assert rows[0][0] == 1 and rows[3][0] == 4  # surrogate ids from the sink
+    assert rows[1][2] is None
+    con.close()
+
+
+def test_parquet_partitioned_sink(spark, tmp_path):
+    from dataengineeringproject_spark.sources.sinks import write_parquet
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-02", 2.0)], "day string, v double"
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["day"])
+    assert (Path(out) / "day=2024-01-01").exists()
+    back = spark.read.parquet(out)
+    assert back.count() == 2
