@@ -1,0 +1,102 @@
+"""Relational/temporal operators beyond plain joins (engine breadth,
+SURVEY.md §2.5 + common OLAP patterns): sessionization and as-of join.
+
+Both are compositions of built-in window/join operators — no UDFs —
+so they stay inside whole-stage codegen and scale as ordinary
+shuffle-on-key plans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the key's previous event exceeds the gap. Implemented as
+    lag → gap flag → running sum (the standard window idiom); ONE
+    shuffle on `key`, per-partition sort on ts.
+
+    Output: input columns + session_seq (1-based per key).
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts)) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the single most recent right row
+    with right_ts <= left_ts (or < when strict), matched on `on` keys.
+    Spark has no native ASOF; this is the union-tag window composition:
+    interleave both sides ordered by time, carry the last-seen right
+    values forward, keep left rows. One shuffle on the key, one sort —
+    NO range cross-join blowup, skew-safe under AQE.
+    """
+    lcols = left.columns
+    tag = F.lit(1)
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__t"),
+        tag.alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in on else F.col(c) for c in lcols],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # order: time asc, right rows before left rows at equal time unless strict
+    order = [F.col("__t").asc(), F.col("__is_left").asc() if not strict else F.col("__is_left").desc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__is_left",
+        "__t",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
+
+
+def pivot_counts(
+    df: DataFrame, key: str, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """Pivot with EXPLICIT value list (never let Spark collect distinct
+    values at scale — that is a driver-side scan of the whole column)."""
+    return df.groupBy(key).pivot(pivot_col, list(values)).count().na.fill(0)

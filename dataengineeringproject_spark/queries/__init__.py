@@ -11,6 +11,7 @@ def load() -> None:
     if _LOADED:
         return
     from dataengineeringproject_spark.queries import (  # noqa: F401
+        advanced,
         llm_text,
         llm_vectors,
         reference_ops,

@@ -1,0 +1,123 @@
+"""Temporal operators as driver queries: sessionization, as-of join,
+pivot. The as-of oracle uses DuckDB's native ASOF JOIN — a genuinely
+independent algorithm agreeing with our union-tag window composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.operators.relational import (
+    asof_join,
+    pivot_counts,
+    sessionize,
+)
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id,
+           CAST(max(session_seq) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user: lag → flag → running sum,
+    one shuffle on user_id; microsecond-exact gap arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           c.value AS last_click_value,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_since_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent click at or
+    before it. Our union-tag + last_value window composition vs DuckDB's
+    native ASOF JOIN — two independent algorithms must agree."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_value").alias("last_click_value"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts"))
+        .cast("long")
+        .alias("micros_since_click"),
+    )
+
+
+@register(
+    "pivot_daily_event_counts",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {", ".join(
+               f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no driver-side distinct scan);
+    compiles to one hash aggregate with conditional counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    out = pivot_counts(ev, "day", "event_type", _EVENT_TYPES)
+    return out.select(
+        "day", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES]
+    )

@@ -1,0 +1,83 @@
+"""Streaming analogs vs their batch equivalents: the streaming daily
+means/mode over a parquet file-drop must equal the batch daily_agg on
+the same data (drive with availableNow → memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """µs-precision copy of sf0.001 events as a streaming source dir."""
+    from dataengineeringproject_spark.schemas import load_table
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, "/root/testdata/sf0.001", "events").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_streaming_daily_means_match_batch(spark, events_dir):
+    from dataengineeringproject_spark.streaming.daily import (
+        daily_means_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = daily_means_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "daily_means_out", output_mode="append")
+    got = {
+        r["day"]: (round(r["avg_value"], 6), r["n_events"])
+        for r in spark.sql("SELECT * FROM daily_means_out").collect()
+    }
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["day"]: (round(r["avg_value"], 6), r["n"]) for r in batch.collect()}
+    # availableNow + append: windows at/after the watermark frontier are
+    # held in state awaiting later data — all CLOSED windows must match.
+    assert got, "no appended windows"
+    for day, vals in got.items():
+        assert vals == want[day], day
+    # a 1-day watermark withholds the open last window AND the window
+    # whose end lies inside the watermark horizon (end > maxEvent - 1d)
+    assert len(got) >= len(want) - 2
+
+
+def test_streaming_daily_mode_matches_batch(spark, events_dir):
+    from dataengineeringproject_spark.operators.aggregates import agg_mode
+    from dataengineeringproject_spark.streaming.daily import (
+        daily_mode_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = daily_mode_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "daily_mode_out", output_mode="update")
+    # update mode: keep the LAST emission per day
+    got = {
+        r["day"]: r["mode_event_type"]
+        for r in spark.sql(
+            """
+            SELECT day, mode_event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY day ORDER BY n_seen DESC) rn
+              FROM daily_mode_out
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+
+    ev = spark.read.parquet(events_dir).select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    want = {
+        r["day"]: r["mode_event_type"]
+        for r in agg_mode(ev, ["day"], "event_type", on_tie="min", alias="mode_event_type").collect()
+    }
+    assert got == want
