@@ -72,21 +72,41 @@ def shingles_sql(text_col_tokens_sql: str, k: int = 3) -> str:
     )
 
 
+# MinHash permutation family: one md5 per shingle, then n affine
+# permutations  perm_j(h) = (a_j * (h mod P) + b_j) mod P  over a
+# Mersenne prime. a_j < 2^20 keeps products < 2^51 — exact in both
+# Spark longs and DuckDB BIGINTs (DuckDB errors on int64 overflow, so
+# staying well inside the range is a correctness requirement, not
+# just hygiene). Constants derive from md5 in pure Python so the
+# oracle embeds the same values.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coeffs(j: int) -> tuple[int, int]:
+    import hashlib as _hl
+
+    a = int(_hl.md5(f"mh_a:{j}".encode()).hexdigest()[:5], 16) | 1  # odd, < 2^20
+    b = int(_hl.md5(f"mh_b:{j}".encode()).hexdigest()[:7], 16) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed j, min over shingles of
-    the md5-derived 60-bit hash. Output: id, mh_0..mh_{n-1}.
+    """Per-document MinHash signature: ONE md5 per shingle, n affine
+    permutations of it, min per permutation. Output: id, mh_0..mh_{n-1}.
 
     Physical shape: explode to (id, shingle) then ONE hash aggregation
     computing all n minima — shingle fan-out happens map-side, the only
     shuffle is the per-doc combine (partial min → final min)."""
     ex = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
-    aggs = [
-        F.min(token_hash(F.col("sh"), seed=str(j))).alias(f"mh_{j}")
-        for j in range(n_hashes)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    h = (token_hash(F.col("sh")) % MINHASH_P).alias("h")
+    hashed = ex.select(F.col(id_col), h)
+    aggs = []
+    for j in range(n_hashes):
+        a, b = minhash_coeffs(j)
+        aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{j}"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -181,21 +201,43 @@ def ngram_jaccard_blocked(
     k: int = 2,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """n-gram Jaccard similarity for all pairs WITHIN a blocking key
-    (e.g. source) — bounded blocks only; the unbounded path is
-    MinHash+LSH. One shuffle on the block key."""
+    """n-gram Jaccard similarity for pairs WITHIN a blocking key (e.g.
+    source) — bounded blocks only; the unbounded path is MinHash+LSH.
+
+    Physical shape: explode to (block, shingle, id) and self-equi-join
+    on (block, shingle) to COUNT intersections — pairs sharing zero
+    shingles never materialize, versus the naive all-pairs
+    array_intersect which is block² array scans. Then join per-doc
+    sizes and filter on the Jaccard threshold. Pairs below threshold
+    with ≥1 common shingle are pruned after one integer count, not an
+    array comparison."""
     sh = df.select(
         F.col(block_col).alias("blk"), F.col(id_col), shingles(text_col, k).alias("sh")
     )
-    a = sh.select("blk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(
-        F.col("blk").alias("blk_b"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    sizes = sh.select("blk", F.col(id_col), F.size("sh").alias("n"))
+    ex = sh.select("blk", F.col(id_col), F.explode("sh").alias("s"))
+    a = ex.select(F.col("blk"), F.col(id_col).alias("id_a"), "s")
+    b = ex.select(
+        F.col("blk").alias("blk_b"), F.col(id_col).alias("id_b"), F.col("s").alias("s_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    inter = (
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("s") == F.col("s_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (
-        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("jaccard", inter / union)
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

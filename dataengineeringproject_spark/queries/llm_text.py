@@ -142,13 +142,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- minhash signatures ------------------------------------------------------
 
+def _mh_exprs() -> str:
+    """The n affine-permutation minima over the per-shingle base hash
+    (same constants as operators/dedup.py minhash_coeffs)."""
+    cols = []
+    for j in range(_N_HASHES):
+        a, b = D.minhash_coeffs(j)
+        cols.append(
+            f"list_aggregate(list_transform(h, x -> (x * {a} + {b}) % {D.MINHASH_P}), "
+            f"'min') AS mh_{j}"
+        )
+    return ", ".join(cols)
+
+
 def _minhash_sql() -> str:
     sh = D.shingles_sql(_TOKS, _SHINGLE_K)
-    cols = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> {X.token_hash_sql('s', str(j))}), 'min') AS mh_{j}"
-        for j in range(_N_HASHES)
-    )
-    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {sh} AS sh FROM documents)"
+    base = f"list_transform({sh}, s -> {X.token_hash_sql('s')} % {D.MINHASH_P})"
+    return f"SELECT doc_id, {_mh_exprs()} FROM (SELECT doc_id, {base} AS h FROM documents)"
 
 
 @register("minhash_signatures", oracle=_minhash_sql())
@@ -165,10 +175,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _neardup_sql() -> str:
     sh = D.shingles_sql(_TOKS, _SHINGLE_K)
-    mh = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> {X.token_hash_sql('s', str(j))}), 'min') AS mh_{j}"
-        for j in range(_N_HASHES)
-    )
+    mh = _mh_exprs()
     rows_per_band = _N_HASHES // _BANDS
     band_selects = []
     for b in range(_BANDS):
@@ -179,7 +186,10 @@ def _neardup_sql() -> str:
     bands = " UNION ALL ".join(band_selects)
     return f"""
     WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
-    sigs AS (SELECT doc_id, {mh} FROM sh),
+    hb AS (SELECT doc_id,
+           list_transform(sh, s -> {X.token_hash_sql('s')} % {D.MINHASH_P}) AS h
+           FROM sh),
+    sigs AS (SELECT doc_id, {mh} FROM hb),
     bands AS ({bands}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
