@@ -193,6 +193,71 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 56,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: docs whose `bits`-wide SimHash
+    signatures differ in ≤ max_hamming bits. Output: id_a, id_b, hamming.
+
+    Physical shape (the scale path): split each signature into `chunks`
+    equal-width chunks; by pigeonhole, any pair within max_hamming <
+    chunks must agree on ≥1 whole chunk, so an equi-join on
+    (chunk_id, chunk_key) produces a COMPLETE candidate set — never an
+    all-pairs cross join. Candidates then verify with one
+    bit_count(xor) each. Requires max_hamming < chunks for
+    completeness (asserted)."""
+    assert max_hamming < chunks, "banding completeness needs max_hamming < chunks"
+    assert bits % chunks == 0
+    sig = simhash(df, id_col, text_col, bits=bits)
+    w = bits // chunks
+    mask = (1 << w) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftright(F.col("simhash"), c * w).bitwiseAND(F.lit(mask)).alias(
+                "chunk_key"
+            ),
+        )
+        for c in range(chunks)
+    ]
+    chunked = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_key")
+    a = chunked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        "chunk_id",
+        "chunk_key",
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("chunk_id").alias("chunk_id_b"),
+        F.col("chunk_key").alias("chunk_key_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("chunk_id") == F.col("chunk_id_b"))
+            & (F.col("chunk_key") == F.col("chunk_key_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_blocked(
     df: DataFrame,
     id_col: str,

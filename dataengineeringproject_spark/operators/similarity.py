@@ -118,6 +118,46 @@ def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def embedding_neardup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 4,
+    threshold: float = 0.35,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors in the same
+    hyperplane-LSH bucket whose cosine ≥ threshold. Output: id_a, id_b,
+    cosine (rounded; the threshold applies to the rounded value so the
+    oracle can't flip a boundary pair).
+
+    Scale posture: the corpus shuffles ONCE on bucket id; each bucket
+    self-joins locally (bucket² work, corpus-wide it is Σ bucketᵢ² ≪
+    corpus²). Recall < 1 by design — near-identical vectors land in the
+    same bucket with probability ≈ 1 - hamming/π per plane."""
+    n_dims = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, n_dims)
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b")
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     id_col: str,

@@ -123,6 +123,54 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(sim, "doc_id")
 
 
+# --- simhash near-dup pairs --------------------------------------------------
+
+_SIMHASH_BITS, _SIMHASH_MAXHAM = 56, 3
+
+
+def _simhash_bits_sql(bits: int) -> str:
+    """(doc_id, simhash) at an arbitrary width — the wide-signature twin
+    of _simhash_sql, used for near-dup detection where 16 bits
+    under-discriminates."""
+    hashes = f"list_transform(list_distinct({_TOKS}), t -> {X.token_hash_sql('t')})"
+    terms = []
+    for b in range(bits):
+        ones = f"len(list_filter(h, x -> (x >> {b}) & 1 = 1))"
+        terms.append(f"(CASE WHEN n > 0 AND 2 * {ones} >= n THEN {2**b} ELSE 0 END)")
+    return (
+        f"SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash "
+        f"FROM (SELECT doc_id, {hashes} AS h, len({hashes}) AS n FROM documents)"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH s AS ({{}}),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM p WHERE hamming <= {_SIMHASH_MAXHAM}
+    """.format(_simhash_bits_sql(_SIMHASH_BITS)),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ {_SIMHASH_MAXHAM} over a
+    56-bit signature. Spark side is chunk-banded (complete by
+    pigeonhole, never all-pairs); the oracle brute-forces the same
+    answer — identical results prove the banding loses nothing."""
+    return D.simhash_neardup(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        bits=_SIMHASH_BITS,
+        chunks=4,
+        max_hamming=_SIMHASH_MAXHAM,
+    )
+
+
 # --- exact dedup ------------------------------------------------------------
 
 @register(

@@ -47,6 +47,35 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rank", df["rank"].cast("long"))
 
 
+_NEARDUP_COS_T = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', S.hyperplanes(_N_PLANES, _N_DIMS))} AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= {_NEARDUP_COS_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: same-LSH-bucket vectors with
+    cosine ≥ {_NEARDUP_COS_T}. One shuffle on bucket id; per-bucket
+    self-join, Σ bucket² ≪ corpus² work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup(
+        emb, "vec_id", "embedding", n_planes=_N_PLANES, threshold=_NEARDUP_COS_T
+    )
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""

@@ -244,6 +244,62 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CUBE grouping sets -----------------------------------------------------
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS total_price,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id to disambiguate
+    aggregate-null from data-null — all four grouping sets from one
+    scan via Expand + partial agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+# --- running window aggregates ----------------------------------------------
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(sum(o_totalprice) OVER w, 2) AS running_spend,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend + order sequence number — one shuffle
+    on o_custkey serves both window functions (same window spec, single
+    WindowExec)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
 # --- O1: global sort --------------------------------------------------------
 
 @register(
