@@ -118,6 +118,69 @@ def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    centroid_mod: int = 31,
+    nprobe: int = 4,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN via IVF (inverted-file index): corpus vectors are assigned to
+    their nearest centroid once (the inverted lists); each query probes
+    only its `nprobe` closest centroids' lists. Same output shape as
+    cosine_topk; recall < 1 by design — nprobe is the knob.
+
+    Centroids are a deterministic corpus sample (id % centroid_mod == 0)
+    instead of k-means, so the oracle can reproduce the index exactly;
+    swapping in trained centroids changes recall, not the plan shape.
+
+    Scale posture: assignment = corpus × broadcast(centroids) map-side
+    + one shuffle to rank per vector; at query time the probe set is
+    tiny and broadcast, so each query scans Σ of nprobe list sizes ≈
+    nprobe/C of the corpus. On a cluster the lists would be WRITTEN
+    partitioned by centroid id (partition pruning makes the probe an
+    index lookup, not a filter)."""
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = vecs.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    scored_c = F.round(cosine(F.col("v"), F.col("cv")), round_to)
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", scored_c)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine(F.col("qv"), F.col("cv")), round_to))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.join(vecs, id_col).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup(
     emb: DataFrame,
     id_col: str,

@@ -14,8 +14,10 @@ def load() -> None:
         advanced,
         llm_text,
         llm_vectors,
+        multimodal_q,
         reference_ops,
         relational,
+        streaming_q,
     )
 
     _LOADED = True

@@ -47,6 +47,60 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rank", df["rank"].cast("long"))
 
 
+_CENTROID_MOD, _NPROBE = 31, 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+        ) AS rn FROM v, c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
+    p AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid, row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cid ASC
+        ) AS rn FROM q, c
+      ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM p JOIN a USING (cid)
+      JOIN q ON q.query_id = p.query_id
+      JOIN v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via IVF: deterministic centroid sample, corpus assigned
+    to inverted lists once, each query probes its {_NPROBE} nearest
+    lists — the partition-pruned scale path next to LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.ivf_topk(
+        emb, "vec_id", "embedding", _QUERY_IDS,
+        centroid_mod=_CENTROID_MOD, nprobe=_NPROBE, k=3,
+    )
+    return df.withColumn("rank", df["rank"].cast("long"))
+
+
 _NEARDUP_COS_T = 0.35
 
 

@@ -1,0 +1,81 @@
+"""Multimodal columns as driver queries (north star: BASELINE.json).
+
+The testdata has no binary table, so the media table is derived
+DETERMINISTICALLY from `documents` (content = utf-8 bytes of text,
+media_type split by doc_id % 3) — the binary-column plumbing
+(BinaryType schema, mapInPandas Arrow batches, 1:N frame fan-out) is
+the thing under test, and because the stub decoder is md5-derived the
+DuckDB oracle reproduces it exactly: a CHECKED Python-UDF path, not a
+rows-only one.
+
+frame_digest (md5 over content ++ 4-byte frame index) is excluded from
+the frame-sample query output: DuckDB has no md5(BLOB), and NUL-bearing
+byte strings don't round-trip through VARCHAR — it stays covered by
+tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark import multimodal as M
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.session import ensure_package_on_workers
+
+# d0/d1/d2/d3 = bytes 0..3 of md5(content), as DuckDB ints.
+_D = [f"CAST(concat('0x', substr(md5(text), {1 + 2 * i}, 2)) AS INT)" for i in range(4)]
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, media_type, content BINARY, meta MAP):
+    doc_id % 3 == 0 rows are 'video', the rest 'image'."""
+    ensure_package_on_workers(spark)
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           64 + {_D[0]} % 192 AS width,
+           64 + {_D[1]} % 192 AS height,
+           ROUND({_D[2]} / 255.0, 6) AS mean_luma
+    FROM documents WHERE doc_id % 3 <> 0
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over a BINARY column via mapInPandas
+    (Arrow-batched, no shuffle). The decode step is the deterministic
+    stub (multimodal._decode_image_fake); the oracle recomputes it from
+    md5 — schema, batching, and plumbing are verified end-to-end."""
+    return M.extract_image_features(_media(spark, sf_dir), fake_decode=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
+    FROM (SELECT doc_id, 30 + {_D[3]} % 270 AS n_frames
+          FROM documents WHERE doc_id % 3 = 0),
+         UNNEST(generate_series(0, n_frames - 1, 10)) AS u(f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1:N mapInPandas fan-out (one output row per
+    sampled frame) — the batch shape video pipelines need; frame count
+    derives from the stub decoder."""
+    return M.sample_video_frames(_media(spark, sf_dir), every_n=10).select(
+        "media_id", "frame_idx"
+    )

@@ -1,0 +1,137 @@
+"""Structured Streaming analogs as ORACLE-CHECKED driver queries
+(SURVEY.md §2.7, §7.2.9).
+
+Streaming results are usually exempted to rows-only checks, but
+update-mode output lets us do better: every micro-batch re-emits the
+current aggregate for each touched key, and the per-key counter
+(n_seen / n_events) grows monotonically — so the emission with the
+max counter IS the final converged state, equal to the batch answer
+over the same data. We stage the events table into a multi-file
+directory, drive the stream with maxFilesPerTrigger=1 + availableNow
+(so the watermark genuinely advances across micro-batches), collect
+the update log from a memory sink, and reduce it to final state with
+one window — which the DuckDB oracle can then check like any batch
+query.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.session import ensure_package_on_workers
+from dataengineeringproject_spark.streaming.daily import (
+    daily_means_stream,
+    daily_mode_stream,
+    read_events_stream,
+    run_to_memory,
+)
+
+_RUN_ID = itertools.count()
+_N_FILES = 3
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events into a fresh parquet dir of _N_FILES chronological
+    slices, written oldest-first (the file-drop landing zone a stream
+    would watch; FileStreamSource picks files up oldest-modTime-first,
+    so micro-batches arrive in event-time order and a 1-day watermark
+    never drops data — the realistic stream-arrival shape). load_table
+    handles the TIMESTAMP(NANOS) conversion before restaging.
+
+    Also pins shuffle partitions low for the session: stateful
+    streaming allocates one state store per shuffle partition and
+    cannot AQE-coalesce them; 200 stores for a 30-key state is pure
+    overhead. (Local-mode pin — a cluster job sizes this per-job.)"""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.select(
+        F.min("ts").cast("long"), F.max("ts").cast("long")
+    ).first()
+    step = (hi - lo) // _N_FILES + 1
+    d = tempfile.mkdtemp(prefix="deps_stream_events_")
+    for i in range(_N_FILES):
+        sl = events.filter(
+            (F.col("ts").cast("long") >= lo + i * step)
+            & (F.col("ts").cast("long") < lo + (i + 1) * step)
+        )
+        sl.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _final_state(update_log: DataFrame, key: str, counter: str) -> DataFrame:
+    """Reduce an update-mode emission log to the final row per key: the
+    counter is monotone per key, so max(counter) marks convergence."""
+    w = Window.partitionBy(key).orderBy(F.desc(counter))
+    return (
+        update_log.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register(
+    "streaming_daily_mode",
+    oracle="""
+    WITH src AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events),
+    c AS (
+      SELECT day, event_type AS v, count(*) AS cnt
+      FROM src WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, v,
+             row_number() OVER (PARTITION BY day ORDER BY cnt DESC, v ASC) AS rn,
+             sum(cnt) OVER (PARTITION BY day) AS total
+      FROM c
+    ),
+    d AS (SELECT DISTINCT day FROM src)
+    SELECT d.day, r.v AS mode_event_type,
+           CAST(COALESCE(r.total, 0) AS BIGINT) AS n_seen
+    FROM d LEFT JOIN (SELECT day, v, total FROM r WHERE rn = 1) r USING (day)
+    """,
+)
+def streaming_daily_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (deterministic mode) as a custom stateful streaming operator
+    (applyInPandasWithState) driven to convergence; final state checked
+    against the batch oracle — the 'custom stateful streaming' item
+    from SURVEY.md §7.2.9, with a full hash check instead of the
+    rows-only exemption."""
+    d = _staged_events(spark, sf_dir)
+    name = f"daily_mode_q_{next(_RUN_ID)}"
+    stream = daily_mode_stream(
+        read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, name, output_mode="update")
+    return _final_state(spark.table(name), "day", "n_seen")
+
+
+@register(
+    "streaming_daily_means",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           ROUND(avg(value), 6) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_daily_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a watermarked tumbling-window streaming aggregate, driven
+    across 3 micro-batches (watermark advances between them); final
+    per-day emission equals the batch aggregate."""
+    d = _staged_events(spark, sf_dir)
+    name = f"daily_means_q_{next(_RUN_ID)}"
+    stream = daily_means_stream(
+        read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, name, output_mode="update")
+    final = _final_state(spark.table(name), "day", "n_events")
+    return final.select(
+        "day", F.round("avg_value", 6).alias("avg_value"), "n_events"
+    )

@@ -49,3 +49,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile.
+
+    Operators that run Python on executors (mapInPandas,
+    applyInPandasWithState) pickle their functions BY REFERENCE when
+    they live in an importable module — so the workers must be able to
+    import `dataengineeringproject_spark` themselves. The external
+    driver builds its own SparkSession from an arbitrary cwd with no
+    PYTHONPATH guarantees, so every Python-worker query ships a zip of
+    the package first (idempotent per session)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_deps_pkg_shipped", False):
+        return
+    import pathlib
+    import shutil
+    import tempfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    base = tempfile.mkdtemp(prefix="deps_pkg_") + "/dataengineeringproject_spark"
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=str(pkg_dir.parent), base_dir=pkg_dir.name
+    )
+    sc.addPyFile(zip_path)
+    sc._deps_pkg_shipped = True

@@ -49,11 +49,19 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, source_dir: str, schema: T.StructType = EVENTS_STREAM_SCHEMA
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType = EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-drop source (the streaming analog of S1's landing zone).
-    Swap for `format("kafka")` + from_json(value) in production."""
-    return spark.readStream.schema(schema).parquet(source_dir)
+    Swap for `format("kafka")` + from_json(value) in production.
+    max_files_per_trigger bounds micro-batch size (and, with
+    availableNow, forces multi-batch runs so watermarks advance)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def daily_means_stream(
