@@ -22,14 +22,25 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
+    # reference-derived pipeline ops
     "daily_agg",
     "monthly_agg",
+    "dedup_keep_first",
+    "wind_buckets",
+    "pipeline_daily_weather_analog",
+    # relational breadth
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "topk_per_group",
-    "dedup_keep_first",
-    "wind_buckets",
+    "window_running_sum",
+    "sessionization",
+    "salted_skew_agg",
+    # LLM-data operators
+    "text_stats",
+    "dedup_minhash_lsh",
+    "cosine_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -117,3 +117,65 @@ def mode_sql(
         + f"SELECT {k}, CASE WHEN n_at_max > 1 THEN NULL ELSE v END AS {out} "
         + "FROM r WHERE rn = 1"
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-safe two-phase aggregation: groupBy(keys + salt) partial →
+    groupBy(keys) final, for the decomposable aggregates sum/count/
+    min/max (avg = sum/count, composed at the end).
+
+    `aggs` maps output column → (agg, input column), e.g.
+    {"n": ("count", "*"), "total": ("sum", "value"), "mean": ("avg", "value")}.
+
+    When to use: Spark's partial hash-agg already absorbs most key skew
+    for aggregates; the failure mode left over is a FINAL-stage straggler
+    when one key's partials still concentrate on one reducer with heavy
+    per-group state (or when the same skewed key feeds a later join —
+    AQE skew-join splits joins, not aggregation state). Salting caps any
+    single reduce task at ~1/salt_buckets of the hot key. The cost is a
+    second (tiny) shuffle over |keys × salt_buckets| rows — at 100 TB
+    that is noise next to a straggler that runs 100× longer than its
+    peers.
+
+    salt_on: column whose hash spreads the hot key's rows (defaults to
+    a uniform random-free spread via pmod(hash(all columns in keys +
+    monotonically varying input), ...) — we use spark_partition_id so
+    the salt is free to compute and already row-spread)."""
+    salt = (
+        F.pmod(F.hash(F.col(salt_on)), F.lit(salt_buckets))
+        if salt_on
+        else F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    partial_aggs = []
+    final_aggs = []
+    for out, (kind, col) in aggs.items():
+        if kind == "count":
+            partial_aggs.append(
+                (F.count(F.lit(1)) if col == "*" else F.count(col)).alias(f"__p_{out}")
+            )
+            final_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif kind == "sum":
+            partial_aggs.append(F.sum(col).alias(f"__p_{out}"))
+            final_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif kind == "min":
+            partial_aggs.append(F.min(col).alias(f"__p_{out}"))
+            final_aggs.append(F.min(f"__p_{out}").alias(out))
+        elif kind == "max":
+            partial_aggs.append(F.max(col).alias(f"__p_{out}"))
+            final_aggs.append(F.max(f"__p_{out}").alias(out))
+        elif kind == "avg":
+            partial_aggs.append(F.sum(col).alias(f"__ps_{out}"))
+            partial_aggs.append(F.count(col).alias(f"__pc_{out}"))
+            final_aggs.append(
+                (F.sum(f"__ps_{out}") / F.sum(f"__pc_{out}")).alias(out)
+            )
+        else:
+            raise ValueError(f"salted_agg does not support {kind!r}")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

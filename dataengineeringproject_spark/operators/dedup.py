@@ -225,9 +225,21 @@ def simhash_neardup(
         )
         for c in range(chunks)
     ]
-    chunked = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("c")
-    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_key")
+    chunked = (
+        sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(F.array(*chunk_structs)).alias("c"),
+        )
+        .select(id_col, "simhash", "c.chunk_id", "c.chunk_key")
+        # Materialization barrier, load-bearing: without it Catalyst
+        # collapses projections and re-derives the 56-term simhash
+        # expression per JOINED row (millions of evals) instead of per
+        # doc. The exchange pins signatures as concrete columns, and
+        # hash-partitioning both join sides on the bucket key lets the
+        # self-join reuse ONE exchange with no further shuffle.
+        .repartition(F.col("chunk_id"), F.col("chunk_key"))
+    )
     a = chunked.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sig_a"),
@@ -240,21 +252,26 @@ def simhash_neardup(
         F.col("chunk_id").alias("chunk_id_b"),
         F.col("chunk_key").alias("chunk_key_b"),
     )
-    cand = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # verify-then-dedup: the hamming check is one xor per joined row,
+    # so apply it BEFORE the distinct — the dedup shuffle then moves
+    # only surviving (id_a, id_b, hamming) triples, not every
+    # chunk-collision copy with both signatures attached (order of
+    # magnitude fewer, narrower rows).
+    return (
+        # merge hint: broadcasting would re-derive the signature subtree
+        # on the build side; SMJ reuses the single bucket-partitioned
+        # exchange for both sides (and is the only shape that survives
+        # when the banded table outgrows broadcast at corpus scale).
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("chunk_id") == F.col("chunk_id_b"))
             & (F.col("chunk_key") == F.col("chunk_key_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .filter(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -121,3 +121,44 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES]
     )
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(value), 2) AS total_value,
+           ROUND(avg(value), 6) AS avg_value,
+           ROUND(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (salting) on the low-cardinality
+    event_type key — the worst-case shape for reducer skew: the salted
+    partial caps any reduce task at ~1/16 of the hottest key before the
+    tiny final combine. Result is bit-identical to the direct groupBy
+    (decomposable aggregates), which is exactly what the oracle checks.
+    """
+    from dataengineeringproject_spark.operators.aggregates import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

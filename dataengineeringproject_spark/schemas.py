@@ -71,6 +71,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date bucketing agrees with the UTC-naive DuckDB oracle regardless
     # of the caller's session timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Same rationale for shuffle parallelism: the driver's vanilla
+    # session defaults to 200 shuffle partitions, pure scheduling
+    # overhead at test scale on local[N]. Runtime-settable, so pin it
+    # to the core budget; a real cluster job sizes this per-job (or
+    # leaves a high count for AQE to coalesce).
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        import os
+
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -90,3 +90,42 @@ def test_parquet_partitioned_sink(spark, tmp_path):
     assert (Path(out) / "day=2024-01-01").exists()
     back = spark.read.parquet(out)
     assert back.count() == 2
+
+
+def test_kafka_json_codec_roundtrip(spark):
+    """The testable half of the Kafka source/sink: typed rows →
+    encode_json_rows → (as if consumed from a topic) decode_json_rows
+    → the same typed rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringproject_spark.sources.kafka import (
+        decode_json_rows,
+        encode_json_rows,
+    )
+    from dataengineeringproject_spark.streaming.daily import EVENTS_STREAM_SCHEMA
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 8, 30), 7, "click", 1.5, "{}"),
+        (2, dt.datetime(2024, 1, 2, 9, 0), 8, "view", None, None),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+    wire = encode_json_rows(df, key_col="event_id")
+    assert wire.columns == ["key", "value"]
+    # simulate the broker round-trip: value comes back as binary plus
+    # kafka metadata columns
+    consumed = wire.select(
+        F.col("value").cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    decoded = decode_json_rows(consumed, EVENTS_STREAM_SCHEMA)
+    got = {
+        r["event_id"]: r
+        for r in decoded.select(*EVENTS_STREAM_SCHEMA.fieldNames()).collect()
+    }
+    assert got[1]["event_type"] == "click" and got[1]["value"] == 1.5
+    assert got[2]["value"] is None and got[2]["ts"] == rows[1][1]
