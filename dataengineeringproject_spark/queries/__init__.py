@@ -18,6 +18,7 @@ def load() -> None:
         reference_ops,
         relational,
         streaming_q,
+        windows_q,
     )
 
     _LOADED = True

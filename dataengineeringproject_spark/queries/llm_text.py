@@ -293,3 +293,35 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_blocked(
         _docs(spark, sf_dir), "doc_id", "text", "source", k=2, threshold=0.3
     )
+
+
+# --- BPE-ish token counting ---------------------------------------------------
+
+# GPT-2-style pre-tokenizer family: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Same pattern string works
+# in Java regex (Spark) and RE2 (DuckDB).
+_BPE_RE = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escape quotes for the SQL literal
+
+
+@register(
+    "token_counts_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (SURVEY.md §7.2.10: 'whitespace + a
+    BPE-ish regex'): whitespace tokens vs GPT-2-pre-tokenizer-style
+    runs — the per-document cost estimate an LLM-data pipeline bills
+    by. Pure projection, codegen'd, no shuffle."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(X.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )

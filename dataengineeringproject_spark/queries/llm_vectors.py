@@ -9,6 +9,7 @@ the Spark plan and the oracle SQL (operators/similarity.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.operators import similarity as S
 from dataengineeringproject_spark.registry import register
@@ -163,3 +164,57 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", _QUERY_IDS, n_planes=_N_PLANES, k=3
     )
     return df.withColumn("rank", df["rank"].cast("long"))
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_dim,
+           ROUND(CAST(embedding AS DOUBLE[])[1] /
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS unit_dim0
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Pandas UDF over the embedding column (the
+    Arrow-batched fast path for Python math Spark lacks natively —
+    here numpy per-batch L2 norms; ~10-100x over row-at-a-time UDFs).
+    Output stays scalar so the driver hash is representation-agnostic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf can't resolve — attach real annotations instead.
+    def _with_series_hints(fn):
+        fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        return pandas_udf(fn, "double")
+
+    @_with_series_hints
+    def l2_norm(v):
+        m = np.vstack(v.to_numpy())
+        return pd.Series(np.sqrt((m * m).sum(axis=1)))
+
+    @_with_series_hints
+    def max_dim(v):
+        return pd.Series(np.vstack(v.to_numpy()).max(axis=1))
+
+    @_with_series_hints
+    def unit_dim0(v):
+        m = np.vstack(v.to_numpy())
+        return pd.Series(m[:, 0] / np.sqrt((m * m).sum(axis=1)))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("v"), 6).alias("l2_norm"),
+        F.round(max_dim("v"), 6).alias("max_dim"),
+        F.round(unit_dim0("v"), 6).alias("unit_dim0"),
+    )

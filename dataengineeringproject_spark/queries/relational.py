@@ -321,3 +321,112 @@ def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
     )
+
+
+# --- TPC-H Q6: pushdown-heavy filter + global agg ---------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: every predicate reaches the parquet scan (PushedFilters
+    on shipdate/discount/quantity), then a single global agg — the
+    pushdown showcase: at 100 TB this reads a fraction of row groups
+    and shuffles 32 partial rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- correlated-subquery pattern: above the group average -------------------
+
+@register(
+    "parts_above_brand_avg",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           ROUND(p.p_retailprice, 2) AS retail_price,
+           ROUND((SELECT avg(p2.p_retailprice) FROM part p2
+                  WHERE p2.p_brand = p.p_brand), 2) AS brand_avg
+    FROM part p
+    WHERE p.p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics (price above own-brand
+    average) decorrelated into one window aggregate — single shuffle on
+    p_brand instead of a per-row subquery; the oracle keeps the
+    genuinely correlated formulation, so agreement checks the
+    decorrelation."""
+    w = Window.partitionBy("p_brand")
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "__avg", F.avg("p_retailprice").over(w)
+    )
+    return p.filter(F.col("p_retailprice") > F.col("__avg")).select(
+        "p_partkey",
+        "p_brand",
+        F.round("p_retailprice", 2).alias("retail_price"),
+        F.round("__avg", 2).alias("brand_avg"),
+    )
+
+
+# --- full outer join --------------------------------------------------------
+
+@register(
+    "nation_wealth_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+      FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_rich_supp
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey,
+           CAST(COALESCE(n_rich_cust, 0) AS BIGINT) AS n_rich_cust,
+           CAST(COALESCE(n_rich_supp, 0) AS BIGINT) AS n_rich_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def nation_wealth_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse aggregates (nations having
+    high-balance customers vs suppliers) — both null sides are
+    genuinely exercised at this SF; aggregate-before-join keeps the
+    outer join's shuffle at |nations|, not |customers|."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return c.join(s, F.col("nk_c") == F.col("nk_s"), "full_outer").select(
+        F.coalesce("nk_c", "nk_s").cast("long").alias("nationkey"),
+        F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+        F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+    )

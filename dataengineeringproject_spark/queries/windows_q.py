@@ -1,0 +1,109 @@
+"""Time-window family over `events` (SURVEY.md §2.7 north star:
+tumbling/sliding/session windows). Tumbling lives in the daily
+aggregates and the streaming analogs; here are the sliding and
+session-window batch forms with exact oracles.
+
+Oracle notes:
+- sliding: every event belongs to duration/slide windows; the oracle
+  UNNESTs the two candidate day-aligned starts per event and groups —
+  an independent formulation of Spark's window() bucketing.
+- session_window: Spark's built-in gap-based session operator; the
+  oracle derives sessions with the classic lag/gap/cumsum island
+  idiom. Session end is last_event + gap (Spark semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+
+_GAP_MIN = 30
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+    WITH starts AS (
+      SELECT value,
+             UNNEST([date_trunc('day', ts) - INTERVAL 1 DAY,
+                     date_trunc('day', ts)]) AS win_start
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           ROUND(avg(value), 6) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM starts GROUP BY 1
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day: each event feeds 2 overlapping
+    windows. The fan-out is map-side (window() expands before the one
+    shuffle on window start) — shuffle volume is duration/slide × input,
+    the inherent cost of overlap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM t
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL {_GAP_MIN} MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window (gap = {_GAP_MIN} min) — merges
+    rows into variable-length sessions inside one aggregation (works
+    identically under Structured Streaming with a watermark); the
+    oracle re-derives sessions via lag/cumsum islands. One shuffle on
+    (user_id, session)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{_GAP_MIN} minutes").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
