@@ -17,6 +17,7 @@ def load() -> None:
         multimodal_q,
         reference_ops,
         relational,
+        sql_surface,
         streaming_q,
         windows_q,
     )

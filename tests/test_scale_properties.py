@@ -1,0 +1,117 @@
+"""Scale-posture and property-based checks (SURVEY.md §5.3):
+
+- bucketed co-located join: pre-bucketing both fact tables on the join
+  key removes the per-query shuffle entirely (the 100 TB answer to
+  repeated orderkey joins) — asserted on the physical plan.
+- hypothesis properties: salted aggregation ≡ direct aggregation;
+  deterministic mode ≡ pandas mode()[0]; aggregates are invariant
+  under row permutation (the order-dependence trap of P4/A3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Write orders+lineitem bucketed by orderkey; the join of the two
+    bucketed tables must plan with NO Exchange (co-located buckets) —
+    the bucketing contract that amortizes one shuffle across every
+    future join on the key."""
+    from dataengineeringproject_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df, key in [("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", str(tmp_path / name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # sanity: it still computes the right row count
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_equals_direct(spark, rows):
+    from dataengineeringproject_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: (r["n"], round(r["s"], 3))
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "*"), "s": ("sum", "v")}, salt_buckets=4
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    want = {
+        k: (int(g["v"].size), round(float(g["v"].sum()), 3))
+        for k, g in pdf.groupby("k")
+    }
+    assert got == want
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.sampled_from(list("uvwxyz"))),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(0, 2**16),
+)
+def test_mode_matches_pandas_and_is_order_invariant(spark, rows, seed):
+    """agg_mode(tie->min) == pandas mode()[0] (sorted-ascending tie
+    break), and the answer is invariant under input permutation."""
+    import random
+
+    from dataengineeringproject_spark.operators.aggregates import agg_mode
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    for data in (rows, shuffled):
+        df = spark.createDataFrame(data, ["k", "v"])
+        got = {
+            r["k"]: r["mode_v"]
+            for r in agg_mode(df, ["k"], "v", on_tie="min", alias="mode_v").collect()
+        }
+        pdf = pd.DataFrame(data, columns=["k", "v"])
+        want = {k: g["v"].mode().iloc[0] for k, g in pdf.groupby("k")}
+        assert got == want
