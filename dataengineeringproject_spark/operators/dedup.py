@@ -153,10 +153,20 @@ def jaccard_on_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold.
-    Joins the (small) candidate set back to per-doc shingle arrays."""
-    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    Joins the (small) candidate set back to per-doc shingle arrays.
+
+    The shingle table is needed for BOTH endpoints of each pair; the
+    repartition pins one exchange whose subtree is identical for the
+    a- and b-branches, so Spark computes the (expensive) tokenize +
+    shingle projection ONCE and reuses the exchange, instead of
+    re-deriving it per branch. The candidate side is broadcast — the
+    shingle table never shuffles on its account."""
+    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh")).repartition(
+        F.col(id_col)
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = F.broadcast(pairs)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
