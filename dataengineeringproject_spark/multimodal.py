@@ -88,6 +88,49 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, digest string, "
+    "duration_s int, sample_rate int, rms double"
+)
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Audio feature extraction over the binary column (duration,
+    sample rate, RMS loudness) via mapInPandas — same plumbing contract
+    as images; the decode is the deterministic md5-derived stub (a real
+    build wires soundfile/ffmpeg here)."""
+    if not fake_decode:
+        raise NotImplementedError("audio decoding requires codec libraries")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                d = hashlib.md5(content).digest()
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(content),
+                        "digest": hashlib.md5(content).hexdigest(),
+                        "duration_s": 1 + d[4] % 120,
+                        "sample_rate": 8000 * (1 + d[5] % 5),
+                        "rms": round(d[6] / 255.0, 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "digest",
+                    "duration_s", "sample_rate", "rms",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        op, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_digest string"
 
 

@@ -162,3 +162,39 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_value", 6).alias("avg_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@register(
+    "zscore_per_group",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+             AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via applyInPandas (grouped-map Pandas UDF):
+    whole groups arrive as Arrow-backed pandas frames — the pattern for
+    group-local Python math Spark lacks natively (sklearn scalers,
+    per-group model scoring). One shuffle on the group key; the oracle
+    is the pure-SQL window formulation, checking the Python path
+    end-to-end."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["zscore"] = (pdf["value"] - m) / s
+        return out
+
+    res = ev.groupBy("event_type").applyInPandas(
+        norm, schema="event_id long, event_type string, zscore double"
+    )
+    return res.select("event_id", "event_type", F.round("zscore", 6).alias("zscore"))

@@ -30,11 +30,12 @@ _D = [f"CAST(concat('0x', substr(md5(text), {1 + 2 * i}, 2)) AS INT)" for i in r
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (media_id, media_type, content BINARY, meta MAP):
-    doc_id % 3 == 0 rows are 'video', the rest 'image'."""
+    doc_id % 3 == 0 → 'video', == 1 → 'audio', == 2 → 'image'."""
     ensure_package_on_workers(spark)
     return load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("image"))
         .alias("media_type"),
         F.encode("text", "UTF-8").alias("content"),
@@ -52,7 +53,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
            64 + {_D[0]} % 192 AS width,
            64 + {_D[1]} % 192 AS height,
            ROUND({_D[2]} / 255.0, 6) AS mean_luma
-    FROM documents WHERE doc_id % 3 <> 0
+    FROM documents WHERE doc_id % 3 = 2
     """,
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,3 +80,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_video_frames(_media(spark, sf_dir), every_n=10).select(
         "media_id", "frame_idx"
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           1 + CAST(concat('0x', substr(md5(text), 9, 2)) AS INT) % 120 AS duration_s,
+           8000 * (1 + CAST(concat('0x', substr(md5(text), 11, 2)) AS INT) % 5)
+             AS sample_rate,
+           ROUND(CAST(concat('0x', substr(md5(text), 13, 2)) AS INT) / 255.0, 6) AS rms
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode/feature-extract (duration, sample rate, RMS) over
+    the BINARY column via mapInPandas — same Arrow plumbing as images,
+    md5-stub decoder reproduced by the oracle."""
+    return M.extract_audio_features(_media(spark, sf_dir), fake_decode=True)
