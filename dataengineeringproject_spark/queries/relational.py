@@ -430,3 +430,76 @@ def nation_wealth_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
         F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
     )
+
+
+# --- TPC-H Q14: conditional aggregation over a join --------------------------
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+             100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: part is a broadcast dim; the month filter is pushed to
+    the lineitem scan; conditional sum folds into one aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
+# --- TPC-H Q18: HAVING-filtered aggregate driving a join ---------------------
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           ROUND(t.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) t ON t.l_orderkey = o.o_orderkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join — the HAVING aggregate
+    shrinks lineitem to qualifying orderkeys BEFORE touching orders
+    (at scale: shuffle once on orderkey, broadcast the small survivor
+    set into orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
