@@ -198,3 +198,133 @@ def zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm, schema="event_id long, event_type string, zscore double"
     )
     return res.select("event_id", "event_type", F.round("zscore", 6).alias("zscore"))
+
+
+@register(
+    "time_band_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def time_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (band) join: every click within the hour BEFORE each
+    purchase by the same user. Naive form is an inequality join (cross
+    product per user); the scale form here adds a BINNED equi-key —
+    each purchase probes its own hour-bin and the previous one, so the
+    join is an equi-join on (user_id, hour_bin) with the band predicate
+    as a residual filter. Bin fan-out is 2x on the probe side only."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("c_bin"),
+    )
+    # probe side: each purchase looks in its bin and the previous bin
+    p_binned = p.withColumn(
+        "p_bin",
+        F.explode(
+            F.array(
+                (F.unix_timestamp("p_ts") / 3600).cast("long"),
+                (F.unix_timestamp("p_ts") / 3600).cast("long") - 1,
+            )
+        ),
+    )
+    return (
+        p_binned.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_bin") == F.col("c_bin"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("long")
+            .alias("lag_s"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB quantile_cont). Exact quantiles need the full sorted group —
+    fine per-key; at 100 TB the global-profile variant switches to
+    approx_percentile (t-digest, mergeable sketch) and tolerates
+    epsilon."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "data_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(min(o_totalprice), 6) AS min_v,
+           ROUND(max(o_totalprice), 6) AS max_v,
+           ROUND(avg(o_totalprice), 6) AS mean_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           ROUND(min(o_custkey), 6), ROUND(max(o_custkey), 6),
+           ROUND(avg(o_custkey), 6)
+    FROM orders
+    """,
+)
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (null/distinct/min/max/mean per
+    column) — the data-quality survey an ingest pipeline runs before
+    anything else. All columns profile in a single scan (one wide
+    aggregate, no per-column jobs); exact distinct here, HLL sketch
+    (approx_count_distinct) at the 100 TB end."""
+    o = load_table(spark, sf_dir, "orders")
+    rows = []
+    for colname in ["o_totalprice", "o_custkey"]:
+        rows.append(
+            o.agg(
+                F.lit(colname).alias("col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(colname).alias("n_nonnull"),
+                F.countDistinct(colname).alias("n_distinct"),
+                F.round(F.min(colname).cast("double"), 6).alias("min_v"),
+                F.round(F.max(colname).cast("double"), 6).alias("max_v"),
+                F.round(F.avg(colname), 6).alias("mean_v"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
