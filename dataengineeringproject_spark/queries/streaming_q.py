@@ -135,3 +135,38 @@ def streaming_daily_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "day", F.round("avg_value", 6).alias("avg_value"), "n_events"
     )
+
+
+@register(
+    "streaming_sliding_means",
+    oracle="""
+    WITH starts AS (
+      SELECT value,
+             UNNEST([date_trunc('day', ts) - INTERVAL 1 DAY,
+                     date_trunc('day', ts)]) AS win_start
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           ROUND(avg(value), 6) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM starts GROUP BY 1
+    """,
+)
+def streaming_sliding_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2d/1d) under Structured Streaming, driven
+    across chronological micro-batches; update-log reduced to final
+    state per window and checked against the batch sliding-window
+    oracle — completes the tumbling/sliding/session window family with
+    a hash-checked streaming member."""
+    from dataengineeringproject_spark.streaming.daily import sliding_means_stream
+
+    d = _staged_events(spark, sf_dir)
+    name = f"sliding_means_q_{next(_RUN_ID)}"
+    stream = sliding_means_stream(
+        read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, name, output_mode="update")
+    final = _final_state(spark.table(name), "win_start", "n_events")
+    return final.select(
+        "win_start", F.round("avg_value", 6).alias("avg_value"), "n_events"
+    )

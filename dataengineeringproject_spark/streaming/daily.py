@@ -140,3 +140,25 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_means_stream(
+    events: DataFrame,
+    duration: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Sliding-window streaming aggregate: each event feeds
+    duration/slide overlapping windows (map-side expansion before the
+    keyed state update). Watermark ≥ duration so a window's state lives
+    until its last contributing slide has passed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("win"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "avg_value",
+            "n_events",
+        )
+    )

@@ -81,3 +81,44 @@ def test_streaming_daily_mode_matches_batch(spark, events_dir):
         for r in agg_mode(ev, ["day"], "event_type", on_tie="min", alias="mode_event_type").collect()
     }
     assert got == want
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart-from-checkpoint: run 1 processes file A into a parquet
+    sink; file B lands; run 2 with the SAME checkpoint processes ONLY
+    B (offsets recovered, nothing reprocessed) — the file-sink
+    exactly-once contract: final sink == batch union, no duplicates."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringproject_spark.schemas import load_table
+    from dataengineeringproject_spark.streaming.daily import read_events_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        q = (
+            read_events_stream(spark, str(src))
+            .select("event_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == half.count()
+    other.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()  # no reprocessing duplicates
+    assert out.select("event_id").distinct().count() == events.count()
