@@ -49,3 +49,36 @@ def expect_in_range(
     — nulls are `expect_no_nulls`' job)."""
     cond = F.col(col).isNull() | F.col(col).between(lo, hi)
     return expect(df, cond, msg or f"Data validation failed: {col} outside [{lo}, {hi}]")
+
+
+def validate_stream_dead_letter(
+    stream: DataFrame,
+    condition: Column,
+    valid_path: str,
+    dead_letter_path: str,
+    checkpoint_dir: str,
+):
+    """C2's streaming analog (SURVEY.md §2.6): a continuous pipeline
+    can't fail-stop per bad record, so violations are ROUTED to a
+    dead-letter sink (with the violated condition attached) while valid
+    rows continue to the main sink. foreachBatch splits each
+    micro-batch once; both writes share the stream's checkpointed
+    offsets, preserving the exactly-once file-sink contract."""
+    cond_str = str(condition._jc)
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        ok = F.coalesce(condition, F.lit(False))
+        batch_df.filter(ok).write.mode("append").parquet(valid_path)
+        (
+            batch_df.filter(~ok)
+            .withColumn("__violated", F.lit(cond_str))
+            .write.mode("append")
+            .parquet(dead_letter_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

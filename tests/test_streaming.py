@@ -122,3 +122,83 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == events.count()  # no reprocessing duplicates
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_streaming_dead_letter_routing(spark, tmp_path):
+    """C2 streaming analog: violations go to the dead-letter sink with
+    the violated condition attached; valid rows flow on; the union is
+    lossless."""
+    from pyspark.sql import functions as F
+
+    from dataengineeringproject_spark.operators.validation import (
+        validate_stream_dead_letter,
+    )
+    from dataengineeringproject_spark.schemas import load_table
+    from dataengineeringproject_spark.streaming.daily import read_events_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)
+    q = validate_stream_dead_letter(
+        read_events_stream(spark, src),
+        F.col("value").between(0, 75),
+        valid_path=str(tmp_path / "valid"),
+        dead_letter_path=str(tmp_path / "dead"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    valid = spark.read.parquet(str(tmp_path / "valid"))
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    n_bad = events.filter(
+        ~F.coalesce(F.col("value").between(0, 75), F.lit(False))
+    ).count()
+    assert dead.count() == n_bad > 0
+    assert valid.count() + dead.count() == events.count()
+    assert "__violated" in dead.columns
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics: once the watermark (max event time − 1 day)
+    has passed a window, a late event for that window is DROPPED and
+    the window finalizes without it. Note Spark propagates watermarks
+    with a one-batch lag — the filter in batch N uses the watermark
+    computed from data through batch N−2 — so an extra intervening
+    batch lets it catch up before the late arrival."""
+    import datetime as dt
+
+    from dataengineeringproject_spark.streaming.daily import (
+        EVENTS_STREAM_SCHEMA,
+        daily_means_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    src = tmp_path / "late_src"
+    day1 = dt.datetime(2024, 1, 1, 12, 0)
+    day9 = dt.datetime(2024, 1, 9, 12, 0)
+    batches = [
+        [(1, day1, 1, "click", 10.0, None)],
+        [(2, day9, 1, "click", 20.0, None)],          # watermark -> day 8
+        [(4, day9 + dt.timedelta(hours=1), 1, "click", 30.0, None)],
+        [(3, day1, 1, "click", 1000.0, None)],        # LATE: below watermark
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        import time
+
+        time.sleep(1.2)  # distinct modTimes => deterministic batch order
+    stream = daily_means_stream(
+        read_events_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    run_to_memory(stream, "late_data_out", output_mode="append")
+    rows = {
+        r["day"]: (r["avg_value"], r["n_events"])
+        for r in spark.table("late_data_out").collect()
+    }
+    # the late 1000.0 event must NOT have entered the finalized window
+    assert rows["2024-01-01"] == (10.0, 1)
+    # the day-9 window is still open (not past watermark): append mode
+    # has not emitted it
+    assert "2024-01-09" not in rows
