@@ -115,3 +115,22 @@ def test_mode_matches_pandas_and_is_order_invariant(spark, rows, seed):
         pdf = pd.DataFrame(data, columns=["k", "v"])
         want = {k: g["v"].mode().iloc[0] for k, g in pdf.groupby("k")}
         assert got == want
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet (partitionBy day) + a day filter: the
+    scan's PartitionFilters prune to ONE directory — at 100 TB the
+    difference between reading one day and reading three years."""
+    from dataengineeringproject_spark.schemas import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(path)
+    one_day = spark.read.parquet(path).filter(F.col("day") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
+    # pruned scan reads exactly that day's rows
+    expected = ev.filter(F.date_format(F.to_date("ts"), "yyyy-MM-dd") == "2024-01-03").count()
+    assert one_day.count() == expected > 0
