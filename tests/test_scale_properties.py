@@ -134,3 +134,50 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruned scan reads exactly that day's rows
     expected = ev.filter(F.date_format(F.to_date("ts"), "yyyy-MM-dd") == "2024-01-03").count()
     assert one_day.count() == expected > 0
+
+
+def _plan(spark, name: str) -> str:
+    from dataengineeringproject_spark import registry
+
+    df = registry.queries()[name](spark, "/root/testdata/sf0.01")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_plan_snapshots(spark):
+    """Lock in the physical-plan properties the engine is designed
+    around — a regression here is a performance bug even when results
+    stay correct."""
+    p = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    p = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+    assert "BroadcastHashJoin" in p
+    p = _plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in p  # rank pushdown before the full window
+    p = _plan(spark, "q5_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 4  # all dims broadcast
+    assert "SortMergeJoin" not in p
+    p = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in p and "GreaterThanOrEqual(l_shipdate" in p
+    for name in ["text_stats", "scalar_exprs", "token_counts_bpe"]:
+        p = _plan(spark, name)
+        assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
+        assert "Exchange" not in p  # pure projections must not shuffle
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """The 100 TB profiling variants (HLL distinct, t-digest quantiles)
+    agree with the exact answers within their documented error bands at
+    this scale."""
+    from dataengineeringproject_spark.schemas import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact_d"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("approx_p95"),
+    ).first()
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p95 - row.exact_p95) / row.exact_p95 < 0.01
