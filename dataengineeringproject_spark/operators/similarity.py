@@ -118,6 +118,93 @@ def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def assign_nearest(
+    vecs: DataFrame, cents: DataFrame, id_col: str, round_to: int = 6
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (rounded
+    cosine, cid tie-break). vecs: (id_col, v); cents: (cid, cv) →
+    (id_col, cid). Map-side: corpus × broadcast(centroids), one window
+    shuffle keyed by id to rank."""
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine(F.col("v"), F.col("cv")), round_to))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def kmeans_centroids(
+    vecs: DataFrame,
+    id_col: str,
+    init_mod: int = 31,
+    n_iters: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over the corpus, fully deterministic so a SQL
+    oracle can replay it: init = corpus sample (id % init_mod == 0),
+    then n_iters of [assign to nearest by rounded cosine → centroid =
+    element-wise mean of assigned vectors, rounded]. Clusters that lose
+    all members drop out (both engines drop them identically).
+
+    Scale posture: each iteration is one broadcast-join assignment plus
+    one shuffle keyed by (cid, dim) for the means — no driver collect;
+    centroid count stays ≪ corpus so the broadcast holds at 100 TB.
+    vecs: (id_col, v) → (cid, cv)."""
+    cents = vecs.filter(F.col(id_col) % init_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iters):
+        assign = assign_nearest(vecs, cents, id_col, round_to)
+        exploded = assign.join(vecs, id_col).select(
+            "cid", F.posexplode("v").alias("pos", "val")
+        )
+        cents = (
+            exploded.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: F.round(s["val"], round_to),
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
+def kmeans_sql(
+    n_iters: int, init_mod: int = 31, round_to: int = 6
+) -> str:
+    """DuckDB twin of `kmeans_centroids` as a CTE chain fragment.
+    Assumes a CTE `v(vec_id, emb)` is already defined; emits CTEs
+    `k0..k{n}` and expects the caller to read centroids from
+    `k{n_iters}(cid, cemb)`."""
+    ctes = [
+        f"k0 AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {init_mod} = 0)"
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""ka{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), {round_to}) DESC, c.cid ASC
+        ) AS rn FROM v, k{i-1} c) WHERE rn = 1
+    )""")
+        ctes.append(f"""km{i} AS (
+      SELECT cid, pos, avg(val) AS val FROM (
+        SELECT a.cid, unnest(v.emb) AS val, unnest(range(1, len(v.emb)+1)) AS pos
+        FROM ka{i} a JOIN v USING (vec_id)
+      ) GROUP BY cid, pos
+    )""")
+        ctes.append(
+            f"k{i} AS (SELECT cid, list(ROUND(val, {round_to}) ORDER BY pos) AS cemb "
+            f"FROM km{i} GROUP BY cid)"
+        )
+    return ",\n    ".join(ctes)
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str,
@@ -127,15 +214,18 @@ def ivf_topk(
     nprobe: int = 4,
     k: int = 3,
     round_to: int = 6,
+    train_iters: int = 0,
 ) -> DataFrame:
     """ANN via IVF (inverted-file index): corpus vectors are assigned to
     their nearest centroid once (the inverted lists); each query probes
     only its `nprobe` closest centroids' lists. Same output shape as
     cosine_topk; recall < 1 by design — nprobe is the knob.
 
-    Centroids are a deterministic corpus sample (id % centroid_mod == 0)
-    instead of k-means, so the oracle can reproduce the index exactly;
-    swapping in trained centroids changes recall, not the plan shape.
+    Centroids: with train_iters == 0, a deterministic corpus sample
+    (id % centroid_mod == 0) so the oracle can reproduce the index
+    exactly; with train_iters > 0, Lloyd-trained from that same init
+    (`kmeans_centroids` — still deterministic and oracle-replayable).
+    Training changes recall, not the plan shape.
 
     Scale posture: assignment = corpus × broadcast(centroids) map-side
     + one shuffle to rank per vector; at query time the probe set is
@@ -146,18 +236,16 @@ def ivf_topk(
     vecs = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = vecs.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
-    scored_c = F.round(cosine(F.col("v"), F.col("cv")), round_to)
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
-    assign = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", scored_c)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cid")
-    )
+    if train_iters > 0:
+        cents = kmeans_centroids(
+            vecs, id_col, init_mod=centroid_mod, n_iters=train_iters,
+            round_to=round_to,
+        )
+    else:
+        cents = vecs.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cid"), F.col("v").alias("cv")
+        )
+    assign = assign_nearest(vecs, cents, id_col, round_to)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )

@@ -102,6 +102,127 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rank", df["rank"].cast("long"))
 
 
+_TRAIN_ITERS = 2
+
+
+def _ivf_probe_sql(cents: str, prefix: str, nprobe: int, k: int) -> str:
+    """CTE fragment for the IVF query path against centroid CTE
+    `cents(cid, cemb)`: assignment, probes, scoring, ranking. Assumes
+    `v` and `q` CTEs exist; emits `{prefix}top(query_id, neighbor_id,
+    cosine, rank)`."""
+    return f"""{prefix}a AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+        ) AS rn FROM v, {cents} c) WHERE rn = 1
+    ),
+    {prefix}p AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid, row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cid ASC
+        ) AS rn FROM q, {cents} c) WHERE rn <= {nprobe}
+    ),
+    {prefix}sc AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM {prefix}p p JOIN {prefix}a a USING (cid)
+      JOIN q ON q.query_id = p.query_id
+      JOIN v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    {prefix}top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM {prefix}sc
+      ) WHERE rank <= {k}
+    )"""
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {S.kmeans_sql(_TRAIN_ITERS, _CENTROID_MOD)},
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
+    {_ivf_probe_sql(f'k{_TRAIN_ITERS}', 'i', _NPROBE, 3)}
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM itop
+    """,
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via IVF with Lloyd-TRAINED centroids ({_TRAIN_ITERS}
+    deterministic k-means iterations from the sampled init) — tighter
+    clusters than the raw sample, so the same nprobe buys more recall.
+    The oracle replays the identical training (round-stabilized means)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.ivf_topk(
+        emb, "vec_id", "embedding", _QUERY_IDS,
+        centroid_mod=_CENTROID_MOD, nprobe=_NPROBE, k=3,
+        train_iters=_TRAIN_ITERS,
+    )
+    return df.withColumn("rank", df["rank"].cast("long"))
+
+
+@register(
+    "ann_recall_trained_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {S.kmeans_sql(_TRAIN_ITERS, _CENTROID_MOD)},
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
+    {_ivf_probe_sql(f'k{_TRAIN_ITERS}', 'i', _NPROBE, 3)},
+    es AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    etop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM es
+      ) WHERE rank <= 3
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM etop e JOIN itop i USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 3.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM etop) q
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann_recall_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the trained-IVF index against the exact cosine top-3
+    ground truth, per query — the measurement loop that makes ANN
+    tunable (nprobe/train_iters vs recall) instead of faith-based."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=3)
+    approx = S.ivf_topk(
+        emb, "vec_id", "embedding", _QUERY_IDS,
+        centroid_mod=_CENTROID_MOD, nprobe=_NPROBE, k=3,
+        train_iters=_TRAIN_ITERS,
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 3.0, 6).alias("recall"),
+        )
+    )
+
+
 _NEARDUP_COS_T = 0.35
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -123,6 +124,68 @@ def daily_mode_stream(events: DataFrame) -> DataFrame:
         stateStructType=_MODE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _ModeProcessor(StatefulProcessor):
+    """StatefulProcessor for the A3 deterministic mode (SURVEY.md §2.4):
+    per-day MapState of event_type → count; each batch folds its rows in
+    and emits the current argmax (max count, tie → lexicographically
+    smallest — pandas mode()[0] semantics).
+
+    transformWithState is the newer per-key-state API (typed state
+    handles + timers) replacing applyInPandasWithState's single blob;
+    MapState gives point updates per category instead of rewriting the
+    whole dict, which matters when |categories| is large."""
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "cnt long"
+        )
+
+    def handleInputRows(
+        self, key: tuple[str], rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            for v, n in pdf["event_type"].dropna().value_counts().items():
+                prior = (
+                    self._counts.getValue((v,))[0]
+                    if self._counts.containsKey((v,))
+                    else 0
+                )
+                self._counts.updateValue((v,), (prior + int(n),))
+        acc = {k[0]: v[0] for k, v in self._counts.iterator()}
+        if acc:
+            best = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            total = sum(acc.values())
+        else:
+            best, total = None, 0
+        yield pd.DataFrame(
+            {"day": [key[0]], "mode_event_type": [best], "n_seen": [total]}
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def daily_mode_stream_tws(events: DataFrame) -> DataFrame:
+    """A3 as a transformWithState operator — same semantics as
+    `daily_mode_stream`, newer engine (RocksDB-backed typed state,
+    per-key timers available for TTL/eviction at scale)."""
+    keyed = events.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    ).groupBy("day")
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=_ModeProcessor(),
+        outputStructType=_MODE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

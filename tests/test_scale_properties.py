@@ -181,3 +181,41 @@ def test_approx_sketches_within_tolerance(spark):
     ).first()
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p95 - row.exact_p95) / row.exact_p95 < 0.01
+
+
+@given(
+    split_mod=st.integers(min_value=1, max_value=5),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gold_upsert_invariant_under_batch_split(spark, tmp_path_factory, split_mod, n_batches):
+    """CDC merge property: however the events are sliced into
+    micro-batches, folding the slices through merge_daily_gold yields
+    exactly the batch daily aggregate — (sum, count) partials compose;
+    averages are derived, never merged."""
+    from dataengineeringproject_spark.schemas import load_table
+    from dataengineeringproject_spark.streaming.upsert import merge_daily_gold
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500).cache()
+    gold = str(tmp_path_factory.mktemp("gold_prop") / "gold")
+    for b in range(n_batches):
+        batch = events.filter((F.col("event_id") * split_mod) % n_batches == b)
+        merge_daily_gold(spark, batch, b, gold)
+    got = {
+        r["day"]: (round(r["avg_value"], 9), r["n_events"])
+        for r in spark.read.parquet(gold).collect()
+        if r["n_events"] > 0
+    }
+    want = {
+        r["day"]: (round(r["avg_value"], 9), r["n"])
+        for r in events.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -83,6 +83,66 @@ def test_streaming_daily_mode_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_streaming_daily_mode_tws_matches_batch(spark, events_dir, tmp_path):
+    """transformWithState port of the stateful mode operator: same
+    batch-equivalence contract as the applyInPandasWithState variant.
+    transformWithState requires the RocksDB state store provider, and
+    its Python runner speaks protobuf to the JVM — gate on the import
+    (not installable in this container; the operator itself is real)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState runner needs protobuf"
+    )
+    from dataengineeringproject_spark.operators.aggregates import agg_mode
+    from dataengineeringproject_spark.streaming.daily import (
+        daily_mode_stream_tws,
+        read_events_stream,
+    )
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = daily_mode_stream_tws(read_events_stream(spark, events_dir))
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("daily_mode_tws_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is not None:
+            spark.conf.set(provider_conf, prior)
+        else:
+            spark.conf.unset(provider_conf)
+    got = {
+        r["day"]: r["mode_event_type"]
+        for r in spark.sql(
+            """
+            SELECT day, mode_event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY day ORDER BY n_seen DESC) rn
+              FROM daily_mode_tws_out
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    ev = spark.read.parquet(events_dir).select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    want = {
+        r["day"]: r["mode_event_type"]
+        for r in agg_mode(
+            ev, ["day"], "event_type", on_tie="min", alias="mode_event_type"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Restart-from-checkpoint: run 1 processes file A into a parquet
     sink; file B lands; run 2 with the SAME checkpoint processes ONLY
@@ -122,6 +182,58 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == events.count()  # no reprocessing duplicates
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_streaming_incremental_gold_upsert(spark, tmp_path):
+    """CDC-style gold-table maintenance: two file drops, two foreachBatch
+    merges — the gold table must equal the batch daily aggregate over
+    ALL data (sums compose across batches), and replaying a batch id
+    must be a no-op (idempotency guard)."""
+    from dataengineeringproject_spark.schemas import load_table
+    from dataengineeringproject_spark.streaming.daily import read_events_stream
+    from dataengineeringproject_spark.streaming.upsert import (
+        daily_gold_upsert_query,
+        merge_daily_gold,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "src"
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.filter(F.col("event_id") % 2 == 1)
+
+    half.coalesce(1).write.mode("append").parquet(str(src))
+    daily_gold_upsert_query(
+        read_events_stream(spark, str(src)), gold, ckpt
+    ).awaitTermination()
+    other.coalesce(1).write.mode("append").parquet(str(src))
+    daily_gold_upsert_query(
+        read_events_stream(spark, str(src)), gold, ckpt
+    ).awaitTermination()
+
+    got = {
+        r["day"]: (round(r["avg_value"], 9), r["n_events"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    want = {
+        r["day"]: (round(r["avg_value"], 9), r["n"])
+        for r in events.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # idempotency: replaying an already-merged batch id changes nothing
+    last = spark.read.parquet(gold).agg(F.max("last_batch_id")).first()[0]
+    merge_daily_gold(spark, events.limit(50), last, gold)
+    after = {
+        r["day"]: (round(r["avg_value"], 9), r["n_events"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert after == got
 
 
 def test_streaming_dead_letter_routing(spark, tmp_path):
