@@ -237,10 +237,13 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     if train_iters > 0:
+        # cache: the trained centroid set (tiny) feeds BOTH the corpus
+        # assignment and the query probes — without it Spark would
+        # re-run every Lloyd iteration for each consumer.
         cents = kmeans_centroids(
             vecs, id_col, init_mod=centroid_mod, n_iters=train_iters,
             round_to=round_to,
-        )
+        ).cache()
     else:
         cents = vecs.filter(F.col(id_col) % centroid_mod == 0).select(
             F.col(id_col).alias("cid"), F.col("v").alias("cv")

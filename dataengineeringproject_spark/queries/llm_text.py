@@ -425,3 +425,38 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before exact/near dedup (the step that makes
+    'Hello,  World!' and 'hello world' collide): lowercase, strip
+    non-alphanumerics, collapse whitespace. Pure codegen'd expressions —
+    a projection, no shuffle; at 100 TB this fuses into the scan.
+    Note DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all default."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

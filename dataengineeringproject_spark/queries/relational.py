@@ -599,3 +599,47 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+# --- TPC-H Q2-ish: argmin join-back (keep ALL ties) --------------------------
+
+@register(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    WITH m AS (
+      SELECT s_nationkey, min(s_acctbal) AS min_bal
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation, s.s_suppkey, s.s_name,
+           ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    JOIN m ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.min_bal
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's essence (correlated MIN subquery → decorrelated
+    aggregate + join-back, keeping ALL tied rows — unlike row_number
+    top-1 which would break ties arbitrarily). The per-nation min is
+    tiny → broadcast back into supplier; nation is a dim → broadcast.
+    Equality on the min is exact: both sides carry the same stored
+    double, no recomputation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    m = s.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(
+            F.broadcast(m),
+            (F.col("s_nationkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )

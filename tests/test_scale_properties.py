@@ -160,10 +160,17 @@ def test_plan_snapshots(spark):
     assert "SortMergeJoin" not in p
     p = _plan(spark, "q6_forecast_revenue")
     assert "PushedFilters" in p and "GreaterThanOrEqual(l_shipdate" in p
-    for name in ["text_stats", "scalar_exprs", "token_counts_bpe"]:
+    for name in ["text_stats", "scalar_exprs", "token_counts_bpe", "text_normalize"]:
         p = _plan(spark, name)
         assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
         assert "Exchange" not in p  # pure projections must not shuffle
+    p = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in p  # EXISTS compiled to a semi join, not inner+distinct
+    assert "GreaterThanOrEqual(o_orderdate" in p  # date range reaches the scan
+    p = _plan(spark, "q7_volume_shipping")
+    assert "In(n_name, [NATION_1,NATION_2])" in p  # nation filter at the scan
+    p = _plan(spark, "q2_min_acctbal_supplier")
+    assert "BroadcastHashJoin" in p  # per-nation min broadcast back
 
 
 def test_approx_sketches_within_tolerance(spark):
