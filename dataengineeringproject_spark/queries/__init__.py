@@ -19,6 +19,7 @@ def load() -> None:
         relational,
         sql_surface,
         streaming_q,
+        tpch_extra,
         windows_q,
     )
 

@@ -171,6 +171,26 @@ def test_plan_snapshots(spark):
     assert "In(n_name, [NATION_1,NATION_2])" in p  # nation filter at the scan
     p = _plan(spark, "q2_min_acctbal_supplier")
     assert "BroadcastHashJoin" in p  # per-nation min broadcast back
+    p = _plan(spark, "q19_disjunctive_revenue")
+    # Catalyst must split the OR-of-conjunctions into per-side residuals
+    # that reach BOTH parquet scans — at 100 TB this is the difference
+    # between scanning the brand/size/qty slices and scanning everything.
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+    assert "And(EqualTo(p_brand,Brand#12)" in p
+    p = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in p  # zero-order customers kept
+    # column pruning: the customer scan reads ONLY the join key
+    assert "ReadSchema: struct<c_custkey:bigint>" in p
+    p = _plan(spark, "q21_waiting_suppliers")
+    assert "TakeOrderedAndProject" in p  # top-20, not a global sort
+    # 3 scans total (lineitem read exactly ONCE — the EXISTS/NOT-EXISTS
+    # pair collapsed into one aggregate, not extra self-joins); each
+    # scan appears once in the tree as a "Location:" detail block.
+    assert p.count("Location: InMemoryFileIndex") == 3
+    p = _plan(spark, "q15_top_supplier")
+    assert "InMemoryTableScan" in p  # rev view cached, not recomputed
+    p = _plan(spark, "q20_promo_suppliers")
+    assert "LeftSemi" in p  # IN-subquery as semi join
 
 
 def test_approx_sketches_within_tolerance(spark):
