@@ -12,6 +12,7 @@ def load() -> None:
         return
     from dataengineeringproject_spark.queries import (  # noqa: F401
         advanced,
+        curation,
         llm_text,
         llm_vectors,
         multimodal_q,

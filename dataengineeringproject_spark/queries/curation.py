@@ -1,0 +1,287 @@
+"""Corpus-curation operators a production training-data pipeline needs
+beyond dedup/similarity (north star: BASELINE.json; SURVEY.md §7.2.10):
+deterministic sampling and split assignment, cross-source contamination
+detection, within-document repetition scoring, and the filter-funnel
+report. All engine-independent: randomness is replaced by md5-derived
+hashing (functions/text.py) so the DuckDB oracle reproduces every row.
+
+100 TB posture: sampling/splitting/repetition are pure projections
+(fuse into the scan, no shuffle); contamination is one shuffle on the
+16-byte fingerprint; the funnel is a single partial-aggregated pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.functions import text as X
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+
+# Per-source sampling rates (percent kept), default for unlisted sources.
+SAMPLE_RATES = {"src0": 100, "src1": 50, "src2": 25}
+SAMPLE_DEFAULT = 10
+# Train/val/test boundaries over the 0-99 hash bucket.
+SPLIT_TRAIN, SPLIT_VAL = 80, 90
+_SEED = "curation-v1"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _bucket(id_col: str) -> Column:
+    """Deterministic 0-99 bucket from the doc id — the engine's
+    substitute for rand(): reproducible across runs, engines, and
+    cluster sizes (a seeded rand() is NOT stable across partitionings;
+    a hash of the key is)."""
+    return X.token_hash(F.col(id_col).cast("string"), seed=_SEED) % 100
+
+
+def _bucket_sql(id_col: str) -> str:
+    return f"{X.token_hash_sql(f'CAST({id_col} AS VARCHAR)', seed=_SEED)} % 100"
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+_RATE_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))
+    + f" ELSE {SAMPLE_DEFAULT} END"
+)
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, source, CAST({_bucket_sql('doc_id')} AS BIGINT) AS bucket
+    FROM documents
+    WHERE {_bucket_sql('doc_id')} < {_RATE_CASE}
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling at per-source rates (the rebalancing step
+    of corpus curation — e.g. keep all of a scarce high-quality source,
+    10% of a crawl). Hash-bucket membership, not rand(): the same doc
+    is kept or dropped on every run of every cluster. Pure filter —
+    pushes to the scan, no shuffle."""
+    d = _docs(spark, sf_dir)
+    rate = F.lit(SAMPLE_DEFAULT)
+    for s, r in sorted(SAMPLE_RATES.items(), reverse=True):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    b = _bucket("doc_id")
+    return d.select("doc_id", "source", b.cast("long").alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
+
+
+# --- train/val/test split ----------------------------------------------------
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT source,
+           CASE WHEN {_bucket_sql('doc_id')} < {SPLIT_TRAIN} THEN 'train'
+                WHEN {_bucket_sql('doc_id')} < {SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assignment by id-hash bucket, reported per source.
+    Assignment is a projection (each doc's split is a pure function of
+    its id — stable under re-partitioning and incremental appends); the
+    report is one aggregate pass."""
+    d = _docs(spark, sf_dir)
+    b = _bucket("doc_id")
+    split = (
+        F.when(b < SPLIT_TRAIN, F.lit("train"))
+        .when(b < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+# --- cross-source contamination ---------------------------------------------
+
+_PREFIX_N = 20
+_PREFIX_SQL = (
+    f"md5(concat_ws(' ', list_slice({X.tokens_sql('lower(text)')}, 1, {_PREFIX_N})))"
+)
+
+
+def _prefix_fp(text_col: str, n: int = _PREFIX_N) -> Column:
+    """md5 of the first n lowercased tokens — the prefix fingerprint
+    used for eval-set leak detection (whole-doc equality is too strict:
+    a leaked eval item usually reappears with trailing boilerplate, so
+    contamination checks key on leading-n-gram overlap)."""
+    c = F.lower(F.col(text_col))
+    return F.md5(F.concat_ws(" ", F.slice(X.tokens(c), 1, n)))
+
+
+@register(
+    "contamination_pairs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, {_PREFIX_SQL} AS f FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.source AS source_a, b.source AS source_b
+    FROM fp a JOIN fp b ON a.f = b.f
+    WHERE a.source < b.source
+    """,
+)
+def contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: documents sharing their
+    first-{n}-token prefix across two DIFFERENT sources (the leak check
+    run before any benchmark split ships). Self-equi-join on the md5
+    prefix fingerprint — one shuffle on a uniformly distributed 16-byte
+    key, skew-free by construction; `source_a < source_b` keeps each
+    cross-source pair once and drops within-source dups (those are
+    `dedup_exact`'s job)."""
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id", "source", _prefix_fp("text").alias("f"))
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"), "f"
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), "f"
+    )
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b")
+    )
+
+
+# --- within-document repetition (Gopher-style quality rule) ------------------
+
+def _all_ngrams(text_col: str, k: int) -> Column:
+    """All k-word shingles WITH multiplicity (operators/dedup.shingles
+    minus the distinct — repetition needs the duplicates)."""
+    toks = X.tokens(text_col)
+    n = F.size(toks)
+    m = n - (k - 1)
+    parts = F.slice(toks, 1, m)
+    for j in range(1, k):
+        parts = F.zip_with(
+            parts, F.slice(toks, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.when(n >= k, parts).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _all_ngrams_sql(toks_sql: str, k: int) -> str:
+    t = toks_sql
+    parts = ", ".join(f"{t}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({t}) >= {k} "
+        f"THEN list_transform(generate_series(1, len({t}) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE [concat_ws(' ', {t})] END"
+    )
+
+
+_REP_K = 3
+_NG = _all_ngrams_sql(X.tokens_sql("text"), _REP_K)
+
+
+@register(
+    "repetition_ngram_ratio",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, len({_NG}) AS n_grams, len(list_distinct({_NG})) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(CASE WHEN n_grams = 0 THEN 0.0
+                      ELSE 1.0 - n_distinct * 1.0 / n_grams END, 6) AS rep_ratio
+    FROM g
+    """,
+)
+def repetition_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: 1 − |distinct 3-grams| / |3-grams|
+    (the duplicate-n-gram family of quality rules from the Gopher/
+    MassiveText filtering recipe — high ratio ⇒ boilerplate or
+    degenerate text). Array ops per row, no shuffle; the n-gram list
+    never leaves the row, so memory is O(doc length) not O(corpus)."""
+    d = _docs(spark, sf_dir)
+    ng = _all_ngrams("text", _REP_K)
+    n = F.size(ng)
+    nd = F.size(F.array_distinct(ng))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(1.0 - nd / n), 6
+        ).alias("rep_ratio"),
+    )
+
+
+# --- quality filter funnel ---------------------------------------------------
+
+# FIRST failing rule wins, so order is part of the contract. Thresholds
+# are config (module constants); these values are tuned so every branch
+# is non-vacuous on the synthetic corpus (token counts 10-99, zero
+# punctuation) while keeping the standard rule family — production
+# values would be e.g. <50 tokens / >100k tokens / rep > 0.3.
+_MIN_TOK, _MAX_TOK, _MAX_PUNCT, _MIN_STOP, _MAX_REP = 20, 80, 0.2, 0.05, 0.05
+
+_FUNNEL_SQL = f"""
+    CASE WHEN len({X.tokens_sql('text')}) < {_MIN_TOK} THEN 'too_short'
+         WHEN len({X.tokens_sql('text')}) > {_MAX_TOK} THEN 'too_long'
+         WHEN {X.punct_ratio_sql('text')} >= {_MAX_PUNCT} THEN 'high_punct'
+         WHEN {X.stopword_ratio_sql('text')} < {_MIN_STOP} THEN 'low_stopword'
+         WHEN 1.0 - len(list_distinct({_NG})) * 1.0 / len({_NG}) > {_MAX_REP}
+           THEN 'too_repetitive'
+         ELSE 'pass' END
+"""
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    SELECT {_FUNNEL_SQL} AS reject_reason,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report: every document attributed to its
+    FIRST failing quality rule (length → punctuation → stopword →
+    repetition), 'pass' otherwise — the observability artifact that
+    tells you which rule is eating your corpus before you commit to a
+    filtered build. One aggregate pass; the when-chain short-circuits
+    identically in Spark and the oracle because rule order is shared."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(X.tokens("text"))
+    ng = _all_ngrams("text", _REP_K)
+    rep = 1.0 - F.size(F.array_distinct(ng)) / F.size(ng)
+    reason = (
+        F.when(n_tok < _MIN_TOK, F.lit("too_short"))
+        .when(n_tok > _MAX_TOK, F.lit("too_long"))
+        .when(X.punct_ratio("text") >= _MAX_PUNCT, F.lit("high_punct"))
+        .when(X.stopword_ratio("text") < _MIN_STOP, F.lit("low_stopword"))
+        .when(rep > _MAX_REP, F.lit("too_repetitive"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        d.select(reason.alias("reject_reason"), "n_chars")
+        .groupBy("reject_reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )

@@ -191,6 +191,10 @@ def test_plan_snapshots(spark):
     assert "InMemoryTableScan" in p  # rev view cached, not recomputed
     p = _plan(spark, "q20_promo_suppliers")
     assert "LeftSemi" in p  # IN-subquery as semi join
+    for name in ["sample_stratified_hash", "repetition_ngram_ratio"]:
+        p = _plan(spark, name)
+        assert "BatchEvalPython" not in p  # hash-sampling stays JVM-side
+        assert "Exchange" not in p  # per-row curation ops must not shuffle
 
 
 def test_approx_sketches_within_tolerance(spark):
