@@ -32,6 +32,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "topk_per_group",
     "window_running_sum",
     "sessionization",
@@ -41,6 +44,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "cosine_topk",
     "ann_lsh_topk",
+    "quality_filter_funnel",
+    "contamination_pairs",
 ]
 
 
