@@ -28,6 +28,10 @@ from dataengineeringproject_spark.operators.relational import (
     pivot_counts,
     sessionize,
 )
+from dataengineeringproject_spark.operators.timeseries import (
+    calendar_spine,
+    resample_daily_locf,
+)
 from dataengineeringproject_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup,
@@ -62,6 +66,8 @@ __all__ = [
     "asof_join",
     "pivot_counts",
     "sessionize",
+    "calendar_spine",
+    "resample_daily_locf",
     "cosine_topk",
     "embedding_neardup",
     "ivf_topk",

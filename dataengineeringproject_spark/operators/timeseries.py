@@ -1,0 +1,71 @@
+"""Time-series regularization operators (hypertable-style): calendar
+resampling with gap materialization and last-observation-carried-forward
+fill. The reference aggregates hourly weather to daily/monthly grains
+(SURVEY.md §2.4 A1/A2) but silently skips empty buckets; a real
+time-series engine must materialize them — downstream models and
+dashboards need an unbroken calendar spine.
+
+Scale posture (100 TB): the spine is |keys| × |days| rows built from a
+1-row global bounds aggregate broadcast-cross-joined to the distinct
+keys — never a driver-side date loop. The LOCF window partitions by
+key, so state per task is one row; days-per-key is calendar-bounded,
+so per-partition sort memory is too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def calendar_spine(per_key_agg: DataFrame, key: str, day_col: str) -> DataFrame:
+    """(key, day) grid covering every key for every day between the
+    GLOBAL min and max day — the rectangular resample target. The
+    bounds aggregate is 1 row (broadcast cross join); sequence+explode
+    generates days executor-side."""
+    bounds = per_key_agg.agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    keys = per_key_agg.select(key).distinct()
+    return (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.col("__d0"), F.col("__d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias(day_col),
+        )
+    )
+
+
+def resample_daily_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    agg_expr: Column,
+    value_name: str = "value_raw",
+) -> DataFrame:
+    """Aggregate to the daily grain, materialize missing (key, day)
+    buckets, and forward-fill each key's series (LOCF). Output columns:
+    key, day (DateType), <value_name> (null on gap days),
+    <value_name>_locf, is_gap.
+
+    Leading gaps (before a key's first observation) stay null in the
+    LOCF column — there is nothing to carry forward; downstream chooses
+    a policy (drop, backfill, default)."""
+    day = F.to_date(ts_col).alias("__day")
+    agg = df.groupBy(key, day).agg(agg_expr.alias(value_name))
+    spine = calendar_spine(agg, key, "__day")
+    joined = spine.join(agg, [key, "__day"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        F.col("__day").alias("day"),
+        value_name,
+        F.last(value_name, ignorenulls=True).over(w).alias(f"{value_name}_locf"),
+        F.col(value_name).isNull().alias("is_gap"),
+    )

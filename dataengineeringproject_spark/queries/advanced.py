@@ -328,3 +328,82 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT)
+             AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(avg(value), 6) AS avg_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: `props` is a JSON string (the
+    Kafka-payload shape); extract a field JVM-side with
+    get_json_object, bucket it, aggregate. At 100 TB the extraction
+    happens in the scan's codegen stage — no Python, no intermediate
+    materialization of parsed structs (use from_json + a schema when
+    MANY fields are needed; single-field extraction is cheaper this
+    way)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(k / 10).cast("long").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             ROUND(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total,
+           lag(total) OVER w AS prev_total,
+           ROUND(total - COALESCE(lag(total) OVER w, total), 2) AS delta,
+           CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY total, day)
+                AS BIGINT) AS quartile
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day analytics: lag for the previous day's total and the
+    delta, ntile(4) for volume quartiles — the lead/lag/ntile window
+    family. Totals are rounded BEFORE windowing and ntile's ordering
+    carries a day tiebreak, so frame contents are engine-stable. One
+    shuffle on event_type; both windows share the partition key so
+    Spark evaluates them in a single WindowExec pass per sort order."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    wq = Window.partitionBy("event_type").orderBy("total", "day")
+    prev = F.lag("total").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "total",
+        prev.alias("prev_total"),
+        F.round(F.col("total") - F.coalesce(prev, F.col("total")), 2).alias("delta"),
+        F.ntile(4).over(wq).cast("long").alias("quartile"),
+    )

@@ -137,6 +137,63 @@ def streaming_daily_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_events_with_dups(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as chronological slices, each written TWICE — the
+    at-least-once delivery shape (every record redelivered in a later
+    micro-batch). Drives dropDuplicatesWithinWatermark's cross-batch
+    state: the replay of slice i arrives one batch after the original."""
+    import tempfile
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ensure_package_on_workers(spark)
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.select(F.min("ts").cast("long"), F.max("ts").cast("long")).first()
+    step = (hi - lo) // _N_FILES + 1
+    d = tempfile.mkdtemp(prefix="deps_stream_events_dup_")
+    for i in range(_N_FILES):
+        sl = events.filter(
+            (F.col("ts").cast("long") >= lo + i * step)
+            & (F.col("ts").cast("long") < lo + (i + 1) * step)
+        )
+        sl.coalesce(1).write.mode("append").parquet(d)  # original
+        sl.coalesce(1).write.mode("append").parquet(d)  # redelivery
+    return d
+
+
+@register(
+    "streaming_dedup_daily_counts",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           ROUND(ROUND(sum(value), 2) / count(*), 6) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_dedup_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-event dedup: every input record is
+    delivered TWICE across micro-batches (the at-least-once source
+    shape); dropDuplicatesWithinWatermark absorbs the replays before
+    the windowed daily aggregate, so the converged state equals the
+    batch aggregate over the ORIGINAL (unduplicated) events — which is
+    what the oracle checks."""
+    from dataengineeringproject_spark.streaming.daily import (
+        dedup_daily_counts_stream,
+    )
+
+    d = _staged_events_with_dups(spark, sf_dir)
+    name = f"dedup_counts_q_{next(_RUN_ID)}"
+    stream = dedup_daily_counts_stream(
+        read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, name, output_mode="update")
+    final = _final_state(spark.table(name), "day", "n_events")
+    return final.select(
+        "day",
+        F.round(F.round("sum_value", 2) / F.col("n_events"), 6).alias("avg_value"),
+        "n_events",
+    )
+
+
 @register(
     "streaming_sliding_means",
     oracle="""

@@ -519,19 +519,37 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS/NOT-EXISTS pair of correlated self-joins collapses into ONE
     per-order aggregate — n_supp≥2 encodes the EXISTS(other supplier),
     n_late=1 encodes the NOT EXISTS(other late supplier) + self-late —
-    turning two extra lineitem shuffles into none beyond the groupBy."""
+    turning two extra lineitem shuffles into none beyond the groupBy.
+
+    Physical note: written as a TWO-LEVEL aggregate — first collapse to
+    (orderkey, suppkey, was_late), then count per orderkey — instead of
+    two COUNT(DISTINCT)s in one pass, because multiple distinct
+    aggregates plan as an Expand (3 projected copies of every row into
+    the shuffle); the two-level form touches each lineitem row once. At
+    scale the orders⋈lineitem SMJ leaves the data hash-partitioned on
+    orderkey, which satisfies ClusteredDistribution for BOTH grouping
+    keys ((orderkey, suppkey) is a superset of the partitioning key) —
+    so both aggregates run exchange-free on the join output. (At test
+    SF the orders side broadcasts, so the first aggregate pays one
+    shuffle of the already-collapsed rows — still no Expand.)"""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-    per_order = (
+    per_supp = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("was_late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("was_late").alias("n_late"),
+            F.max(F.when(F.col("was_late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )

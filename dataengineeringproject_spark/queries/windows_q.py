@@ -107,3 +107,53 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "gap_fill_daily_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS value_raw
+      FROM events WHERE value >= 200 GROUP BY 1, 2
+    ),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM agg),
+    spine AS (
+      SELECT t.event_type, u.day
+      FROM (SELECT DISTINCT event_type FROM agg) t
+      CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                  FROM b) u
+    ),
+    j AS (
+      SELECT s.event_type, s.day, a.value_raw
+      FROM spine s LEFT JOIN agg a USING (event_type, day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(value_raw, 6) AS value_raw,
+           ROUND(last_value(value_raw IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS value_locf,
+           value_raw IS NULL AS is_gap
+    FROM j
+    """,
+)
+def gap_fill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + LOCF (operators/timeseries.py): daily mean of
+    high-value events per event_type on an unbroken day spine — missing
+    (type, day) buckets materialize as gap rows and forward-fill from
+    the key's last observation. The hypertable-rollup family: the
+    filter makes the series genuinely sparse (~30-40% gap days), so the
+    spine/LOCF path is exercised, not vacuous. No driver date loops:
+    spine = distinct keys × broadcast 1-row bounds, exploded
+    executor-side; LOCF is a per-key running window."""
+    from dataengineeringproject_spark.operators.timeseries import resample_daily_locf
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 200)
+    out = resample_daily_locf(ev, "event_type", "ts", F.avg("value"))
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("value_raw", 6).alias("value_raw"),
+        F.round("value_raw_locf", 6).alias("value_locf"),
+        "is_gap",
+    )

@@ -189,6 +189,37 @@ def daily_mode_stream_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_daily_counts_stream(
+    events: DataFrame, watermark: str = "40 days"
+) -> DataFrame:
+    """Exactly-once-per-event daily rollup over an at-least-once source:
+    `dropDuplicatesWithinWatermark` on the event key absorbs redelivered
+    records (Kafka at-least-once, file-source replays) before the
+    windowed aggregate. State = one entry per event_id inside the
+    watermark horizon — the watermark is the retention contract: a
+    duplicate arriving later than `watermark` after the original is NOT
+    absorbed (its state was evicted), which is exactly the at-least-once
+    → effectively-once guarantee Kafka consumers document. The test
+    harness uses a horizon longer than the dataset span so replays are
+    always absorbed and the result is deterministic."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    # sum+count, not avg: the consumer derives avg as round(sum,2)/n —
+    # a boundary-stable formulation for cross-engine comparison (a raw
+    # double avg rounded at 1e-6 can flip on summation order), and the
+    # mergeable form any downstream rollup needs anyway.
+    return (
+        deduped.groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "update"
 ) -> None:
