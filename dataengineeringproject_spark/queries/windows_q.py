@@ -157,3 +157,41 @@ def gap_fill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_raw_locf", 6).alias("value_locf"),
         "is_gap",
     )
+
+
+@register(
+    "monthly_from_daily_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             sum(value) AS s, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, substr(day, 1, 7) AS month,
+           ROUND(ROUND(sum(s), 2) / sum(n), 6) AS avg_value,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def monthly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-rollup pattern: monthly aggregates derived from
+    DAILY PARTIALS (sum, count), not from raw events — avg is
+    sum-of-sums over sum-of-counts. This is the mergeable-aggregate
+    contract that makes incremental time hierarchies work at 100 TB:
+    the daily grain is what you persist (bronze→silver), and every
+    coarser grain is a cheap re-aggregation of ~3 orders of magnitude
+    fewer rows, instead of a rescan of the raw table. round-sum-first
+    avg keeps the comparison engine-stable; correctness of the merge
+    (vs computing monthly directly from raw) is exactly what the
+    oracle's identical two-level formulation checks."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+    return (
+        daily.groupBy("event_type", F.substring("day", 1, 7).alias("month"))
+        .agg(
+            F.round(F.round(F.sum("s"), 2) / F.sum("n"), 6).alias("avg_value"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )

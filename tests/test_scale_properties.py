@@ -250,3 +250,66 @@ def test_gold_upsert_invariant_under_batch_split(spark, tmp_path_factory, split_
         .collect()
     }
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),          # key
+            st.integers(0, 20),                   # day offset
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resample_locf_properties(spark, rows):
+    """LOCF resample invariants on arbitrary sparse series: the spine is
+    rectangular (every key × every day in the global range), raw values
+    survive untouched on observed days, the LOCF column is null only
+    before a key's first observation, and observed days are never
+    flagged as gaps."""
+    from dataengineeringproject_spark.operators.timeseries import resample_daily_locf
+
+    pdf = pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(days=r[1]) for r in rows],
+            "v": [r[2] for r in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = resample_daily_locf(df, "k", "ts", F.avg("v"), "value_raw").toPandas()
+    n_keys = pdf["k"].nunique()
+    days = (pdf["ts"].dt.normalize().max() - pdf["ts"].dt.normalize().min()).days + 1
+    assert len(out) == n_keys * days  # rectangular spine
+    assert bool((out["is_gap"] == out["value_raw"].isna()).all())
+    for k, grp in out.sort_values("day").groupby("k"):
+        locf = grp["value_raw_locf"]
+        first_obs = grp["value_raw"].notna().idxmax() if grp["value_raw"].notna().any() else None
+        if first_obs is not None:
+            after = grp.loc[first_obs:]
+            assert after["value_raw_locf"].notna().all()  # no gaps after 1st obs
+
+
+def test_split_partitions_corpus(spark):
+    """Split assignment is a partition of the corpus: every doc lands in
+    exactly one split, and re-running yields the identical assignment
+    (hash-bucket, not rand())."""
+    from dataengineeringproject_spark import registry
+
+    qs = registry.queries()
+    sf = "/root/testdata/sf0.001"
+    total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    out = qs["split_train_val_test"](spark, sf).toPandas()
+    assert int(out["n_docs"].sum()) == total
+    out2 = qs["split_train_val_test"](spark, sf).toPandas()
+    a = out.sort_values(["source", "split"]).reset_index(drop=True)
+    b = out2.sort_values(["source", "split"]).reset_index(drop=True)
+    assert a.equals(b)
+    # sampling is a subset of the corpus and deterministic too
+    s1 = qs["sample_stratified_hash"](spark, sf).toPandas()
+    s2 = qs["sample_stratified_hash"](spark, sf).toPandas()
+    assert set(s1["doc_id"]) == set(s2["doc_id"])
+    assert len(s1) <= total
