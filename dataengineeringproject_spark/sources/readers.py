@@ -37,3 +37,20 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (vectorized reader, predicate pushdown); supported so the engine
+    ingests from Hive-era ORC lakes without conversion."""
+    return spark.read.orc(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of all footers
+    (mergeSchema) so files written before a column existed scan as null
+    for it. The default read takes one footer's schema — cheaper (no
+    footer fan-in) but silently drops late-added columns; use THIS
+    reader for bronze zones with evolving producers, and keep explicit
+    schemas downstream."""
+    return spark.read.option("mergeSchema", True).parquet(path)

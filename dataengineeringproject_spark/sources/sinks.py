@@ -128,3 +128,9 @@ def _guard_small(df: DataFrame, sink: str) -> None:
             f"{sink} is a small-output sink (≤{SMALL_SINK_MAX_ROWS} rows); "
             "use write_parquet for large results"
         )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """ORC sink — the parquet twin for ORC-standardized lakes."""
+    df.write.mode(mode).orc(path)
+    return path

@@ -8,6 +8,7 @@ import zipfile
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture()
@@ -129,3 +130,41 @@ def test_kafka_json_codec_roundtrip(spark):
     }
     assert got[1]["event_type"] == "click" and got[1]["value"] == 1.5
     assert got[2]["value"] is None and got[2]["ts"] == rows[1][1]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC sink → ORC scan preserves rows, schema, and (like parquet)
+    pushes filters into the scan."""
+    from dataengineeringproject_spark.schemas import load_table
+    from dataengineeringproject_spark.sources.readers import read_orc
+    from dataengineeringproject_spark.sources.sinks import write_orc
+
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    filtered = back.filter(F.col("n_nationkey") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+    assert filtered.count() == 1
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A producer adds a column mid-stream: the merged read surfaces the
+    union schema with nulls for pre-evolution files (bronze-zone
+    contract), while the plain read keeps a single footer's schema."""
+    from dataengineeringproject_spark.sources.readers import read_parquet_merged
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+    merged = read_parquet_merged(spark, d)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
