@@ -98,16 +98,40 @@ def minhash_coeffs(j: int) -> tuple[int, int]:
     return a, b
 
 
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) — the tokenize+shingle projection, split
+    out so a composed pipeline (signatures + later exact-Jaccard
+    verify) can compute it ONCE and `.cache()` it: shingling is the
+    dominant per-row cost of the whole MinHash path, and the two
+    consumers need different downstream shapes (exploded vs array), so
+    plan-level reuse can't kick in on its own."""
+    return df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: ONE md5 per shingle, n affine
     permutations of it, min per permutation. Output: id, mh_0..mh_{n-1}.
 
     Physical shape: explode to (id, shingle) then ONE hash aggregation
     computing all n minima — shingle fan-out happens map-side, the only
-    shuffle is the per-doc combine (partial min → final min)."""
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+    shuffle is the per-doc combine (partial min → final min).
+    Pass `shingles_df` (from `shingle_table`, ideally cached) when the
+    pipeline also verifies pairs, so shingling isn't recomputed."""
+    src = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_table(df, id_col, text_col, k)
+    )
+    ex = src.select(F.col(id_col), F.explode("sh").alias("sh"))
     h = (token_hash(F.col("sh")) % MINHASH_P).alias("h")
     hashed = ex.select(F.col(id_col), h)
     aggs = []
@@ -159,6 +183,7 @@ def jaccard_on_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold.
     Joins the (small) candidate set back to per-doc shingle arrays.
@@ -168,10 +193,15 @@ def jaccard_on_pairs(
     a- and b-branches, so Spark computes the (expensive) tokenize +
     shingle projection ONCE and reuses the exchange, instead of
     re-deriving it per branch. The candidate side is broadcast — the
-    shingle table never shuffles on its account."""
-    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh")).repartition(
-        F.col(id_col)
+    shingle table never shuffles on its account. Pass a cached
+    `shingles_df` (shingle_table) to also share the projection with the
+    signature stage."""
+    src = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_table(df, id_col, text_col, k)
     )
+    sh = src.repartition(F.col(id_col))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = F.broadcast(pairs)

@@ -262,12 +262,19 @@ def _neardup_sql() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: shingle→minhash→band→bucket
     equi-join→exact-Jaccard verify ≥ 0.5. The candidate join is
-    bucket-sized, never corpus² (SURVEY.md §7.2.10 'minhash dedup')."""
+    bucket-sized, never corpus² (SURVEY.md §7.2.10 'minhash dedup').
+    The tokenize+shingle projection — the dominant per-row cost — is
+    computed once into a cached table shared by the signature and
+    verify stages (at 100 TB: persist it as a parquet intermediate
+    instead of memory cache)."""
     d = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(d, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K)
+    sh = D.shingle_table(d, "doc_id", "text", k=_SHINGLE_K).cache()
+    sigs = D.minhash_signatures(
+        d, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K, shingles_df=sh
+    )
     cand = D.lsh_candidate_pairs(sigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
     return D.jaccard_on_pairs(
-        cand, d, "doc_id", "text", k=_SHINGLE_K, threshold=_NEARDUP_T
+        cand, d, "doc_id", "text", k=_SHINGLE_K, threshold=_NEARDUP_T, shingles_df=sh
     )
 
 
