@@ -168,3 +168,23 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_udtf_explode_json(spark):
+    """The UDTF extension point (functions/udtf_ext.py): lateral-view a
+    JSON object column with runtime-unknown keys into rows; unparseable
+    and empty payloads yield nothing instead of failing the job."""
+    from dataengineeringproject_spark.functions.udtf_ext import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, '{"b": 2, "a": {"x": 1}}'), (2, "not json"), (3, None)],
+        "id long, props string",
+    )
+    df.createOrReplaceTempView("udtf_src")
+    out = spark.sql(
+        "SELECT s.id, j.key, j.val_str FROM udtf_src s, "
+        "LATERAL explode_json(s.props) j"
+    ).collect()
+    got = {(r["id"], r["key"]): r["val_str"] for r in out}
+    assert got == {(1, "a"): '{"x": 1}', (1, "b"): "2"}
