@@ -16,8 +16,10 @@ query.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import tempfile
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,21 +36,47 @@ from dataengineeringproject_spark.streaming.daily import (
 
 _RUN_ID = itertools.count()
 _N_FILES = 3
+# One staged landing-zone dir per (sf_dir, duplicated) for the whole
+# process: the 4 streaming queries re-read the same slices instead of
+# re-writing them per query (a correctness-sweep cost saver; the dirs
+# are read-only once written).
+_STAGED: dict[tuple[str, bool], str] = {}
 
 
-def _staged_events(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events into a fresh parquet dir of _N_FILES chronological
-    slices, written oldest-first (the file-drop landing zone a stream
-    would watch; FileStreamSource picks files up oldest-modTime-first,
-    so micro-batches arrive in event-time order and a 1-day watermark
+@contextlib.contextmanager
+def _pinned_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
+    """Scoped shuffle-partition pin: stateful streaming allocates one
+    state store per shuffle partition and cannot AQE-coalesce them, so
+    32+ stores for a 30-key state is pure overhead. The previous value
+    is restored on exit so batch queries running later in the same
+    session keep their configured parallelism. (Local-mode pin — a
+    cluster job sizes this per-job.)"""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, *, dups: bool = False) -> str:
+    """Stage events into a parquet dir of _N_FILES chronological slices,
+    written oldest-first (the file-drop landing zone a stream would
+    watch; FileStreamSource picks files up oldest-modTime-first, so
+    micro-batches arrive in event-time order and a 1-day watermark
     never drops data — the realistic stream-arrival shape). load_table
     handles the TIMESTAMP(NANOS) conversion before restaging.
 
-    Also pins shuffle partitions low for the session: stateful
-    streaming allocates one state store per shuffle partition and
-    cannot AQE-coalesce them; 200 stores for a 30-key state is pure
-    overhead. (Local-mode pin — a cluster job sizes this per-job.)"""
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    With dups=True every slice is written TWICE — the at-least-once
+    delivery shape (each record redelivered one micro-batch later),
+    driving dropDuplicatesWithinWatermark's cross-batch state.
+
+    The staged dir is cached per (sf_dir, dups) so the whole streaming
+    query family stages at most twice per process."""
+    key = (sf_dir, dups)
+    if key in _STAGED:
+        return _STAGED[key]
     ensure_package_on_workers(spark)
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.select(
@@ -62,6 +90,9 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
             & (F.col("ts").cast("long") < lo + (i + 1) * step)
         )
         sl.coalesce(1).write.mode("append").parquet(d)
+        if dups:
+            sl.coalesce(1).write.mode("append").parquet(d)  # redelivery
+    _STAGED[key] = d
     return d
 
 
@@ -105,10 +136,11 @@ def streaming_daily_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only exemption."""
     d = _staged_events(spark, sf_dir)
     name = f"daily_mode_q_{next(_RUN_ID)}"
-    stream = daily_mode_stream(
-        read_events_stream(spark, d, max_files_per_trigger=1)
-    )
-    run_to_memory(stream, name, output_mode="update")
+    with _pinned_shuffle_partitions(spark, 8):
+        stream = daily_mode_stream(
+            read_events_stream(spark, d, max_files_per_trigger=1)
+        )
+        run_to_memory(stream, name, output_mode="update")
     return _final_state(spark.table(name), "day", "n_seen")
 
 
@@ -127,37 +159,15 @@ def streaming_daily_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day emission equals the batch aggregate."""
     d = _staged_events(spark, sf_dir)
     name = f"daily_means_q_{next(_RUN_ID)}"
-    stream = daily_means_stream(
-        read_events_stream(spark, d, max_files_per_trigger=1)
-    )
-    run_to_memory(stream, name, output_mode="update")
+    with _pinned_shuffle_partitions(spark, 8):
+        stream = daily_means_stream(
+            read_events_stream(spark, d, max_files_per_trigger=1)
+        )
+        run_to_memory(stream, name, output_mode="update")
     final = _final_state(spark.table(name), "day", "n_events")
     return final.select(
         "day", F.round("avg_value", 6).alias("avg_value"), "n_events"
     )
-
-
-def _staged_events_with_dups(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events as chronological slices, each written TWICE — the
-    at-least-once delivery shape (every record redelivered in a later
-    micro-batch). Drives dropDuplicatesWithinWatermark's cross-batch
-    state: the replay of slice i arrives one batch after the original."""
-    import tempfile
-
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ensure_package_on_workers(spark)
-    events = load_table(spark, sf_dir, "events")
-    lo, hi = events.select(F.min("ts").cast("long"), F.max("ts").cast("long")).first()
-    step = (hi - lo) // _N_FILES + 1
-    d = tempfile.mkdtemp(prefix="deps_stream_events_dup_")
-    for i in range(_N_FILES):
-        sl = events.filter(
-            (F.col("ts").cast("long") >= lo + i * step)
-            & (F.col("ts").cast("long") < lo + (i + 1) * step)
-        )
-        sl.coalesce(1).write.mode("append").parquet(d)  # original
-        sl.coalesce(1).write.mode("append").parquet(d)  # redelivery
-    return d
 
 
 @register(
@@ -180,12 +190,13 @@ def streaming_dedup_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_daily_counts_stream,
     )
 
-    d = _staged_events_with_dups(spark, sf_dir)
+    d = _staged_events(spark, sf_dir, dups=True)
     name = f"dedup_counts_q_{next(_RUN_ID)}"
-    stream = dedup_daily_counts_stream(
-        read_events_stream(spark, d, max_files_per_trigger=1)
-    )
-    run_to_memory(stream, name, output_mode="update")
+    with _pinned_shuffle_partitions(spark, 8):
+        stream = dedup_daily_counts_stream(
+            read_events_stream(spark, d, max_files_per_trigger=1)
+        )
+        run_to_memory(stream, name, output_mode="update")
     final = _final_state(spark.table(name), "day", "n_events")
     return final.select(
         "day",
@@ -219,10 +230,11 @@ def streaming_sliding_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _staged_events(spark, sf_dir)
     name = f"sliding_means_q_{next(_RUN_ID)}"
-    stream = sliding_means_stream(
-        read_events_stream(spark, d, max_files_per_trigger=1)
-    )
-    run_to_memory(stream, name, output_mode="update")
+    with _pinned_shuffle_partitions(spark, 8):
+        stream = sliding_means_stream(
+            read_events_stream(spark, d, max_files_per_trigger=1)
+        )
+        run_to_memory(stream, name, output_mode="update")
     final = _final_state(spark.table(name), "win_start", "n_events")
     return final.select(
         "win_start", F.round("avg_value", 6).alias("avg_value"), "n_events"

@@ -194,6 +194,7 @@ def test_streaming_incremental_gold_upsert(spark, tmp_path):
     from dataengineeringproject_spark.streaming.upsert import (
         daily_gold_upsert_query,
         merge_daily_gold,
+        read_daily_gold,
     )
 
     events = load_table(spark, "/root/testdata/sf0.001", "events")
@@ -214,7 +215,7 @@ def test_streaming_incremental_gold_upsert(spark, tmp_path):
 
     got = {
         r["day"]: (round(r["avg_value"], 9), r["n_events"])
-        for r in spark.read.parquet(gold).collect()
+        for r in read_daily_gold(spark, gold).collect()
     }
     want = {
         r["day"]: (round(r["avg_value"], 9), r["n"])
@@ -227,13 +228,35 @@ def test_streaming_incremental_gold_upsert(spark, tmp_path):
     assert got == want
 
     # idempotency: replaying an already-merged batch id changes nothing
-    last = spark.read.parquet(gold).agg(F.max("last_batch_id")).first()[0]
+    last = read_daily_gold(spark, gold).agg(F.max("last_batch_id")).first()[0]
     merge_daily_gold(spark, events.limit(50), last, gold)
     after = {
         r["day"]: (round(r["avg_value"], 9), r["n_events"])
-        for r in spark.read.parquet(gold).collect()
+        for r in read_daily_gold(spark, gold).collect()
     }
     assert after == got
+
+    # crash safety (ADVICE r1): an incomplete version dir — a write that
+    # died before its _SUCCESS marker — must be invisible to readers and
+    # must not block a retry of that batch id
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    crashed = _P(gold) / f"v={last + 1}"
+    crashed.mkdir()
+    (crashed / "part-junk.parquet").write_bytes(b"not parquet")
+    assert {
+        r["day"]: (round(r["avg_value"], 9), r["n_events"])
+        for r in read_daily_gold(spark, gold).collect()
+    } == got
+    merge_daily_gold(spark, events.limit(0), last + 1, gold)  # retry commits
+    assert (crashed / "_SUCCESS").exists()
+    after_retry = {
+        r["day"]: (round(r["avg_value"], 9), r["n_events"])
+        for r in read_daily_gold(spark, gold).collect()
+    }
+    assert after_retry == got
+    _sh.rmtree(str(crashed), ignore_errors=True)
 
 
 def test_streaming_dead_letter_routing(spark, tmp_path):
@@ -314,3 +337,26 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # the day-9 window is still open (not past watermark): append mode
     # has not emitted it
     assert "2024-01-09" not in rows
+
+
+def test_streaming_query_restores_shuffle_partitions(spark):
+    """The registered streaming queries pin shuffle partitions low while
+    the stream runs (one state store per shuffle partition) but must
+    restore the session value afterwards — a leaked pin would skew every
+    batch query that runs later in the same session (ADVICE r1)."""
+    from dataengineeringproject_spark.queries import streaming_q
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "13")  # distinct from the stream's pin of 8
+        df = streaming_q.streaming_daily_means(spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+        assert spark.conf.get(key) == "13"
+    finally:
+        spark.conf.set(key, before)
+
+    # staging is cached per (sf_dir, dups): a second run reuses the dir
+    d1 = streaming_q._staged_events(spark, "/root/testdata/sf0.001")
+    d2 = streaming_q._staged_events(spark, "/root/testdata/sf0.001")
+    assert d1 == d2
