@@ -16,8 +16,15 @@ tolerance instead).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class NonConvergenceError(RuntimeError):
+    """Raised (strict mode) when label propagation exhausts max_iter
+    with labels still changing — returned components would be split."""
 
 
 def connected_components(
@@ -27,12 +34,18 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """(id) nodes + undirected (id_a, id_b) edges → (id, component)
     where component = min node id reachable. Deterministic.
 
     Per round: component(n) = min(component(n), min over neighbors m of
-    component(m)). Convergence checked with a 1-row count action."""
+    component(m)). Convergence checked with a 1-row count action. If
+    labels are still changing after max_iter rounds (graph diameter >
+    max_iter — e.g. a long chain of templated near-dup documents), the
+    result is truncated: strict=True raises NonConvergenceError,
+    strict=False emits a RuntimeWarning so callers can distinguish
+    converged from truncated output (ADVICE r1)."""
     both = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -64,4 +77,13 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge after {max_iter} "
+            "iterations; component labels are truncated (long chains "
+            "split into multiple clusters). Raise max_iter."
+        )
+        if strict:
+            raise NonConvergenceError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels

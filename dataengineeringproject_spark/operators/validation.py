@@ -10,7 +10,9 @@ violating row-group.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,6 +53,30 @@ def expect_in_range(
     return expect(df, cond, msg or f"Data validation failed: {col} outside [{lo}, {hi}]")
 
 
+def _column_label(condition: Column) -> str:
+    """Human-readable label for a Column using only public API:
+    `str(col)` renders `Column<'(value BETWEEN 0 AND 75)'>` on both
+    classic and Spark Connect (the private `_jc` attr does not exist
+    under Connect)."""
+    s = str(condition)
+    m = re.fullmatch(r"Column<'(.*)'>", s, re.S)
+    return m.group(1) if m else s
+
+
+def _write_batch_once(df: DataFrame, base_path: str, batch_id: int) -> None:
+    """Idempotent per-batch file write: each micro-batch lands in its
+    own hive-style `batch_id=<id>` directory (the id surfaces as a
+    partition column on read — useful lineage). A directory whose
+    `_SUCCESS` marker exists was fully committed by a previous attempt
+    and is skipped; a partial directory from a crash is overwritten.
+    This upgrades foreachBatch's at-least-once replay to
+    effectively-once per sink."""
+    out = Path(base_path) / f"batch_id={batch_id}"
+    if (out / "_SUCCESS").exists():
+        return
+    df.write.mode("overwrite").parquet(str(out))
+
+
 def validate_stream_dead_letter(
     stream: DataFrame,
     condition: Column,
@@ -61,19 +87,21 @@ def validate_stream_dead_letter(
     """C2's streaming analog (SURVEY.md §2.6): a continuous pipeline
     can't fail-stop per bad record, so violations are ROUTED to a
     dead-letter sink (with the violated condition attached) while valid
-    rows continue to the main sink. foreachBatch splits each
-    micro-batch once; both writes share the stream's checkpointed
-    offsets, preserving the exactly-once file-sink contract."""
-    cond_str = str(condition._jc)
+    rows continue to the main sink. foreachBatch replays are
+    at-least-once, so each sink writes through `_write_batch_once`
+    (batch-id-named directories, skip-if-committed) — a failure between
+    the valid write and the dead-letter write replays the batch, skips
+    the already-committed valid dir, and completes only the missing
+    dead-letter dir. Net effect: effectively-once on both sinks."""
+    cond_str = _column_label(condition)
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
         ok = F.coalesce(condition, F.lit(False))
-        batch_df.filter(ok).write.mode("append").parquet(valid_path)
-        (
-            batch_df.filter(~ok)
-            .withColumn("__violated", F.lit(cond_str))
-            .write.mode("append")
-            .parquet(dead_letter_path)
+        _write_batch_once(batch_df.filter(ok), valid_path, batch_id)
+        _write_batch_once(
+            batch_df.filter(~ok).withColumn("__violated", F.lit(cond_str)),
+            dead_letter_path,
+            batch_id,
         )
 
     return (

@@ -297,7 +297,8 @@ def pipeline_daily_weather_analog(spark: SparkSession, sf_dir: str) -> DataFrame
 def validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 null-existence + A7 range-universality checks
     (v5_group_project_dag.py:243-267) surfaced as counts; the fail-stop
-    `expect` form is tested in tests/test_validation.py."""
+    `expect` form is tested in
+    tests/test_weather_pipeline.py::test_validation_gates_raise_reference_messages."""
     ev = _events(spark, sf_dir)
     return ev.agg(
         F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
