@@ -1,9 +1,15 @@
 """Multimodal plumbing: binary columns through mapInPandas — schema,
-fan-out shape, determinism, and the stubbed real-decode path."""
+fan-out shape, determinism — plus the REAL stdlib decode paths (PNG
+zlib+defilter, BMP pixel decode, GIF header, WAV PCM), exercised on
+hand-constructed fixture bytes (no codec libraries in this env)."""
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 
 import pytest
 
@@ -50,8 +56,153 @@ def test_video_frame_sampling_fanout(spark, media):
     assert len(got) >= 3  # ≥30 fake frames / 10
 
 
-def test_real_decode_path_is_stubbed(spark, media):
-    from dataengineeringproject_spark.multimodal import extract_image_features
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
 
-    with pytest.raises(Exception, match="codec library"):
-        extract_image_features(media, fake_decode=False).collect()
+
+def _png_rgb(rows: list[list[tuple[int, int, int]]], filters: list[int] | None = None) -> bytes:
+    """Minimal valid 8-bit RGB PNG. `filters` picks the per-row filter
+    type (0=None, 2=Up) — the raw bytes are pre-filtered accordingly so
+    the decoder's defilter has real work to do."""
+    h, w = len(rows), len(rows[0])
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = [0] * (w * 3)
+    for r, ftype in zip(rows, filters):
+        flat = [v for px in r for v in px]
+        raw.append(ftype)
+        if ftype == 0:
+            raw += bytes(flat)
+        elif ftype == 2:  # Up: store actual - above
+            raw += bytes((flat[i] - prev[i]) & 0xFF for i in range(len(flat)))
+        else:
+            raise ValueError(ftype)
+        prev = flat
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _bmp_24(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit uncompressed BMP (bottom-up rows, BGR, 4-byte
+    row padding)."""
+    h, w = len(rows), len(rows[0])
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for r in reversed(rows):  # bottom-up storage
+        line = bytearray()
+        for red, g, b in r:
+            line += bytes((b, g, red))
+        line += b"\x00" * (stride - len(line))
+        px += line
+    header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    return header + info + bytes(px)
+
+
+def _luma(rows: list[list[tuple[int, int, int]]]) -> float:
+    vals = [0.299 * r + 0.587 * g + 0.114 * b for row in rows for r, g, b in row]
+    return round(sum(vals) / len(vals) / 255.0, 6)
+
+
+_PIXELS = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (200, 100, 50), (0, 0, 0)],
+]
+
+
+def test_real_png_decode_exact_luma():
+    from dataengineeringproject_spark.multimodal import _decode_image_real
+
+    png = _png_rgb(_PIXELS, filters=[0, 2])  # exercise the Up defilter
+    assert _decode_image_real(png) == (3, 2, _luma(_PIXELS))
+
+
+def test_real_bmp_decode_exact_luma():
+    from dataengineeringproject_spark.multimodal import _decode_image_real
+
+    assert _decode_image_real(_bmp_24(_PIXELS)) == (3, 2, _luma(_PIXELS))
+
+
+def test_real_gif_decode_dims_only():
+    from dataengineeringproject_spark.multimodal import _decode_image_real
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    assert _decode_image_real(gif) == (320, 200, None)
+
+
+def test_real_decode_garbage_yields_nulls_not_crash():
+    from dataengineeringproject_spark.multimodal import _decode_image_real
+
+    assert _decode_image_real(b"") == (None, None, None)
+    assert _decode_image_real(b"\x89PNG\r\n\x1a\nJUNK") == (None, None, None)
+    assert _decode_image_real(b"BM" + b"\x01" * 60) == (None, None, None)
+
+
+def test_real_wav_decode_exact():
+    from dataengineeringproject_spark.multimodal import _decode_wav_real
+
+    samples = [0, 16384, -16384, 32767, -32768, 0, 8192, -8192]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8)  # 8 frames at 8 Hz → 1 s
+        w.writeframes(struct.pack("<8h", *samples))
+    duration_s, sample_rate, rms = _decode_wav_real(buf.getvalue())
+    want_rms = round((sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0, 6)
+    assert (duration_s, sample_rate, rms) == (1, 8, want_rms)
+    # non-PCM / garbage → nulls
+    assert _decode_wav_real(b"RIFF fake") == (None, None, None)
+
+
+def test_real_decode_through_spark_operator(spark):
+    """The real path end-to-end through mapInPandas: decodable rows get
+    true features, undecodable rows get NULL features, nobody crashes —
+    the 100 TB corrupt-file contract."""
+    from dataengineeringproject_spark.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    png = _png_rgb(_PIXELS)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<4h", 100, -100, 200, -200))
+    rows = [
+        (1, "image", png, None),
+        (2, "image", b"not an image at all", None),
+        (3, "audio", buf.getvalue(), None),
+        (4, "audio", b"static noise", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+
+    img = {r.media_id: r for r in extract_image_features(media, fake_decode=False).collect()}
+    assert (img[1].width, img[1].height, img[1].mean_luma) == (3, 2, _luma(_PIXELS))
+    assert (img[2].width, img[2].height, img[2].mean_luma) == (None, None, None)
+    assert img[2].digest == hashlib.md5(b"not an image at all").hexdigest()
+
+    aud = {r.media_id: r for r in extract_audio_features(media, fake_decode=False).collect()}
+    assert aud[3].sample_rate == 16000
+    assert aud[3].rms is not None and aud[3].rms > 0
+    assert (aud[4].duration_s, aud[4].sample_rate, aud[4].rms) == (None, None, None)
+
+
+def test_video_real_path_still_stubbed(spark, media):
+    from dataengineeringproject_spark.multimodal import sample_video_frames
+
+    with pytest.raises(NotImplementedError, match="ffmpeg-class"):
+        sample_video_frames(media, fake_decode=False)
