@@ -8,6 +8,13 @@ Each query is executed to completion with a count()-style action
 (foreach-noop would skip result materialization; we use a collect of
 the already-small results — every headline query returns grouped/top-k
 output, never raw rows at scale).
+
+`--scale-trend` mode (reproducible SURVEY §8.1 run): times the same
+headline set at sf0.01 AND sf0.1 in one session and prints one JSON
+line {"metric": "scale_trend", "per_sf": {sf: {query: sec}},
+"ratio_10x": {query: t(sf0.1)/t(sf0.01)}} — a near-flat ratio means
+local runs are overhead-bound (compute headroom); a ≥10× ratio flags
+the query whose plan stopped scaling.
 """
 
 from __future__ import annotations
@@ -49,6 +56,17 @@ HEADLINE = [
 ]
 
 
+def _run_headline(spark, qs, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in (n for n in HEADLINE if n in qs):
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -64,14 +82,25 @@ def main() -> None:
     # startup doesn't pollute the per-query numbers.
     qs["daily_agg"](spark, "/root/testdata/sf0.001").count()
 
-    names = [n for n in HEADLINE if n in qs]
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+    if "--scale-trend" in sys.argv[1:]:
+        base = str(Path(sf_dir).parent)
+        per_sf = {
+            "0.01": _run_headline(spark, qs, f"{base}/sf0.01"),
+            "0.1": _run_headline(spark, qs, f"{base}/sf0.1"),
+        }
+        ratio = {
+            name: round(per_sf["0.1"][name] / max(per_sf["0.01"][name], 1e-9), 2)
+            for name in per_sf["0.1"]
+        }
+        print(
+            json.dumps(
+                {"metric": "scale_trend", "unit": "sec",
+                 "per_sf": per_sf, "ratio_10x": ratio}
+            )
+        )
+        return
+
+    timings = _run_headline(spark, qs, sf_dir)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -279,17 +279,23 @@ def embedding_neardup(
     n_planes: int = 4,
     threshold: float = 0.35,
     round_to: int = 6,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors in the same
     hyperplane-LSH bucket whose cosine ≥ threshold. Output: id_a, id_b,
     cosine (rounded; the threshold applies to the rounded value so the
     oracle can't flip a boundary pair).
 
+    Pass `n_dims` (callers know it from schema/config) — the
+    `.first()` fallback costs an extra Spark job at plan-construction
+    time (ADVICE r1).
+
     Scale posture: the corpus shuffles ONCE on bucket id; each bucket
     self-joins locally (bucket² work, corpus-wide it is Σ bucketᵢ² ≪
     corpus²). Recall < 1 by design — near-identical vectors land in the
     same bucket with probability ≈ 1 - hamming/π per plane."""
-    n_dims = len(emb.select(vec_col).first()[0])
+    if n_dims is None:
+        n_dims = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, n_dims)
     vecs = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -320,11 +326,14 @@ def lsh_cosine_topk(
     n_planes: int = 4,
     k: int = 3,
     round_to: int = 6,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """ANN via hyperplane-LSH: each query only scans its own bucket
     (equi-join on bucket id instead of a cross join). Same output shape
-    as `cosine_topk`; recall is approximate by design."""
-    n_dims = len(emb.select(vec_col).first()[0])
+    as `cosine_topk`; recall is approximate by design. Pass `n_dims`
+    to avoid the plan-construction-time `.first()` probe job."""
+    if n_dims is None:
+        n_dims = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, n_dims)
     vecs = emb.select(
         F.col(id_col),

@@ -248,7 +248,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, Σ bucket² ≪ corpus² work."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_neardup(
-        emb, "vec_id", "embedding", n_planes=_N_PLANES, threshold=_NEARDUP_COS_T
+        emb, "vec_id", "embedding", n_planes=_N_PLANES,
+        threshold=_NEARDUP_COS_T, n_dims=_N_DIMS,
     )
 
 
@@ -282,7 +283,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation. Approximate recall by design."""
     emb = load_table(spark, sf_dir, "embeddings")
     df = S.lsh_cosine_topk(
-        emb, "vec_id", "embedding", _QUERY_IDS, n_planes=_N_PLANES, k=3
+        emb, "vec_id", "embedding", _QUERY_IDS, n_planes=_N_PLANES, k=3,
+        n_dims=_N_DIMS,
     )
     return df.withColumn("rank", df["rank"].cast("long"))
 
