@@ -147,3 +147,48 @@ def token_hash(x: Column, seed: str = "") -> Column:
 def token_hash_sql(x: str, seed: str = "") -> str:
     inner = f"concat({x}, '#{seed}')" if seed else x
     return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+# --- PII redaction -----------------------------------------------------------
+# Patterns are written in the syntax subset Java regex (Spark) and RE2
+# (DuckDB) interpret identically. Applied in list order: emails first
+# (their local parts contain dots/digits), then dotted IPv4, then
+# digit/dash phone runs — so an earlier replacement can't leave a
+# fragment a later pattern half-matches differently per engine.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9\-]{6,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (before redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_counts_sql(col: str) -> dict[str, str]:
+    return {
+        name: f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its category token — a chained
+    regexp_replace, fully codegen'd (the scrubbing pass an LLM training
+    corpus gets before tokenization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redact_pii_sql(col: str) -> str:
+    expr = col
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr

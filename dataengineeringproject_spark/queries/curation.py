@@ -12,7 +12,7 @@ hashing (functions/text.py) so the DuckDB oracle reproduces every row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.functions import text as X
@@ -284,4 +284,66 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars_total"),
         )
+    )
+
+
+# --- sequence packing (concat-and-chunk into context windows) ----------------
+
+_CTX_TOKENS = 512
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({X.tokens_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start_tok / {_CTX_TOKENS}) AS BIGINT) AS pack_id,
+           (floor(start_tok / {_CTX_TOKENS})
+              <> floor((start_tok + n_tokens - 1) / {_CTX_TOKENS}))
+             AS crosses_boundary
+    FROM placed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining (concat-and-chunk): within
+    each source, documents are concatenated in doc_id order and sliced
+    into {_CTX_TOKENS}-token context windows; each doc learns its
+    pack_id (the window its first token lands in) and whether it
+    straddles a window boundary (the fraction a loss-masking packer
+    would split). One running-sum window per source — a single shuffle
+    on the partition key. At 100 TB partition by a hash bucket of
+    bounded size instead of raw source so no single packing stream
+    serializes; the window itself is O(partition) streaming state."""
+    docs = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    placed = t.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    pack = F.floor(F.col("start_tok") / _CTX_TOKENS)
+    end_pack = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / _CTX_TOKENS)
+    return placed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pack.cast("long").alias("pack_id"),
+        (pack != end_pack).alias("crosses_boundary"),
     )

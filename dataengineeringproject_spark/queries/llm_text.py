@@ -467,3 +467,101 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+# --- dedup clusters -> materialized deduplicated corpus ----------------------
+
+@register(
+    "dedup_corpus_materialize",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({_neardup_sql()}) t),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.component
+    """,
+)
+def dedup_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT of near-dup dedup: the surviving corpus. Clusters
+    from MinHash+LSH pairs (dedup_clusters_minhash), keep the min-doc_id
+    representative of each cluster, join back to documents for the
+    deduplicated table a training run would actually read. The join
+    back is doc_id-equi (shuffle or broadcast of the survivor-id set);
+    at 100 TB write the survivors partitioned by source and this is the
+    corpus hand-off artifact."""
+    d = _docs(spark, sf_dir)
+    clusters = dedup_clusters_minhash(spark, sf_dir)
+    survivors = clusters.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    return d.join(survivors, "doc_id").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# The synthetic documents contain no PII, so the query INJECTS a
+# deterministic PII suffix per doc (email + ip + phone derived from
+# doc_id) before scrubbing — the redaction semantics get a real oracle
+# check while the fixture stays synthetic.
+def _pii_suffix_spark() -> list:
+    # built lazily — Column construction needs an active session, and
+    # this module is imported at registry load time before one exists
+    return [
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    ]
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || "
+    "' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_COUNTS_SQL = X.pii_counts_sql("text")
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id,
+           {_PII_COUNTS_SQL['email']} AS n_emails,
+           {_PII_COUNTS_SQL['ipv4']} AS n_ips,
+           {_PII_COUNTS_SQL['phone']} AS n_phones,
+           md5({X.redact_pii_sql('text')}) AS redacted_fp
+    FROM t
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus (functions/text.py PII_PATTERNS):
+    count then redact emails / IPv4s / phone numbers with category
+    tokens. Pure chained regexp_replace — codegen'd projection, no
+    shuffle, no Python. Output carries md5 of the redacted text so the
+    oracle hash-checks the exact redaction output without hauling full
+    documents through the compare."""
+    d = _docs(spark, sf_dir)
+    with_pii = d.select(
+        "doc_id", F.concat(F.col("text"), *_pii_suffix_spark()).alias("text")
+    )
+    counts = X.pii_counts("text")
+    return with_pii.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        F.md5(X.redact_pii("text")).alias("redacted_fp"),
+    )

@@ -239,3 +239,66 @@ def streaming_sliding_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "win_start", F.round("avg_value", 6).alias("avg_value"), "n_events"
     )
+
+
+@register(
+    "streaming_band_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def streaming_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the continuous twin of the batch
+    `time_band_join`: purchases join every click by the same user in
+    the hour before the purchase, both sides arriving as streams. The
+    time-band predicate bounds join STATE on both sides: with the
+    1-day watermarks, a buffered click can be dropped once the
+    purchase-side watermark passes its hour window (Spark derives the
+    state-eviction bound from the range condition — the mechanism that
+    keeps state finite on an unbounded stream). Inner-join append
+    output is final per match, so the completed run must equal the
+    batch join exactly — full oracle hash check, no rows-only
+    exemption."""
+    d = _staged_events(spark, sf_dir)
+    name = f"band_join_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        purchases = (
+            read_events_stream(spark, d, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "1 day")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        clicks = (
+            read_events_stream(spark, d, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "click")
+            .withWatermark("ts", "1 day")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        out = joined.select(
+            "purchase_id",
+            "click_id",
+            (F.col("p_ts").cast("long") - F.col("c_ts").cast("long"))
+            .cast("long")
+            .alias("lag_s"),
+        )
+        run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

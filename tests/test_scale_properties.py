@@ -371,3 +371,42 @@ def test_aqe_skew_join_split_engages(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime-filter posture: when a selective dim-side filter feeds a
+    shuffle join, Spark can build a bloom filter from the dim keys and
+    push a might_contain() probe into the FACT scan — at 100 TB the
+    fact side skips most row groups before the shuffle instead of
+    shuffling everything and discarding at the join. Pin that the
+    mechanism engages (thresholds lowered for the local fixture; the
+    defaults only trigger at multi-GB scan sizes)."""
+    from dataengineeringproject_spark.schemas import load_table
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        sf = "/root/testdata/sf0.01"
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf, "lineitem")
+        agg = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+        assert agg.collect()[0]["rev"] is not None
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
