@@ -52,6 +52,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _with_norm(df: DataFrame, vec_col: str = "v", out: str = "nrm") -> DataFrame:
+    """Attach the L2 norm as a column. Cosine consumers precompute this
+    ONCE per vector instead of re-deriving both norms inside every
+    pair: the pairwise stage then does 1 dot product instead of 3 —
+    higher-order array functions are interpreted (not codegen'd), so
+    this is the dominant per-pair cost. sqrt/multiply order matches
+    `cosine` exactly, so scores are bit-identical."""
+    return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def _cosine_pre(a: Column, b: Column, nrm_a: Column, nrm_b: Column) -> Column:
+    """cosine(a, b) with both norms precomputed (see _with_norm)."""
+    return _dot(a, b) / (nrm_a * nrm_b)
+
+
 def cosine_topk(
     emb: DataFrame,
     id_col: str,
@@ -65,19 +80,28 @@ def cosine_topk(
     oracle ranks identically. Output: query_id, neighbor_id, cosine, rank.
 
     The query side is a tiny filtered subset → broadcast; the corpus
-    streams through the join without materializing."""
-    vecs = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    streams through the join without materializing. Norms are
+    precomputed per vector (_with_norm) so each of the |Q|·|corpus|
+    pairs costs one dot product, not three."""
+    vecs = _with_norm(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     )
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     joined = (
         vecs.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
+            F.round(
+                _cosine_pre(
+                    F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+                ),
+                round_to,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -124,11 +148,20 @@ def assign_nearest(
     """Assign every corpus vector to its nearest centroid (rounded
     cosine, cid tie-break). vecs: (id_col, v); cents: (cid, cv) →
     (id_col, cid). Map-side: corpus × broadcast(centroids), one window
-    shuffle keyed by id to rank."""
+    shuffle keyed by id to rank. Norms precomputed per side: |corpus|·k
+    pairs do one dot each instead of three."""
+    vn = _with_norm(vecs, "v", "__vn")
+    cn = _with_norm(cents, "cv", "__cn")
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
     return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine(F.col("v"), F.col("cv")), round_to))
+        vn.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "ccos",
+            F.round(
+                _cosine_pre(F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")),
+                round_to,
+            ),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "cid")
@@ -233,32 +266,41 @@ def ivf_topk(
     nprobe/C of the corpus. On a cluster the lists would be WRITTEN
     partitioned by centroid id (partition pruning makes the probe an
     index lookup, not a filter)."""
-    vecs = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    vecs = _with_norm(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     )
     if train_iters > 0:
         # cache: the trained centroid set (tiny) feeds BOTH the corpus
         # assignment and the query probes — without it Spark would
         # re-run every Lloyd iteration for each consumer.
         cents = kmeans_centroids(
-            vecs, id_col, init_mod=centroid_mod, n_iters=train_iters,
-            round_to=round_to,
+            vecs.select(id_col, "v"), id_col, init_mod=centroid_mod,
+            n_iters=train_iters, round_to=round_to,
         ).cache()
     else:
         cents = vecs.filter(F.col(id_col) % centroid_mod == 0).select(
             F.col(id_col).alias("cid"), F.col("v").alias("cv")
         )
-    assign = assign_nearest(vecs, cents, id_col, round_to)
+    cents_n = _with_norm(cents, "cv", "__cn")
+    assign = assign_nearest(vecs.select(id_col, "v"), cents, id_col, round_to)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine(F.col("qv"), F.col("cv")), round_to))
+        q.crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "ccos",
+            F.round(
+                _cosine_pre(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("__cn")),
+                round_to,
+            ),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qnrm", "cid")
     )
     cand = assign.join(F.broadcast(probes), "cid").filter(
         F.col(id_col) != F.col("query_id")
@@ -266,7 +308,10 @@ def ivf_topk(
     scored = cand.join(vecs, id_col).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")),
+            round_to,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -297,16 +342,20 @@ def embedding_neardup(
     if n_dims is None:
         n_dims = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, n_dims)
-    vecs = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    vecs = _with_norm(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
     a = vecs.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
     )
     b = vecs.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b")
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    cos = F.round(
+        _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), round_to
+    )
     return (
         a.join(
             b,
@@ -335,13 +384,13 @@ def lsh_cosine_topk(
     if n_dims is None:
         n_dims = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, n_dims)
-    vecs = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    vecs = _with_norm(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     joined = vecs.join(
@@ -350,7 +399,10 @@ def lsh_cosine_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")),
+            round_to,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
