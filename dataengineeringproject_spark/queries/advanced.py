@@ -407,3 +407,77 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total") - F.coalesce(prev, F.col("total")), 2).alias("delta"),
         F.ntile(4).over(wq).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "asof_join_cogroup",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           c.value AS last_click_value,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_since_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as `asof_join_purchase_click`, but via
+    cogrouped applyInPandas + pandas merge_asof — the escape-hatch
+    pattern for asymmetric two-sided group-local logic Spark lacks
+    natively (completing the Pandas-UDF family: scalar, mapInPandas,
+    grouped applyInPandas, cogrouped applyInPandas, withState). Both
+    sides shuffle once on user_id and arrive as per-key Arrow frames.
+    Same oracle as the native window formulation: three independent
+    algorithms (window composition, DuckDB ASOF, merge_asof) must
+    agree. Prefer the native composition in the hot path — this one
+    crosses the JVM/Arrow boundary per group."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+
+    def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "click_ts", "click_value"]
+            )
+        merged = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("click_ts")[["click_ts", "click_value"]],
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+        return merged[["event_id", "user_id", "ts", "click_ts", "click_value"]]
+
+    joined = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema=(
+                "event_id long, user_id long, ts timestamp, "
+                "click_ts timestamp, click_value double"
+            ),
+        )
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_value").alias("last_click_value"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts"))
+        .cast("long")
+        .alias("micros_since_click"),
+    )

@@ -10,7 +10,7 @@ one definition of tokenization, hashing, and thresholds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.functions import text as X
@@ -564,4 +564,68 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ips"),
         counts["phone"].alias("n_phones"),
         F.md5(X.redact_pii("text")).alias("redacted_fp"),
+    )
+
+
+# --- TF-IDF top terms --------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_TFIDF_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: the {_TFIDF_K} most distinctive terms per document —
+    term frequency from one (doc, term) aggregation, document frequency
+    from a reuse of the same exploded projection, idf = ln(N/df) with
+    the corpus size arriving as a broadcast 1-row cross join (never a
+    collected scalar). Rank ties break on the term so both engines
+    order identically. Scale: two shuffles over (doc, term)/(term) —
+    the inverted-index build shape; the per-doc top-k is WindowGroupLimit-
+    prunable."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rnk").cast("long"))
     )

@@ -6,7 +6,7 @@ event_type→categorical, event_id→stable file order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.functions.datetime_fns import month_str, ts_to_date
@@ -275,8 +275,28 @@ def pipeline_daily_weather_analog(spark: SparkSession, sf_dir: str) -> DataFrame
         "day",
         F.coalesce("value_c", F.lit(med)).alias("value_filled"),
     ).withColumn("strength", classify_wind(F.col("value_filled") / 10.0))
-    means = labeled.groupBy("day").agg(F.avg("value_filled").alias("avg_value"))
-    mode = agg_mode(labeled, ["day"], "strength", on_tie="min", alias="mode_strength")
+    # One (day, strength) pre-aggregate feeds BOTH outputs — a single
+    # scan + one map-side-combined shuffle instead of separate
+    # means/mode passes; everything after is |days|x|buckets| rows.
+    # avg = sum/count over the partials (F.avg semantics: null values
+    # excluded — value_filled is never null post-coalesce); mode =
+    # argmax over non-null strengths with min-strength tie-break
+    # (agg_mode semantics).
+    counts = labeled.groupBy("day", "strength").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value_filled").alias("vsum"),
+        F.count("value_filled").alias("vcnt"),
+    )
+    means = counts.groupBy("day").agg(
+        (F.sum("vsum") / F.sum("vcnt")).alias("avg_value")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), F.asc("strength"))
+    mode = (
+        counts.filter(F.col("strength").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("day", F.col("strength").alias("mode_strength"))
+    )
     return (
         means.join(mode, "day", "left")
         .select("day", F.round("avg_value", 6).alias("avg_value"), "mode_strength")

@@ -302,3 +302,57 @@ def streaming_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+_TYPE_WEIGHTS = [
+    ("click", 0.5),
+    ("error", 0.0),
+    ("purchase", 2.0),
+    ("signup", 5.0),
+    ("view", 0.1),
+]
+
+
+@register(
+    "streaming_static_join_daily",
+    oracle=f"""
+    WITH w(event_type, weight) AS (
+      VALUES {", ".join(f"('{t}', {x})" for t, x in _TYPE_WEIGHTS)}
+    )
+    SELECT strftime(e.ts, '%Y-%m-%d') AS day,
+           ROUND(sum(e.value * w.weight), 6) AS weighted_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN w USING (event_type)
+    GROUP BY 1
+    """,
+)
+def streaming_static_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the events stream enriched against a static
+    dimension (per-type weights) before a watermarked daily aggregate —
+    the standard streaming-enrichment shape (dim broadcast into every
+    micro-batch, no state for the join itself; only the window agg
+    keeps state). Final emission per day equals the batch join+agg."""
+    d = _staged_events(spark, sf_dir)
+    name = f"static_join_q_{next(_RUN_ID)}"
+    weights = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+    with _pinned_shuffle_partitions(spark, 8):
+        ev = read_events_stream(spark, d, max_files_per_trigger=1)
+        enriched = ev.join(F.broadcast(weights), "event_type")
+        agg = (
+            enriched.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(
+                F.sum(F.col("value") * F.col("weight")).alias("wsum"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+                "wsum",
+                "n_events",
+            )
+        )
+        run_to_memory(agg, name, output_mode="update")
+    final = _final_state(spark.table(name), "day", "n_events")
+    return final.select(
+        "day", F.round("wsum", 6).alias("weighted_value"), "n_events"
+    )
