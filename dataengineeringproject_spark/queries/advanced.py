@@ -481,3 +481,43 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("micros_since_click"),
     )
+
+
+# --- equal-width histogram ----------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_NBUCKETS = 0.0, 500.0, 20
+
+
+@register(
+    "histogram_value_buckets",
+    oracle=f"""
+    -- DuckDB has no width_bucket; spell out the SQL-standard formula
+    -- Spark uses: floor(n * (v - lo) / (hi - lo)) + 1, with 0 / n+1
+    -- as the underflow / overflow buckets.
+    SELECT event_type,
+           CASE WHEN value < {_HIST_LO} THEN 0
+                WHEN value >= {_HIST_HI} THEN {_HIST_NBUCKETS} + 1
+                ELSE CAST(floor({_HIST_NBUCKETS} * (value - {_HIST_LO})
+                          / ({_HIST_HI} - {_HIST_LO})) AS BIGINT) + 1
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(value), 6) AS lo,
+           ROUND(max(value), 6) AS hi
+    FROM events GROUP BY 1, 2
+    """,
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram per event_type via width_bucket — the
+    data-profiling shape that beats collecting values to the driver:
+    bucket assignment is a codegen'd expression, the counts are one
+    hash aggregation over (type, bucket) whose output is bounded by
+    types × (buckets + 2) regardless of input size (out-of-range
+    values land in the SQL-standard underflow/overflow buckets 0 and
+    n+1 on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.width_bucket("value", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_NBUCKETS))
+    return ev.groupBy("event_type", b.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

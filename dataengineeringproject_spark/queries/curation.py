@@ -347,3 +347,42 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.cast("long").alias("pack_id"),
         (pack != end_pack).alias("crosses_boundary"),
     )
+
+
+# --- balanced fixed-N per-source sample ---------------------------------------
+
+_BALANCED_N = 40
+
+
+@register(
+    "sample_balanced_per_source",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_BALANCED_N}
+    """,
+)
+def sample_balanced_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced domain mixture: exactly {_BALANCED_N} docs per source,
+    chosen by md5(doc_id) order — a deterministic 'shuffle' that is
+    reproducible across engines and runs, unlike rand()-based
+    sampleBy. Physically a per-group top-k on the hash order, so
+    WindowGroupLimit prunes each partition to N rows before the
+    shuffle — the full corpus never sorts. The degenerate-but-common
+    curation need this serves: equal-sized per-domain eval/calibration
+    slices."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BALANCED_N)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

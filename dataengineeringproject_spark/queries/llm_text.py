@@ -598,17 +598,23 @@ _TFIDF_K = 3
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: the {_TFIDF_K} most distinctive terms per document —
-    term frequency from one (doc, term) aggregation, document frequency
-    from a reuse of the same exploded projection, idf = ln(N/df) with
-    the corpus size arriving as a broadcast 1-row cross join (never a
-    collected scalar). Rank ties break on the term so both engines
-    order identically. Scale: two shuffles over (doc, term)/(term) —
-    the inverted-index build shape; the per-doc top-k is WindowGroupLimit-
-    prunable."""
+    term frequency from one (doc, term) aggregation; document frequency
+    derived FROM the tf aggregate (tf has exactly one row per
+    (doc, term), so rows-per-term == distinct-docs-per-term) — that
+    replaces a countDistinct with a plain count, and caching tf (the
+    inverted index, q15's pattern) makes the scan→explode→shuffle
+    subtree run once instead of twice; df stays a map-side-combining
+    aggregation rather than a per-term window so stopword-grade hot
+    terms can't pile one reducer (skew-free at corpus scale);
+    idf = ln(N/df) with the corpus size arriving as a broadcast 1-row
+    cross join (never a collected scalar). Rank ties break on the term
+    so both engines order identically. Scale: shuffles over
+    (doc, term) then (term) — the inverted-index build shape; the
+    per-doc top-k is WindowGroupLimit-prunable."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(X.tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "term")

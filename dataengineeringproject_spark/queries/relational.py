@@ -269,6 +269,38 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- arbitrary GROUPING SETS -------------------------------------------------
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS total_price,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (Spark 4 DataFrame `groupingSets` API) —
+    unlike rollup/cube this picks exactly the sets wanted, so the
+    Expand fan-out is 3× the input here instead of CUBE's 4×: at
+    100 TB, skipping the unneeded (status, priority) pair set is a 25%
+    shuffle-volume cut over cube-and-filter. grouping_id disambiguates
+    aggregate-null from data-null, as in cube_agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 # --- running window aggregates ----------------------------------------------
 
 @register(

@@ -160,6 +160,59 @@ def gap_fill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_rolling_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             ROUND(sum(value), 2) AS s, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(sum(s) OVER w, 2) AS rolling_sum_7d,
+           ROUND(sum(s) OVER w / sum(n) OVER w, 6) AS rolling_avg_7d,
+           CAST(count(*) OVER w AS BIGINT) AS n_days_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling totals via a time-RANGE window frame — the
+    frame flavor the rest of the suite doesn't cover (ROWS frames in
+    window_running_sum/window_lag_delta, bucketed tumble/slide/session
+    in the window_agg family). Spark's rangeBetween needs a numeric
+    order key, so the day is ordered by its epoch seconds and the frame
+    is [-6 days, 0] in seconds — semantically identical to the oracle's
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING, and robust to calendar gaps
+    (missing days simply aren't in the frame, unlike a ROWS 6 PRECEDING
+    frame which would silently span them). Two shuffles by design: the
+    first aggregates raw events to the daily grain (full data, keyed on
+    (type, day)); the window's re-partition on event_type alone then
+    moves only ~types×days rows — pre-partitioning the raw scan by
+    event_type would collapse parallelism to the type cardinality at
+    100 TB, the wrong trade."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp(F.col("day").cast("timestamp")))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.sum("s").over(w), 2).alias("rolling_sum_7d"),
+        F.round(F.sum("s").over(w) / F.sum("n").over(w), 6).alias("rolling_avg_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_7d"),
+    )
+
+
+@register(
     "monthly_from_daily_rollup",
     oracle="""
     WITH daily AS (

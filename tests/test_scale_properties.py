@@ -195,6 +195,16 @@ def test_plan_snapshots(spark):
         p = _plan(spark, name)
         assert "BatchEvalPython" not in p  # hash-sampling stays JVM-side
         assert "Exchange" not in p  # per-row curation ops must not shuffle
+    p = _plan(spark, "window_range_rolling_7d")
+    assert "RangeFrame" in p  # a true time-RANGE frame, not ROWS
+    # exactly two shuffles: raw→daily agg, then the tiny daily→window
+    # re-partition; no third exchange may creep in
+    assert p.count("ENSURE_REQUIREMENTS") == 2  # one per physical shuffle
+    p = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in p  # per-doc top-k pruned before the window
+    # tf is cached (the inverted index): the scan→explode→shuffle subtree
+    # must be evaluated once, with df/join branches reading the cache
+    assert "InMemoryTableScan" in p
 
 
 def test_approx_sketches_within_tolerance(spark):
