@@ -386,3 +386,168 @@ def sample_balanced_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BALANCED_N)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# --- DSIR-style importance scoring --------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by the log-likelihood ratio of a target vs. raw unigram model
+# over HASHED n-gram features — the standard trick that keeps the feature
+# space a fixed B buckets regardless of vocabulary size.
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_TARGET_LANG = "en"  # the "target distribution" slice
+_DSIR_SEED = "dsir-v1"
+
+_DSIR_BUCKET = f"{X.token_hash_sql('term', seed=_DSIR_SEED)} % {_DSIR_B}"
+
+
+@register(
+    "dsir_importance_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({X.tokens_sql('text')}) AS term
+      FROM documents
+    ),
+    b AS (SELECT doc_id, lang, {_DSIR_BUCKET} AS bucket FROM tok),
+    raw AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, count(*) AS c_tgt FROM b
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+    w AS (
+      SELECT raw.bucket,
+             ln((COALESCE(tgt.c_tgt, 0) + 1.0)
+                / (sum(COALESCE(tgt.c_tgt, 0)) OVER () + {_DSIR_B}))
+             - ln((raw.c_raw + 1.0)
+                  / (sum(raw.c_raw) OVER () + {_DSIR_B})) AS weight
+      FROM raw LEFT JOIN tgt USING (bucket)
+    )
+    SELECT b.doc_id, any_value(b.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(sum(w.weight), 6) AS dsir_score
+    FROM b JOIN w USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score per document: sum over tokens of
+    ln(p_target(bucket)/p_raw(bucket)) with add-1 smoothing, where the
+    bucket is a {_DSIR_B}-way md5 feature hash (engine-reproducible, no
+    murmur divergence) and the target slice is lang='{_DSIR_TARGET_LANG}'.
+
+    Scale shape: the raw/target bucket counts are ONE pass over the
+    exploded tokens (two map-side-combining aggregates off a shared
+    scan), collapsing 100 TB of text into a ≤{_DSIR_B}-row weight table;
+    the totals for smoothing come from an unpartitioned window over that
+    tiny table — never a driver collect. The weight table then broadcasts
+    into the per-doc scoring join, so the second corpus pass shuffles
+    only on doc_id for the final sum. Hot buckets (stopword-grade terms)
+    are just big counters, not reducer hot spots."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", F.explode(X.tokens("text")).alias("term")
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        (X.token_hash(F.col("term"), seed=_DSIR_SEED) % _DSIR_B).alias("bucket"),
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        b.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    all_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    weights = (
+        raw.join(tgt, "bucket", "left")
+        .withColumn("c_tgt", F.coalesce("c_tgt", F.lit(0)))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("c_tgt") + 1.0)
+                    / (F.sum("c_tgt").over(all_w) + _DSIR_B)
+                )
+                - F.log(
+                    (F.col("c_raw") + 1.0)
+                    / (F.sum("c_raw").over(all_w) + _DSIR_B)
+                )
+            ).alias("weight"),
+        )
+    )
+    return (
+        b.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("weight"), 6).alias("dsir_score"),
+        )
+    )
+
+
+# --- model-based quality scoring ----------------------------------------------
+# The fastText-classifier stage of production curation pipelines
+# (CCNet/FineWeb style), expressed as what it computationally is: a
+# linear model over engineered features. Weights are fixed literals, so
+# the whole scorer is a codegen'd projection — zero shuffle, zero Python.
+
+_QLR = {  # (intercept, w_log_tokens, w_stopword, w_punct, w_chars_per_tok)
+    "b0": -2.0,
+    "w_logtok": 0.8,
+    "w_stop": 3.0,
+    "w_punct": -4.0,
+    "w_cpt": -0.05,
+}
+
+
+@register(
+    "quality_logistic_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             len({X.tokens_sql('text')}) AS n_tokens,
+             {X.stopword_ratio_sql('text')} AS stop_r,
+             {X.punct_ratio_sql('text')} AS punct_r,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, source,
+             {_QLR['b0']} + {_QLR['w_logtok']} * ln(1 + n_tokens)
+               + {_QLR['w_stop']} * stop_r
+               + {_QLR['w_punct']} * punct_r
+               + {_QLR['w_cpt']} * (n_chars * 1.0 / greatest(n_tokens, 1)) AS z
+      FROM f
+    )
+    SELECT doc_id, source,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+           (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
+    FROM z
+    """,
+)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score: logistic regression over engineered
+    text features (log token count, stopword ratio, punctuation ratio,
+    chars-per-token), the computational skeleton of the fastText /
+    CCNet quality-classifier stage. With weights as literals the entire
+    scorer is ONE codegen'd projection fused into the parquet scan —
+    the 100 TB cost is exactly one streaming pass, no shuffle, no UDF.
+    Swapping in real trained weights changes constants, not the plan."""
+    d = _docs(spark, sf_dir)
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

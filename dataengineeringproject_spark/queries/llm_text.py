@@ -635,3 +635,102 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "tfidf", F.col("rnk").cast("long"))
     )
+
+
+# --- C4-style span-level dedup ------------------------------------------------
+# The C4/RefinedWeb pipelines dedup sub-document spans across the whole
+# corpus (C4: exact 3-sentence spans; here the unit is a fixed 20-token
+# chunk since the synthetic docs have no sentence boundaries), keeping
+# only the FIRST occurrence corpus-wide and reassembling documents from
+# their surviving spans.
+
+_CHUNK_TOKENS = 20
+# pos never exceeds ceil(max_tokens/chunk) << 1e5, so (doc_id, pos) packs
+# losslessly into one BIGINT — min() over it is the first occurrence.
+_POS_PACK = 100_000
+
+
+@register(
+    "dedup_chunks_c4",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(ceil(len(t) / {_CHUNK_TOKENS}.0) AS BIGINT) - 1)) AS pos,
+             t
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, pos,
+             array_to_string(
+               t[(pos*{_CHUNK_TOKENS}+1):(pos*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})],
+               ' ') AS chunk
+      FROM spans
+    ),
+    winners AS (
+      SELECT chunk, min(doc_id * {_POS_PACK} + pos) AS k
+      FROM chunks GROUP BY chunk
+    ),
+    kept AS (
+      SELECT k // {_POS_PACK} AS doc_id, k % {_POS_PACK} AS pos, chunk
+      FROM winners
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+           string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_chunks_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup: split every document into fixed
+    {_CHUNK_TOKENS}-token chunks, keep only the FIRST occurrence of each
+    distinct chunk (ordered by (doc_id, position)), and reassemble each
+    document from its surviving chunks.
+
+    Scale shape — the part that matters at 100 TB: the first-occurrence
+    winner per chunk is min() over a packed (doc_id, pos) BIGINT, an
+    associative aggregate that partial-combines map-side, and the
+    winner rows ARE the kept set — no second pass over the corpus and
+    no join-back of winners to occurrences (the window-function version
+    of "first occurrence" would sort every replica of a hot chunk on
+    one reducer; a viral boilerplate chunk with 10^6 copies hits a
+    single min() combiner here instead). Two shuffles total: chunk-hash
+    grain (≈ tokens/{_CHUNK_TOKENS} rows), then doc grain for
+    reassembly. Chunking itself is codegen'd HOF (sequence → slice →
+    array_join), no explode of individual tokens."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK_TOKENS))).cast("int")
+    # sequence(0, -1) would be DESCENDING in Spark (empty in DuckDB):
+    # guard the empty-document case explicitly.
+    chunk_arr = F.when(
+        n_chunks <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS), " "
+            ),
+        )
+    )
+    chunks = d.select("doc_id", F.posexplode(chunk_arr).alias("pos", "chunk"))
+    winners = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * _POS_PACK + F.col("pos")).alias("k")
+    )
+    kept = winners.select(
+        F.floor(F.col("k") / _POS_PACK).cast("long").alias("doc_id"),
+        (F.col("k") % _POS_PACK).alias("pos"),
+        "chunk",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

@@ -205,6 +205,19 @@ def test_plan_snapshots(spark):
     # tf is cached (the inverted index): the scan→explode→shuffle subtree
     # must be evaluated once, with df/join branches reading the cache
     assert "InMemoryTableScan" in p
+    p = _plan(spark, "dedup_chunks_c4")
+    # first-occurrence = min() over packed (doc_id,pos): an aggregate
+    # that partial-combines — NOT a window sort over every occurrence
+    assert "Window" not in p
+    assert "partial_min" in p  # map-side combine before the chunk shuffle
+    assert p.count("ENSURE_REQUIREMENTS") == 2  # chunk grain + doc grain
+    p = _plan(spark, "dsir_importance_score")
+    # the ≤1024-row weight table must broadcast into the scoring join —
+    # the corpus-side explode must never shuffle on bucket
+    assert "BroadcastHashJoin" in p
+    p = _plan(spark, "quality_logistic_score")
+    assert "Exchange" not in p  # scorer fuses into the scan: zero shuffle
+    assert "BatchEvalPython" not in p
 
 
 def test_approx_sketches_within_tolerance(spark):
