@@ -521,3 +521,143 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+# --- SCD2 dimension build -----------------------------------------------------
+
+@register(
+    "scd2_customer_priority",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_p
+      FROM orders
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             sum(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o
+    ),
+    versions AS (
+      SELECT o_custkey AS c_custkey, run_id, o_orderpriority AS priority,
+             min(o_orderdate) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, priority,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(lead(valid_from) OVER (
+             PARTITION BY c_custkey ORDER BY run_id), '%Y-%m-%d') AS valid_to,
+           (lead(valid_from) OVER (
+             PARTITION BY c_custkey ORDER BY run_id) IS NULL) AS is_current,
+           n_orders
+    FROM versions
+    """,
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each customer's order-
+    priority timeline into validity intervals [valid_from, valid_to)
+    with an is_current flag — the warehouse pattern for turning an
+    event/transaction stream into a slowly-changing dimension, via
+    gaps-and-islands (lag-detect change points, running-sum run ids,
+    one aggregate per run).
+
+    Scale shape: every window partitions by c_custkey, so the whole
+    build is ONE shuffle on the dimension key followed by in-partition
+    sorts; the run aggregate partial-combines. Per-customer history is
+    bounded (thousands of rows, not billions), so partition skew is
+    capped by design — the pathological key for this op is a bot
+    account, which AQE skew-split absorbs."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        F.when(
+            F.lag("o_orderpriority").over(w_seq).isNull()
+            | (F.lag("o_orderpriority").over(w_seq) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0)
+    )
+    runs = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum(chg)
+        .over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("run_id"),
+    )
+    versions = runs.groupBy(
+        F.col("o_custkey").alias("c_custkey"),
+        "run_id",
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.min("o_orderdate").alias("vf"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_ver = Window.partitionBy("c_custkey").orderBy("run_id")
+    nxt = F.lead("vf").over(w_ver)
+    return versions.select(
+        "c_custkey",
+        "priority",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_orders",
+    )
+
+
+# --- cohort retention ---------------------------------------------------------
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1
+    )
+    SELECT strftime(cohort.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', cohort.cohort_day, activity.day) AS BIGINT)
+             AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each subsequent active day — the product-analytics
+    staple. Join-free by design: one aggregate per user collects the
+    distinct active-day set (collect_set partial-combines map-side and
+    dedups as it goes), the cohort day is array_min over that in-row
+    set, and exploding (cohort, day) pairs feeds the tiny final
+    (cohort, offset) count. Exactly TWO shuffles — corpus grain on
+    user_id, then the triangle grain — where the textbook
+    activity⋈cohort self-join costs three plus a join whose build side
+    (one row per user) stops being broadcastable around 10^8 users.
+    Per-user state is bounded by the calendar horizon (≤ a few thousand
+    distinct days), so collect_set cannot blow up on any key."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    pairs = per_user.select(
+        F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+    )
+    return pairs.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))

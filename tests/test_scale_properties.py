@@ -218,6 +218,18 @@ def test_plan_snapshots(spark):
     p = _plan(spark, "quality_logistic_score")
     assert "Exchange" not in p  # scorer fuses into the scan: zero shuffle
     assert "BatchEvalPython" not in p
+    p = _plan(spark, "scd2_customer_priority")
+    # the whole SCD2 build rides ONE shuffle: the run-id window, the
+    # per-run aggregate, and the validity lead() all reuse the custkey
+    # hash partitioning (subset-key partitioning satisfies them all)
+    assert p.count("ENSURE_REQUIREMENTS") == 1
+    p = _plan(spark, "cohort_retention")
+    # join-free triangle: user-grain collect_set + tiny final count —
+    # no self-join, no broadcast that dies at 10^8 users
+    assert "Join" not in p
+    assert p.count("ENSURE_REQUIREMENTS") == 2
+    p = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in p  # per-row HOF math fuses into the scan
 
 
 def test_approx_sketches_within_tolerance(spark):

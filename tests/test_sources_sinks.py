@@ -257,3 +257,35 @@ def test_kafka_end_to_end_when_broker_available(spark, tmp_path):
     got = spark.table("kafka_e2e")
     assert got.count() == events.count()
     assert sorted(got.columns) == sorted(events.columns)
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    """The compaction maintenance pass: 64 tiny files in, few files
+    out, bytes and rows bit-identical (checksummed, not just counted)."""
+    from dataengineeringproject_spark.sources.sinks import compact_parquet_dir
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(10_000).withColumn("v", F.md5(F.col("id").cast("string")))
+    df.repartition(64).write.parquet(src)
+    n_in = len(list(Path(src).glob("*.parquet")))
+    assert n_in == 64  # genuinely fragmented input
+
+    n_out = compact_parquet_dir(spark, src, dest, target_mb=128)
+    assert n_out < n_in and n_out >= 1
+    assert len(list(Path(dest).glob("*.parquet"))) == n_out
+
+    def checksum(path):
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.crc32(F.concat_ws("|", "id", "v"))).alias("crc"),
+            )
+            .first()
+        )
+    assert checksum(src) == checksum(dest)
+
+    # balance=True (shuffled) path: same contents, explicit file count
+    dest2 = str(tmp_path / "compact2")
+    n_out2 = compact_parquet_dir(spark, src, dest2, target_mb=128, balance=True)
+    assert n_out2 >= 1 and checksum(dest2) == checksum(src)
