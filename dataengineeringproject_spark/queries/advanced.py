@@ -661,3 +661,82 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --- MERGE INTO (SCD1 upsert) -------------------------------------------------
+
+_MERGE_CUTOFF = "2001-01-01"
+
+
+@register(
+    "merge_scd1_upsert",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT o_custkey AS c_custkey,
+             max(struct_pack(d := o_orderdate, k := o_orderkey,
+                             p := o_orderpriority)) AS m
+      FROM orders WHERE o_orderdate < DATE '{_MERGE_CUTOFF}'
+      GROUP BY 1
+    ),
+    upd AS (
+      SELECT o_custkey AS c_custkey,
+             max(struct_pack(d := o_orderdate, k := o_orderkey,
+                             p := o_orderpriority)) AS m
+      FROM orders WHERE o_orderdate >= DATE '{_MERGE_CUTOFF}'
+      GROUP BY 1
+    )
+    SELECT COALESCE(upd.c_custkey, tgt.c_custkey) AS c_custkey,
+           COALESCE(upd.m.p, tgt.m.p) AS priority,
+           strftime(COALESCE(upd.m.d, tgt.m.d), '%Y-%m-%d') AS last_orderdate,
+           CASE WHEN upd.c_custkey IS NULL THEN 'KEEP'
+                WHEN tgt.c_custkey IS NULL THEN 'INSERT'
+                ELSE 'UPDATE' END AS op
+    FROM tgt FULL OUTER JOIN upd USING (c_custkey)
+    """,
+)
+def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / SCD Type-1 upsert — the Delta/Iceberg core op,
+    expressed as what the engines themselves compile it to: a full
+    outer join of target and change-batch on the merge key, with
+    matched rows taking the update, unmatched-source rows inserting,
+    and unmatched-target rows carried through (op column = the merge
+    action audit). Target = each customer's latest order priority
+    before {_MERGE_CUTOFF}; updates = the same from on/after it (the
+    CDC batch). Latest-row-per-key is max() over a (date, key, value)
+    struct — lexicographic, partial-combining, no window sort.
+
+    Scale shape: both sides aggregate to one row per key map-side,
+    then ONE co-partitioned shuffle serves both aggregates and the
+    full-outer join (same key); a real table-format MERGE adds file
+    pruning on top, the join shape is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_MERGE_CUTOFF).cast("date")
+
+    def latest(side):
+        return (
+            side.groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("o_orderdate").alias("d"),
+                        F.col("o_orderkey").alias("k"),
+                        F.col("o_orderpriority").alias("p"),
+                    )
+                ).alias("m")
+            )
+        )
+
+    tgt = latest(o.filter(F.col("o_orderdate") < cutoff)).withColumnRenamed("m", "tm")
+    upd = latest(o.filter(F.col("o_orderdate") >= cutoff)).withColumnRenamed("m", "um")
+    merged = tgt.join(upd, "c_custkey", "full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce(F.col("um.p"), F.col("tm.p")).alias("priority"),
+        F.date_format(
+            F.coalesce(F.col("um.d"), F.col("tm.d")), "yyyy-MM-dd"
+        ).alias("last_orderdate"),
+        F.when(F.col("um").isNull(), F.lit("KEEP"))
+        .when(F.col("tm").isNull(), F.lit("INSERT"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+    )

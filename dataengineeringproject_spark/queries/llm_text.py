@@ -734,3 +734,67 @@ def dedup_chunks_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("dedup_text"),
     )
+
+
+# --- incremental dedup (new batch vs existing corpus) -------------------------
+# The production shape: a daily crawl lands and must be deduped against
+# everything already accepted — never by re-deduping the whole corpus.
+
+_INCR_SEED = "incr-split-v1"
+_INCR_EXISTING_PCT = 90  # hash buckets 0-89 = existing corpus, 90-99 = new batch
+
+_INCR_BUCKET = f"{X.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=_INCR_SEED)} % 100"
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, {X.md5_fingerprint_sql('text')} AS fingerprint,
+             {_INCR_BUCKET} AS bucket
+      FROM documents
+    ),
+    existing AS (SELECT * FROM fp WHERE bucket < {_INCR_EXISTING_PCT}),
+    batch AS (SELECT * FROM fp WHERE bucket >= {_INCR_EXISTING_PCT}),
+    vs_corpus AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM existing e WHERE e.fingerprint = b.fingerprint)
+    ),
+    within AS (
+      SELECT fingerprint, min(doc_id) AS doc_id FROM vs_corpus GROUP BY 1
+    )
+    SELECT v.doc_id, v.source, v.fingerprint
+    FROM vs_corpus v JOIN within w
+      ON v.fingerprint = w.fingerprint AND v.doc_id = w.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a newly-landed batch (a deterministic 10%
+    hash slice standing in for today's crawl) is deduped against the
+    already-accepted corpus by content fingerprint — anti-join — then
+    within itself (min-doc_id representative per fingerprint). This is
+    THE steady-state dedup shape at 100 TB: the corpus is never
+    re-deduped; each increment pays one fingerprint-keyed shuffle of
+    the BATCH plus a semi-scan of the corpus fingerprint index. In
+    production the corpus side is a bucketed-by-fingerprint table, so
+    the anti-join is co-located and touches only matching buckets; the
+    within-batch step is a partial-combining min, not a window."""
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id",
+        "source",
+        X.md5_fingerprint("text").alias("fingerprint"),
+        (X.token_hash(F.col("doc_id").cast("string"), seed=_INCR_SEED) % 100).alias(
+            "bucket"
+        ),
+    )
+    existing = fp.filter(F.col("bucket") < _INCR_EXISTING_PCT)
+    batch = fp.filter(F.col("bucket") >= _INCR_EXISTING_PCT)
+    vs_corpus = batch.join(
+        existing.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    within = vs_corpus.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return vs_corpus.join(within, ["fingerprint", "doc_id"]).select(
+        "doc_id", "source", "fingerprint"
+    )

@@ -60,7 +60,9 @@ def _pinned_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
         spark.conf.set(key, prev)
 
 
-def _staged_events(spark: SparkSession, sf_dir: str, *, dups: bool = False) -> str:
+def _staged_events(
+    spark: SparkSession, sf_dir: str, *, dups: bool = False, sentinel: bool = False
+) -> str:
     """Stage events into a parquet dir of _N_FILES chronological slices,
     written oldest-first (the file-drop landing zone a stream would
     watch; FileStreamSource picks files up oldest-modTime-first, so
@@ -72,9 +74,21 @@ def _staged_events(spark: SparkSession, sf_dir: str, *, dups: bool = False) -> s
     delivery shape (each record redelivered one micro-batch later),
     driving dropDuplicatesWithinWatermark's cross-batch state.
 
-    The staged dir is cached per (sf_dir, dups) so the whole streaming
-    query family stages at most twice per process."""
-    key = (sf_dir, dups)
+    With sentinel=True two far-future marker slices (ts = max+40/+80
+    days) are appended: a stream that needs to EMIT on watermark
+    passage (outer-join null emission, final session close) can only
+    flush its last rows if something later arrives to push the
+    watermark — the punctuation/heartbeat pattern. The markers carry
+    REAL event types ('purchase'/'click') with negative event_id and
+    user_id, because punctuation must be in-band: a marker with a
+    made-up type would be row-group-pruned by the consumer's pushed
+    event-type filter at the parquet scan and never reach the
+    watermark operator at all. Consumers exclude event_id < 0 at the
+    pipeline edge.
+
+    The staged dir is cached per (sf_dir, dups, sentinel) so the whole
+    streaming query family stages at most a few times per process."""
+    key = (sf_dir, dups, sentinel)
     if key in _STAGED:
         return _STAGED[key]
     ensure_package_on_workers(spark)
@@ -92,6 +106,38 @@ def _staged_events(spark: SparkSession, sf_dir: str, *, dups: bool = False) -> s
         sl.coalesce(1).write.mode("append").parquet(d)
         if dups:
             sl.coalesce(1).write.mode("append").parquet(d)  # redelivery
+    if sentinel:
+        # TWO marker slices: the watermark a batch computes only takes
+        # effect in a LATER batch, so sentinel slice #1 raises it and
+        # the batch processing slice #2 evicts/emits under it (no
+        # reliance on a trailing no-data micro-batch firing). One row
+        # per consumed event type so BOTH join sides' event-time moves.
+        for n, extra_days in ((1, 40), (3, 80)):
+            mx = events.agg(F.max("ts").alias("ts"))
+            marker = mx.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(-n).cast("long").alias("event_id"),
+                            F.lit("purchase").alias("event_type"),
+                        ),
+                        F.struct(
+                            F.lit(-n - 1).cast("long").alias("event_id"),
+                            F.lit("click").alias("event_type"),
+                        ),
+                    )
+                ).alias("m"),
+                (F.col("ts") + F.expr(f"INTERVAL {extra_days} DAYS")).alias("ts"),
+            ).select(
+                F.col("m.event_id").alias("event_id"),
+                "ts",
+                F.lit(-1).cast("long").alias("user_id"),
+                F.col("m.event_type").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            marker = marker.select(*[f.name for f in events.schema.fields])
+            marker.coalesce(1).write.mode("append").parquet(d)
     _STAGED[key] = d
     return d
 
@@ -356,3 +402,73 @@ def streaming_static_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "day", F.round("wsum", 6).alias("weighted_value"), "n_events"
     )
+
+
+@register(
+    "streaming_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join — the correctness-subtle variant:
+    a purchase with no same-user click in the preceding hour must still
+    emit (with nulls), and the engine may only do so once the watermark
+    proves no matching click can arrive. That makes end-of-stream the
+    hard part: the last day of purchases would sit in state forever on
+    a quiet source, so the staged landing zone appends two far-future
+    IN-BAND punctuation slices (real event types, negative ids —
+    in-band because an out-of-band marker type gets row-group-pruned by
+    the pushed event-type filter at the parquet scan and never reaches
+    the watermark operator; and two slices because a batch's watermark
+    only takes effect in a later batch). The markers advance both
+    sides' event time, flush every pending null-emission, and are
+    excluded at the pipeline edge (purchase_id >= 0). State on both
+    sides stays bounded by the range condition exactly as in the inner
+    variant.
+    With the flush guaranteed, the completed run equals the batch LEFT
+    JOIN — full oracle hash check, no rows-only exemption."""
+    d = _staged_events(spark, sf_dir, sentinel=True)
+    name = f"outer_join_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        # ONE source, self-joined. Two independent readStream instances
+        # over the same directory can disagree on per-batch file sets,
+        # and the global watermark is the MIN across inputs — one lagging
+        # source then pins the watermark and the outer join never flushes
+        # its null-emissions. A self-join shares the source and the
+        # watermark node, so event time is consistent by construction.
+        src = read_events_stream(spark, d, max_files_per_trigger=1).withWatermark(
+            "ts", "1 day"
+        )
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "leftOuter",
+        )
+        out = joined.filter(F.col("purchase_id") >= 0).select(
+            "purchase_id",
+            "click_id",
+            (F.col("p_ts").cast("long") - F.col("c_ts").cast("long"))
+            .cast("long")
+            .alias("lag_s"),
+        )
+        run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

@@ -230,6 +230,12 @@ def test_plan_snapshots(spark):
     assert p.count("ENSURE_REQUIREMENTS") == 2
     p = _plan(spark, "embedding_quantize_int8")
     assert "Exchange" not in p  # per-row HOF math fuses into the scan
+    p = _plan(spark, "merge_scd1_upsert")
+    # MERGE = argmax-aggregate each side + full-outer join, all on the
+    # merge key: exactly one exchange per side, reused by the join —
+    # no window sort, no third shuffle
+    assert p.count("ENSURE_REQUIREMENTS") == 2
+    assert "FullOuter" in p and "Window" not in p
 
 
 def test_approx_sketches_within_tolerance(spark):
