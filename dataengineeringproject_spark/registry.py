@@ -50,11 +50,28 @@ _DRIVER_VERIFIED_R01 = {
 }
 
 
+# Queries added in round 2 (no r01 row could exist). They queue AFTER
+# the 35 queries that existed in r01 but were never driver-checked —
+# those are the verdict's explicitly-flagged verification gap, so they
+# must land inside the driver's ~50-query budget first.
+_NEW_R02 = {
+    "streaming_band_join", "dedup_corpus_materialize", "pii_redact",
+    "sequence_packing", "asof_join_cogroup", "streaming_static_join_daily",
+    "tfidf_top_terms", "window_range_rolling_7d", "grouping_sets_agg",
+    "histogram_value_buckets", "sample_balanced_per_source", "dedup_chunks_c4",
+    "dsir_importance_score", "quality_logistic_score", "scd2_customer_priority",
+    "cohort_retention", "embedding_quantize_int8", "streaming_outer_join",
+    "merge_scd1_upsert", "dedup_incremental_batch",
+}
+
+
 def _sweep_order(names: list[str]) -> list[str]:
-    """Never-driver-checked queries first, then the r01-green ones."""
-    fresh = [n for n in names if n not in _DRIVER_VERIFIED_R01]
+    """r01-era never-checked queries first, then round-2 additions, then
+    the r01-green ones; relative order preserved within each tier."""
+    gap = [n for n in names if n not in _DRIVER_VERIFIED_R01 and n not in _NEW_R02]
+    new = [n for n in names if n in _NEW_R02]
     seen = [n for n in names if n in _DRIVER_VERIFIED_R01]
-    return fresh + seen
+    return gap + new + seen
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
