@@ -551,3 +551,67 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+# --- weighted sampling (Efraimidis–Spirakis) ----------------------------------
+
+_WS_K = 40
+_WS_SEED = "wsample-v1"
+_WS_U = (
+    f"(({X.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=_WS_SEED)} + 1) "
+    f"/ 1152921504606846977.0)"
+)  # 60-bit hash -> uniform (0, 1]; denominator = 2^60 + 1
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH pr AS (
+      SELECT doc_id, source, n_chars,
+             exp(ln({_WS_U}) / n_chars) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM pr
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(priority, 6) AS priority, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_WS_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    A-ES: key each item with u^(1/w) (u uniform, w = n_chars — longer
+    documents proportionally likelier) and keep the global top-{_WS_K}.
+    The uniform comes from the id hash, not rand(), so the draw is
+    reproducible across engines, runs, and partitionings — the property
+    that makes a sample auditable. Physically a global top-k: per-
+    partition TakeOrdered keeps {_WS_K} rows, so the full corpus never
+    sorts and the shuffle moves k×partitions rows — the same shape a
+    100 TB weighted draw needs. (Adjacent order-statistic gaps are
+    ~1/n, so the 1-ulp libm differences between engines cannot flip
+    membership at any realistic corpus size.)"""
+    d = _docs(spark, sf_dir)
+    u = (X.token_hash(F.col("doc_id").cast("string"), seed=_WS_SEED) + 1) / F.lit(
+        1152921504606846977.0
+    )
+    pr = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.exp(F.log(u) / F.col("n_chars")).alias("priority"),
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        pr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round("priority", 6).alias("priority"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -61,7 +61,7 @@ _NEW_R02 = {
     "histogram_value_buckets", "sample_balanced_per_source", "dedup_chunks_c4",
     "dsir_importance_score", "quality_logistic_score", "scd2_customer_priority",
     "cohort_retention", "embedding_quantize_int8", "streaming_outer_join",
-    "merge_scd1_upsert", "dedup_incremental_batch",
+    "merge_scd1_upsert", "dedup_incremental_batch", "sample_weighted_priority",
 }
 
 

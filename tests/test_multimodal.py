@@ -201,8 +201,60 @@ def test_real_decode_through_spark_operator(spark):
     assert (aud[4].duration_s, aud[4].sample_rate, aud[4].rms) == (None, None, None)
 
 
-def test_video_real_path_still_stubbed(spark, media):
-    from dataengineeringproject_spark.multimodal import sample_video_frames
+def _animated_gif(n_frames: int, w: int = 2, h: int = 2) -> bytes:
+    """Hand-construct a minimal animated GIF89a: header + logical screen
+    descriptor (no global color table), then per frame a graphic-control
+    extension and an image descriptor with a 2-entry local color table
+    and one opaque LZW data sub-block, then the trailer."""
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0)
+    for i in range(n_frames):
+        # graphic control extension (introducer, label, block size 4,
+        # flags, delay, transparent index, terminator)
+        out += bytes([0x21, 0xF9, 4, 0, 10, 0, 0, 0])
+        # image descriptor: separator, left, top, w, h, flags(LCT, 2 entries)
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, 0x80)
+        out += bytes([i, i, i, 255 - i, 255 - i, 255 - i])  # 2-entry LCT
+        out += bytes([2])  # LZW minimum code size
+        out += bytes([3, 0x44, 0x55 + i, 0x66])  # one data sub-block
+        out += bytes([0])  # block terminator
+    out += bytes([0x3B])
+    return bytes(out)
 
-    with pytest.raises(NotImplementedError, match="ffmpeg-class"):
-        sample_video_frames(media, fake_decode=False)
+
+def test_video_real_gif_demux(spark):
+    """The real video path: animated-GIF frame demux via the stdlib
+    structure walk — exact frame count, per-frame segment digests, and
+    non-GIF content dropping out with no rows (not an error)."""
+    from dataengineeringproject_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _gif_frames,
+        sample_video_frames,
+    )
+
+    gif3 = _animated_gif(3)
+    gif7 = _animated_gif(7)
+    # pure-python demux agrees with the construction
+    segs = _gif_frames(gif3)
+    assert segs is not None and len(segs) == 3
+    assert all(s[0] == 0x2C for s in segs)
+    assert _gif_frames(b"\x00\x00ftyp not a gif") is None
+
+    rows = [
+        (1, "video", gif3, None),
+        (2, "video", gif7, None),
+        (3, "video", b"\x00\x00ftyp fake mp4", None),  # undecodable: no rows
+        (4, "image", gif3, None),  # wrong media_type: filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    out = sample_video_frames(media, every_n=2, fake_decode=False).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {1, 2}
+    assert sorted(r.frame_idx for r in by_id[1]) == [0, 2]
+    assert sorted(r.frame_idx for r in by_id[2]) == [0, 2, 4, 6]
+    # digests are of the exact frame segments
+    assert by_id[1][0].frame_digest in {
+        hashlib.md5(s).hexdigest() for s in segs
+    }

@@ -230,6 +230,10 @@ def test_plan_snapshots(spark):
     assert p.count("ENSURE_REQUIREMENTS") == 2
     p = _plan(spark, "embedding_quantize_int8")
     assert "Exchange" not in p  # per-row HOF math fuses into the scan
+    p = _plan(spark, "sample_weighted_priority")
+    # global weighted top-k compiles to TakeOrderedAndProject: each
+    # partition keeps k rows, no full sort, no exchange
+    assert "TakeOrderedAndProject" in p and "Exchange" not in p
     p = _plan(spark, "merge_scd1_upsert")
     # MERGE = argmax-aggregate each side + full-outer join, all on the
     # merge key: exactly one exchange per side, reused by the join —
