@@ -16,8 +16,10 @@ query.
 
 from __future__ import annotations
 
+import atexit
 import contextlib
 import itertools
+import shutil
 import tempfile
 from collections.abc import Iterator
 
@@ -40,7 +42,18 @@ _N_FILES = 3
 # process: the 4 streaming queries re-read the same slices instead of
 # re-writing them per query (a correctness-sweep cost saver; the dirs
 # are read-only once written).
-_STAGED: dict[tuple[str, bool], str] = {}
+_STAGED: dict[tuple[str, bool, bool], str] = {}
+
+
+@atexit.register
+def _cleanup_staged() -> None:
+    """Remove the staged landing-zone dirs at interpreter exit so
+    repeated driver sweeps don't accumulate /tmp copies of events
+    (VERDICT r2 item 7); a dir at sf0.1 is ~6 MB, but a long-lived
+    host running many sweeps shouldn't leak them."""
+    for d in _STAGED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED.clear()
 
 
 @contextlib.contextmanager

@@ -50,28 +50,54 @@ _DRIVER_VERIFIED_R01 = {
 }
 
 
-# Queries added in round 2 (no r01 row could exist). They queue AFTER
-# the 35 queries that existed in r01 but were never driver-checked —
-# those are the verdict's explicitly-flagged verification gap, so they
-# must land inside the driver's ~50-query budget first.
-_NEW_R02 = {
-    "streaming_band_join", "dedup_corpus_materialize", "pii_redact",
-    "sequence_packing", "asof_join_cogroup", "streaming_static_join_daily",
-    "tfidf_top_terms", "window_range_rolling_7d", "grouping_sets_agg",
-    "histogram_value_buckets", "sample_balanced_per_source", "dedup_chunks_c4",
-    "dsir_importance_score", "quality_logistic_score", "scd2_customer_priority",
-    "cohort_retention", "embedding_quantize_int8", "streaming_outer_join",
-    "merge_scd1_upsert", "dedup_incremental_batch", "sample_weighted_priority",
+# Green rows in CORRECTNESS_r02.json (46 of the 50 swept in round 2).
+_DRIVER_VERIFIED_R02 = {
+    "semi_anti_join", "set_ops", "rollup_agg", "cube_agg",
+    "window_running_sum", "order_limit", "q6_forecast_revenue",
+    "parts_above_brand_avg", "nation_wealth_full_outer", "q14_promo_revenue",
+    "q18_large_orders", "q4_order_priority", "q7_volume_shipping",
+    "q2_min_acctbal_supplier", "sql_q10_returned_items", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_priority_shipping",
+    "q13_customer_distribution", "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_promo_suppliers", "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "sliding_window_agg", "session_window_agg", "gap_fill_daily_locf",
+    "monthly_from_daily_rollup", "asof_join_cogroup",
+    "histogram_value_buckets", "scd2_customer_priority", "cohort_retention",
+    "merge_scd1_upsert", "sequence_packing", "sample_balanced_per_source",
+    "dsir_importance_score", "quality_logistic_score",
+    "sample_weighted_priority", "dedup_corpus_materialize", "pii_redact",
+    "tfidf_top_terms", "dedup_chunks_c4", "dedup_incremental_batch",
 }
+
+# Round-3 sweep head (VERDICT r2 "Next round" items 1-3), in order:
+# the 6 registered-in-r2-but-never-checked queries, the 4 r02 ERR rows
+# (TIMESTAMP_NTZ drift, fixed at the root in schemas.load_table this
+# round), and asof_join_purchase_click (r1-green, broken by the same
+# drift mid-r2, re-verify post-fix).
+_PRIORITY_R03 = [
+    "streaming_band_join", "streaming_outer_join",
+    "streaming_static_join_daily", "embedding_quantize_int8",
+    "grouping_sets_agg", "window_range_rolling_7d",
+    "streaming_daily_mode", "streaming_daily_means",
+    "streaming_dedup_daily_counts", "streaming_sliding_means",
+    "asof_join_purchase_click",
+]
+
+_DRIVER_VERIFIED = (
+    _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+) - set(_PRIORITY_R03)
 
 
 def _sweep_order(names: list[str]) -> list[str]:
-    """r01-era never-checked queries first, then round-2 additions, then
-    the r01-green ones; relative order preserved within each tier."""
-    gap = [n for n in names if n not in _DRIVER_VERIFIED_R01 and n not in _NEW_R02]
-    new = [n for n in names if n in _NEW_R02]
-    seen = [n for n in names if n in _DRIVER_VERIFIED_R01]
-    return gap + new + seen
+    """Priority (never-checked / erred / needs-reverify) queries first,
+    then queries with no green driver row yet (new this round), then the
+    long-verified ones; relative order preserved within each tier."""
+    prio = [n for n in _PRIORITY_R03 if n in names]
+    rest = [n for n in names if n not in prio]
+    unseen = [n for n in rest if n not in _DRIVER_VERIFIED]
+    seen = [n for n in rest if n in _DRIVER_VERIFIED]
+    return prio + unseen + seen
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -61,10 +61,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table. Parquet + explicit column use
     downstream gives Catalyst pushdown + pruning for free (§4).
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark lacks a type
-    for; with `spark.sql.legacy.parquet.nanosAsLong` it scans as a long
-    we convert to a microsecond TimestampType here (testdata is
-    generated at µs precision, so the division is exact).
+    `events.ts` has shipped in two physical layouts across testdata
+    generations, and this function normalizes BOTH to a session-TZ
+    `TimestampType` so downstream code sees one contract:
+
+    - TIMESTAMP(NANOS): Spark lacks a type for it; with
+      `spark.sql.legacy.parquet.nanosAsLong` it scans as a long we
+      convert to a microsecond TimestampType (testdata is generated at
+      µs precision, so the division is exact).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=0): scans as TIMESTAMP_NTZ,
+      which Spark refuses to cast to BIGINT and rejects in
+      `unix_micros`/watermarks. The session timezone is pinned UTC
+      just above, so `cast("timestamp")` reinterprets the same wall
+      clock as the same UTC instant — value-identical to the DuckDB
+      oracle's UTC-naive reading.
     """
     # Runtime-settable pins, needed even on sessions we didn't build
     # (the driver passes its own SparkSession into queries()): UTC so
@@ -85,12 +95,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer division: ns-since-epoch (~1.7e18) exceeds double's
-        # 53-bit mantissa, so `/ 1000` + cast would be off by ±1 µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: ns-since-epoch (~1.7e18) exceeds
+            # double's 53-bit mantissa, so `/ 1000` + cast would be
+            # off by ±1 µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
