@@ -740,3 +740,49 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("UPDATE"))
         .alias("op"),
     )
+
+
+@register(
+    "unpivot_daily_metrics",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             ROUND(ROUND(sum(value), 2) / count(*), 6) AS avg_value,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT day, 'avg_value' AS metric, avg_value AS value FROM d
+    UNION ALL
+    SELECT day, 'n_events', n_events FROM d
+    UNION ALL
+    SELECT day, 'n_users', n_users FROM d
+    """,
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt/unpivot (pivot's inverse, completing the reshape pair): a
+    wide per-day metrics frame unpivoted to long (day, metric, value)
+    via the native DataFrame.unpivot — an Expand node, pure map-side
+    row generation with NO shuffle beyond the upstream aggregate; the
+    long layout is what metric stores and plotting layers ingest. Value
+    columns are cast to one type (double) first, the unpivot contract."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            # round(sum,2)/n, not round(avg,6): the boundary-stable avg
+            # formulation (summation-order float drift can put avg() a
+            # half-ulp either side of a 6-decimal rounding boundary)
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias(
+                "avg_value"
+            ),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.count_distinct("user_id").cast("double").alias("n_users"),
+        )
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=["avg_value", "n_events", "n_users"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -615,3 +615,227 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# --- Gopher-style quality rules (r3) -----------------------------------------
+# Token-grain subset of the Gopher/MassiveText repetition+quality rules
+# (Rae et al. 2021 §A1.1): word count bounds, mean word length bounds,
+# unique-token fraction, and most-frequent-2-gram fraction. Thresholds
+# are tuned so every rule is non-vacuous on the synthetic corpus (token
+# counts 10-99, mean word length 3.7-5.3, top-2-gram 0.01-0.17);
+# production values would be e.g. 50..100k tokens / 3..10 chars.
+_GQ_MIN_TOK, _GQ_MAX_TOK = 20, 80
+_GQ_MIN_MWL, _GQ_MAX_MWL = 4.0, 10.0
+_GQ_MIN_UNIQ = 0.35
+_GQ_MAX_TOP2 = 0.10
+
+_GQ_TOKS = X.tokens_sql("text")
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_GQ_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+             list_sum(list_transform(toks, t -> length(t))) AS chars,
+             len(list_distinct(toks)) AS nd
+      FROM b
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i + 1])))
+               AS gram
+      FROM b WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1),
+    r AS (
+      SELECT m.doc_id, n,
+             ROUND(chars * 1.0 / n, 6) AS mean_word_len,
+             ROUND(nd * 1.0 / n, 6) AS frac_unique_tokens,
+             ROUND(COALESCE(top_cnt, 1) * 1.0 / greatest(n - 1, 1), 6)
+               AS top_2gram_frac
+      FROM m LEFT JOIN t2 ON m.doc_id = t2.doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, mean_word_len,
+           frac_unique_tokens, top_2gram_frac,
+           (n BETWEEN {_GQ_MIN_TOK} AND {_GQ_MAX_TOK}
+            AND mean_word_len BETWEEN {_GQ_MIN_MWL} AND {_GQ_MAX_MWL}
+            AND frac_unique_tokens > {_GQ_MIN_UNIQ}
+            AND top_2gram_frac < {_GQ_MAX_TOP2}) AS keep
+    FROM r
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules per document: token count, mean word
+    length, unique-token fraction (all per-row array expressions, fused
+    into the scan), plus most-frequent-2-gram fraction. The top-2-gram
+    is computed RELATIONALLY — explode → count per (doc, gram) → max
+    per doc — not by an O(n²) per-row HOF scan: one shuffle keyed on
+    (doc_id, gram) with map-side combine, then a collapse to doc grain,
+    which is the shape that survives 10k-token documents at 100 TB.
+    The keep flag is derived from the ROUNDED metrics so no float-ulp
+    difference between engines can flip a threshold comparison."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens("text")
+    n = F.size(toks)
+    mwl = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / n
+    met = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("frac_unique_tokens"),
+    )
+    grams = d.filter(F.size(X.tokens("text")) >= 2).select(
+        "doc_id", F.explode(_all_ngrams("text", 2)).alias("gram")
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    out = met.join(top, "doc_id", "left").withColumn(
+        "top_2gram_frac",
+        F.round(
+            F.coalesce(F.col("top_cnt"), F.lit(1))
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+            6,
+        ),
+    )
+    keep = (
+        F.col("n_tokens").between(_GQ_MIN_TOK, _GQ_MAX_TOK)
+        & F.col("mean_word_len").between(_GQ_MIN_MWL, _GQ_MAX_MWL)
+        & (F.col("frac_unique_tokens") > _GQ_MIN_UNIQ)
+        & (F.col("top_2gram_frac") < _GQ_MAX_TOP2)
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "frac_unique_tokens",
+        "top_2gram_frac",
+        keep.alias("keep"),
+    )
+
+
+# --- sliding-window RAG chunking (r3) ----------------------------------------
+
+_CH_SIZE, _CH_STRIDE = 64, 48  # 16-token overlap
+
+
+@register(
+    "chunk_sliding_rag",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_GQ_TOKS} AS toks FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             1 + (greatest(len(toks) - {_CH_SIZE}, 0) + {_CH_STRIDE} - 1)
+                 // {_CH_STRIDE} AS nc
+      FROM b WHERE len(toks) > 0
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, nc - 1)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * {_CH_STRIDE} + 1,
+                               chunk_id * {_CH_STRIDE} + {_CH_SIZE}))
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_id * {_CH_STRIDE} + 1,
+                            chunk_id * {_CH_STRIDE} + {_CH_SIZE}), ' '))
+             AS chunk_fp
+    FROM e
+    """,
+)
+def chunk_sliding_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for retrieval corpora:
+    {_CH_SIZE}-token chunks at a {_CH_STRIDE}-token stride (16-token
+    overlap so no sentence is split away from its context), last chunk
+    ragged. Chunk count = 1 + ceil(max(n - size, 0) / stride) — covers
+    every token, no chunk fully contained in its neighbor. The chunk
+    list never leaves the row until posexplode, so memory is O(doc);
+    the op is a pure flatMap projection — NO shuffle at any scale, and
+    chunk ids are a function of (doc, position) so re-chunking an
+    appended corpus never renumbers old chunks."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens("text")
+    nc = 1 + F.floor(
+        (F.greatest(F.size(toks) - _CH_SIZE, F.lit(0)) + _CH_STRIDE - 1)
+        / _CH_STRIDE
+    )
+    base = d.select("doc_id", toks.alias("toks"), nc.alias("nc")).filter(
+        F.size("toks") > 0
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("nc") - 1),
+        lambda i: F.slice(F.col("toks"), i * _CH_STRIDE + 1, _CH_SIZE),
+    )
+    e = base.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_fp"),
+    )
+
+
+# --- temperature-scaled source mixture (r3) ----------------------------------
+
+_MIX_ALPHA = 0.7          # temperature exponent (multilingual-sampling style)
+_MIX_BUDGET = 1_000_000   # token budget the mixture is scaled to
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_GQ_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(pow(n_tokens, {_MIX_ALPHA})
+                 / sum(pow(n_tokens, {_MIX_ALPHA})) OVER (), 6) AS weight,
+           ROUND({_MIX_BUDGET} * pow(n_tokens, {_MIX_ALPHA})
+                 / sum(pow(n_tokens, {_MIX_ALPHA})) OVER () / n_tokens, 6)
+             AS epochs_at_budget
+    FROM s
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture: sampling weight ∝ n_tokens^α
+    (α = {_MIX_ALPHA}) normalized across sources — the standard recipe
+    for up-weighting scarce high-quality sources without letting any
+    one source dominate; epochs_at_budget says how many passes over
+    each source a {_MIX_BUDGET}-token budget implies (>1 ⇒ the source
+    repeats). One map-side-combined aggregate collapses the corpus to
+    |sources| rows; the unpartitioned normalization window runs on that
+    tiny frame, never on raw data."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(X.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    w_raw = F.pow(F.col("n_tokens"), F.lit(_MIX_ALPHA))
+    total = F.sum(w_raw).over(Window.partitionBy())
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w_raw / total, 6).alias("weight"),
+        F.round(
+            F.lit(_MIX_BUDGET) * w_raw / total / F.col("n_tokens"), 6
+        ).alias("epochs_at_budget"),
+    )

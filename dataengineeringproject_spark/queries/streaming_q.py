@@ -485,3 +485,78 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+_SES_GAP_MIN = 30
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {_SES_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM t
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows under Structured Streaming — the variable-length
+    window family's streaming member (batch twin: session_window_agg).
+    Sessions can MERGE in state as new events extend them, so Spark
+    forbids update-mode output here; append mode emits a session only
+    once the watermark passes its end, which makes end-of-stream the
+    hard part exactly as in streaming_outer_join: the staged landing
+    zone's two far-future in-band punctuation slices push the watermark
+    past every real session's end so the final sessions flush. Sentinel
+    rows (user_id < 0) form their own sessions and are excluded at the
+    pipeline edge. State per key is one (start, end, agg) triple,
+    bounded by the watermark horizon; the emitted log IS final (append
+    semantics), so the completed run equals the batch lag/cumsum-island
+    oracle row-for-row — full hash check, no rows-only exemption."""
+    d = _staged_events(spark, sf_dir, sentinel=True)
+    name = f"session_win_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        agg = (
+            src.withWatermark("ts", "1 day")
+            .groupBy(
+                F.session_window("ts", f"{_SES_GAP_MIN} minutes").alias("win"),
+                "user_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                "n_events",
+                "sum_value",
+            )
+        )
+        run_to_memory(agg, name, output_mode="append")
+    # Sentinel exclusion happens HERE, on the batch read of the memory
+    # sink — NOT inside the streaming plan: user_id is a grouping key,
+    # so a streaming-side filter(user_id >= 0) would be pushed through
+    # the aggregation to the file scan, dropping the punctuation rows
+    # before the watermark operator and stalling the final flush (the
+    # last day's sessions would never emit; found by batch-progress
+    # trace: sentinel batches read 0 rows with the filter in-plan).
+    return spark.table(name).filter(F.col("user_id") >= 0)
