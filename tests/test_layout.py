@@ -1,0 +1,212 @@
+"""Physical-layout capabilities: bucketed shuffle-free joins,
+partition pruning, row-group clustering, and the custom Python data
+source. These are plan-shape tests — the 100 TB story is IN the plan
+(an Exchange that isn't there, a partition that's never read), so the
+assertions read the executed plan, not just the row counts.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.sources import layout, pyds
+
+from conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    """Scoped conf override (restore on exit)."""
+    keys = {k.replace("__", "."): v for k, v in kv.items()}
+    prev = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_bucketed_join_runs_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO Exchange operators — the write-time
+    shuffle is reused by the query. This is the fact-to-fact join shape
+    at 100 TB (neither side broadcastable)."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    layout.write_bucketed(
+        orders, "t_orders_b", ["o_orderkey"], 4, path=str(tmp_path / "ob")
+    )
+    layout.write_bucketed(
+        lineitem, "t_lineitem_b", ["l_orderkey"], 4, path=str(tmp_path / "lb")
+    )
+    try:
+        with _conf(
+            spark,
+            spark__sql__autoBroadcastJoinThreshold="-1",
+            # bucket-sorted scans only report their output ordering
+            # under this flag since Spark 3.0 (SPARK-28595); without it
+            # the join still skips the Exchange but re-sorts.
+            spark__sql__legacy__bucketedTableScan__outputOrdering="true",
+        ):
+            j = spark.table("t_lineitem_b").join(
+                spark.table("t_orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            n = j.count()
+            plan = _executed_plan(j)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
+        # bucket-sorted files: the SMJ needs no explicit Sort either
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+        # correctness: same count as the plain (shuffling) join
+        plain = load_table(spark, SF_SMOKE, "lineitem").join(
+            load_table(spark, SF_SMOKE, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert n == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_groupby_runs_without_exchange(spark, tmp_path):
+    """Aggregation on the bucket key also reuses the write-time
+    layout: groupBy(o_custkey) over a table bucketed by o_custkey
+    plans no Exchange."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    layout.write_bucketed(
+        orders, "t_orders_bc", ["o_custkey"], 4, path=str(tmp_path / "obc")
+    )
+    try:
+        agg = (
+            spark.table("t_orders_bc")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        agg.count()
+        plan = _executed_plan(agg)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_bc")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A predicate on the partition column must show up as a
+    PartitionFilter (planning-time directory pruning), not a data
+    filter; non-matching partitions' files are never opened."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = layout.write_partitioned(ev, str(tmp_path / "evp"), ["event_type"])
+    all_types = spark.read.parquet(path)
+    clicks = all_types.filter(F.col("event_type") == "click")
+    plan = _executed_plan(clicks)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    # row correctness vs the unpartitioned source
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert clicks.count() == expected
+    # pruned scan reads strictly fewer files than the full layout holds
+    n_clicks_files = len(
+        [f for f in all_types.inputFiles() if "event_type=click" in f]
+    )
+    assert 0 < n_clicks_files < len(all_types.inputFiles())
+
+
+def test_clustered_write_carries_rowgroup_stats(spark, tmp_path):
+    """write_clustered sorts within files on the cluster column; parquet
+    footers then carry tight min/max per row group. Verified via
+    pyarrow metadata: with sorted rows, per-row-group [min, max] ranges
+    are (near-)disjoint — the property range scans skip on."""
+    pa_parquet = pytest.importorskip("pyarrow.parquet")
+    ev = load_table(spark, SF_SMOKE, "events").repartition(2)
+    path = layout.write_clustered(ev, str(tmp_path / "evc"), ["value"])
+    import glob
+
+    ranges = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pa_parquet.ParquetFile(f).metadata
+        idx = md.schema.names.index("value")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            ranges.append((st.min, st.max))
+    assert ranges and all(lo <= hi for lo, hi in ranges)
+    # within each file, consecutive row-group ranges must not interleave
+    # (sorted data ⇒ monotone min); a shuffled write would interleave.
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pa_parquet.ParquetFile(f).metadata
+        idx = md.schema.names.index("value")
+        mins = [
+            md.row_group(rg).column(idx).statistics.min
+            for rg in range(md.num_row_groups)
+        ]
+        assert mins == sorted(mins)
+
+
+def test_synth_events_datasource(spark):
+    """Custom Python data source: registered format reads back the
+    declared schema, honors partition planning, and is deterministic
+    across reads (same options ⇒ identical content)."""
+    pyds.register(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("numPartitions", 3)
+        .option("rowsPerPartition", 200)
+        .option("seed", "t1")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert [f.name for f in df.schema.fields] == [
+        "event_id",
+        "ts_us",
+        "user_id",
+        "event_type",
+        "value",
+    ]
+    assert df.count() == 600
+    # event_id is a dense unique key across partitions
+    assert df.select("event_id").distinct().count() == 600
+    s1 = df.agg(F.sum("value"), F.sum("ts_us"), F.sum("user_id")).first()
+    s2 = (
+        spark.read.format("synth_events")
+        .option("numPartitions", 3)
+        .option("rowsPerPartition", 200)
+        .option("seed", "t1")
+        .load()
+        .agg(F.sum("value"), F.sum("ts_us"), F.sum("user_id"))
+        .first()
+    )
+    assert s1 == s2
+    # a different seed yields different content
+    s3 = (
+        spark.read.format("synth_events")
+        .option("numPartitions", 3)
+        .option("rowsPerPartition", 200)
+        .option("seed", "t2")
+        .load()
+        .agg(F.sum("value"))
+        .first()
+    )
+    assert s3[0] != s1[0]
+    # the generated stream is usable by the engine's own operators
+    daily = (
+        df.withColumn("ts", F.timestamp_micros("ts_us"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .count()
+    )
+    assert daily.count() == 30
