@@ -18,6 +18,7 @@ def load() -> None:
         multimodal_q,
         reference_ops,
         relational,
+        sources_q,
         sql_surface,
         streaming_q,
         tpch_extra,

@@ -786,3 +786,159 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma for normal data
+_MAD_Z = 3.0
+
+
+@register(
+    "outlier_mad_robust_zscore",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, med, median(abs(e.value - med)) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(med, 6) AS med,
+           ROUND(mad, 6) AS mad,
+           ROUND((e.value - med) / ({_MAD_K} * mad), 6) AS robust_z,
+           abs((e.value - med) / ({_MAD_K} * mad)) > {_MAD_Z} AS is_outlier
+    FROM events e JOIN mad USING (event_type)
+    WHERE mad > 0
+    """,
+)
+def outlier_mad_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median/MAD z-score
+    ((x − median) / (1.4826 · MAD)), the heavy-tail-safe alternative to
+    mean/stddev z-scores (zscore_per_group) — one extreme value can
+    drag a mean past its own outlier threshold, but breaks down the
+    median only at 50% contamination. Exact medians via F.median
+    (SURVEY A5 semantics): two grouped passes — per-type median, then
+    per-type median of absolute deviations — each a map-side-combined
+    aggregate over |event_type| groups, then a broadcast of the tiny
+    per-type stats back onto the events scan."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    rz = (F.col("value") - F.col("med")) / (_MAD_K * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(rz, 6).alias("robust_z"),
+            (F.abs(rz) > _MAD_Z).alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "conversion_funnel_3step",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS fv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS fc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.fv GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.fc GROUP BY 1
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM v) AS nv,
+             (SELECT count(*) FROM c) AS nc,
+             (SELECT count(*) FROM p) AS np
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS stage, CAST(nv AS BIGINT) AS n_users,
+             1.0 AS conversion FROM n
+      UNION ALL
+      SELECT 2, 'click', CAST(nc AS BIGINT),
+             ROUND(nc * 1.0 / nullif(nv, 0), 6) FROM n
+      UNION ALL
+      SELECT 3, 'purchase', CAST(np AS BIGINT),
+             ROUND(np * 1.0 / nullif(nc, 0), 6) FROM n
+    )
+    """,
+)
+def conversion_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts at each stage only if the stage's FIRST qualifying event
+    follows their first qualifying event of the previous stage — the
+    event-sequence analysis shape (product analytics' funnel report).
+    Each stage is one filtered aggregate to user grain joined to the
+    previous stage's user-grain table: the expensive frames shrink
+    monotonically, every join is user-key-co-partitioned, and the
+    final counts collapse to a 3-row report via a crossJoin of three
+    1-row aggregates (no data movement)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    n = (
+        v.agg(F.count(F.lit(1)).alias("nv"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("np")))
+    )
+    out = n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit("view").alias("stage"),
+                    F.col("nv").cast("long").alias("n_users"),
+                    F.lit(1.0).alias("conversion"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit("click").alias("stage"),
+                    F.col("nc").cast("long").alias("n_users"),
+                    F.round(
+                        F.col("nc") / F.nullif(F.col("nv"), F.lit(0)), 6
+                    ).alias("conversion"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("np").cast("long").alias("n_users"),
+                    F.round(
+                        F.col("np") / F.nullif(F.col("nc"), F.lit(0)), 6
+                    ).alias("conversion"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.step", "r.stage", "r.n_users", "r.conversion")
+    return out

@@ -408,3 +408,133 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_saturated"),
     )
+
+
+# --- product quantization -----------------------------------------------------
+
+_PQ_M, _PQ_K = 8, 16          # 8 subspaces x 16 codes
+_PQ_DSUB = _N_DIMS // _PQ_M   # 8 dims per subspace
+
+
+@register(
+    "pq_encode_recon",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(v, s * {_PQ_DSUB} + 1, s * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s)
+    ),
+    cb AS (SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    scored AS (
+      SELECT t.vec_id, t.s, cb.code, cb.cv,
+             ROUND(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                            i -> (t.sv[i] - cb.cv[i]) ^ 2)), 6) AS l2
+      FROM sub t JOIN cb USING (s)
+    ),
+    best AS (
+      SELECT vec_id, s, code, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY l2, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    enc AS (
+      SELECT vec_id,
+             md5(string_agg(code::VARCHAR, '-' ORDER BY s)) AS code_fp,
+             flatten(list(cv ORDER BY s)) AS recon
+      FROM best GROUP BY vec_id
+    )
+    SELECT e.vec_id, e.code_fp,
+           ROUND(list_sum(list_transform(generate_series(1, {_N_DIMS}),
+                          i -> (v.v[i] - e.recon[i]) ^ 2)) / {_N_DIMS}, 6)
+             AS recon_mse,
+           ROUND(list_cosine_similarity(v.v, e.recon), 6) AS recon_cos
+    FROM enc e JOIN v USING (vec_id)
+    """,
+)
+def pq_encode_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ code path of billion-scale ANN):
+    each vector splits into {_PQ_M} subvectors of {_PQ_DSUB} dims; each
+    subvector is assigned its nearest of {_PQ_K} codebook entries
+    (L2², rounded before the argmin so engine float ulps can't flip a
+    near-tie; ties break to the smallest code). A {_PQ_M}-byte code
+    replaces 256 bytes of float32 — 32× compression — and the
+    reconstruction diagnostics (per-vector MSE and cosine) are how a
+    pipeline decides that loss is acceptable before re-encoding a
+    100 TB corpus. The codebook here is a deterministic seed sample
+    (subvectors of the {_PQ_K} smallest vec_ids) rather than k-means —
+    the assignment/reconstruction dataflow is identical, and
+    determinism is what lets the DuckDB oracle hash-check every code.
+
+    Scale posture: the codebook ({_PQ_M}×{_PQ_K} rows) broadcasts;
+    subvector explode is a {_PQ_M}× map-side fanout; the argmin is a
+    map-side-combining min(struct) aggregate keyed (vec, s) — no
+    window sort over the corpus — and codes re-collapse to vector
+    grain in the same shuffle. Corpus-sized data crosses the network
+    once."""
+    from dataengineeringproject_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = d.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda s: F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("s", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cv")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    best = (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", l2.alias("l2"), "code", "cv")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("l2", "code", "cv")).alias("b"))
+    )
+    enc = best.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("s", F.col("b.code").alias("code")))
+        ).alias("codes"),
+        F.array_sort(
+            F.collect_list(F.struct("s", F.col("b.cv").alias("cv")))
+        ).alias("cvs"),
+    )
+    enc = enc.select(
+        "vec_id",
+        F.md5(
+            F.concat_ws(
+                "-", F.transform(F.col("codes"), lambda x: x.code.cast("string"))
+            )
+        ).alias("code_fp"),
+        F.flatten(F.transform(F.col("cvs"), lambda x: x.cv)).alias("recon"),
+    )
+    mse = (
+        F.aggregate(
+            F.zip_with("v", "recon", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / _N_DIMS
+    )
+    return enc.join(d, "vec_id").select(
+        "vec_id",
+        "code_fp",
+        F.round(mse, 6).alias("recon_mse"),
+        F.round(cosine(F.col("v"), F.col("recon")), 6).alias("recon_cos"),
+    )
