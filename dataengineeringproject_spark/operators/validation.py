@@ -110,3 +110,33 @@ def validate_stream_dead_letter(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def observe_quality(
+    df: DataFrame, name: str, checks: dict[str, Column]
+) -> tuple[DataFrame, "object"]:
+    """Zero-extra-pass data-quality metrics via `df.observe`: the named
+    aggregate expressions are accumulated ON THE SIDE of whatever
+    action the caller runs next — at 100 TB that's the difference
+    between profiling for free during the production write and paying
+    a second full scan for a profile job. Returns (observed_df,
+    Observation); after ANY action on observed_df, `observation.get`
+    yields the metrics dict.
+
+    Contrast with `expect` (fail-stop, short-circuits at the first
+    violation — cheap REJECT) — observe_quality is the MEASURE side:
+    it never fails the job, it attaches numbers (violation counts,
+    null counts, extremes) to a run that was happening anyway.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in checks.items()]), obs
+
+
+def violations(condition: Column) -> Column:
+    """Count of rows violating `condition` (null counts as violation) —
+    the standard check expression for observe_quality."""
+    return F.sum(
+        F.when(F.coalesce(condition, F.lit(False)), 0).otherwise(1)
+    )

@@ -63,3 +63,42 @@ def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+_REC_SQL = """
+WITH RECURSIVE walk(user_id, node, depth) AS (
+  SELECT DISTINCT user_id, user_id, 0 FROM {ev}
+  UNION ALL
+  SELECT user_id, (node - 1) {div} 2, depth + 1 FROM walk WHERE node > 0
+),
+cnt AS (
+  SELECT user_id, count(*) AS n FROM {ev} GROUP BY user_id
+)
+SELECT w.user_id,
+       CAST(max(w.depth) AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS path_len,
+       CAST(sum(coalesce(c.n, 0)) AS BIGINT) AS path_events
+FROM walk w LEFT JOIN cnt c ON w.node = c.user_id
+GROUP BY w.user_id
+"""
+
+
+@register(
+    "sql_recursive_hierarchy_rollup",
+    oracle=_REC_SQL.format(ev="events", div="//"),
+)
+def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): walk each user up
+    a synthetic binary-heap hierarchy (parent(n) = (n−1) div 2 — the
+    org-chart/category-tree traversal shape with a guaranteed-finite,
+    strictly-decreasing chain) and roll event counts up the ancestor
+    path. Iteration count is the hierarchy DEPTH (log n), not its size:
+    each recursion step is one equi-join of the frontier against a
+    user-grain table — frontier rows shrink as chains hit the root, and
+    the final rollup is one grouped aggregate. The DuckDB oracle runs
+    the structurally identical recursion (integer div spelled `//`),
+    so two independent recursive-CTE engines must agree. Guard: nodes
+    recurse only while > 0, keeping (node−1)/2 nonnegative, where
+    floor (DuckDB) and truncation (Spark) division agree."""
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(_REC_SQL.format(ev="deps_events", div="DIV"))

@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -54,6 +59,9 @@ class SynthEventsDataSource(DataSource):
     def reader(self, schema) -> "SynthEventsReader":
         return SynthEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SynthEventsStreamReader":
+        return SynthEventsStreamReader(self.options)
+
 
 class SynthEventsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -82,3 +90,46 @@ def register(spark) -> None:
     """Idempotently register the source with a session; afterwards
     `spark.read.format("synth_events").option(...).load()` works."""
     spark.dataSource.register(SynthEventsDataSource)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of SynthEventsReader: micro-batch b replays
+    exactly batch-partition b of the batch generator, so a stream that
+    has consumed `numPartitions` micro-batches holds BYTE-IDENTICAL
+    content to the batch read with the same options — the replayable-
+    source property (Kafka-like) that exactly-once sinks rely on.
+    `readBetweenOffsets` regenerates any offset range deterministically,
+    which is what makes recovery-after-crash reproduce the same rows."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_parts = int(options.get("numpartitions", 4))
+        self.rows = int(options.get("rowsperpartition", 1000))
+        self.seed = options.get("seed", "synth-v1")
+        self.n_users = int(options.get("nusers", 100))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def _gen(self, p: int):
+        base_us = 1_704_067_200_000_000
+        for i in range(self.rows):
+            yield (
+                p * self.rows + i,
+                base_us + _h(self.seed, p, i, "ts") % (30 * 86_400_000_000),
+                _h(self.seed, p, i, "user") % self.n_users,
+                EVENT_TYPES[_h(self.seed, p, i, "type") % len(EVENT_TYPES)],
+                (_h(self.seed, p, i, "value") % 1_000_000) / 1000.0,
+            )
+
+    def read(self, start: dict):
+        b = start["batch"]
+        if b >= self.n_parts:  # source exhausted: empty batch, same offset
+            return iter([]), start
+        # materialized list, not the generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator, and generators aren't
+        # copyable (list iterators are)
+        return iter(list(self._gen(b))), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for b in range(start["batch"], end["batch"]):
+            yield from self._gen(b)
