@@ -942,3 +942,85 @@ def conversion_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.step", "r.stage", "r.n_users", "r.conversion")
     return out
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_parsed,
+           ROUND(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing on Spark 4's VARIANT type:
+    `try_parse_json` turns the JSON payload column into a binary
+    variant ONCE (corrupt documents become NULL, never a job failure),
+    then `try_variant_get` path-extracts with a type cast. Versus
+    per-field get_json_object (json_props_rollup), the variant parse
+    is paid once per row no matter how many fields are later
+    extracted, and the binary encoding skips re-tokenizing the JSON
+    text — the right shape when a Kafka payload has many consumed
+    fields. The DuckDB oracle is its native JSON path — two
+    independent semi-structured engines must agree."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parsed"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+_EQD_BUCKETS = 10
+
+
+@register(
+    "histogram_equidepth_value",
+    oracle=f"""
+    WITH t AS (
+      SELECT value, ntile({_EQD_BUCKETS}) OVER (ORDER BY value, event_id)
+               AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           ROUND(min(value), 6) AS lo,
+           ROUND(max(value), 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1
+    """,
+)
+def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram ({_EQD_BUCKETS} buckets of equal row count,
+    data-dependent boundaries) — the complement of the equal-WIDTH
+    histogram_value_buckets, and what query optimizers and drift
+    monitors actually want (equal-width collapses under skew). Exact
+    ntile needs a total order, so this formulation single-partition
+    sorts — correct at test scale and for the oracle; the 100 TB
+    recipe is documented here: compute boundary values with
+    approx_percentile (one aggregate, no global sort), then assign
+    buckets with a broadcast range join against the ≤{_EQD_BUCKETS}-row
+    boundary table. Tie-break on event_id makes the exact variant
+    engine-deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    t = ev.select("value", "event_id", F.ntile(_EQD_BUCKETS).over(w).alias("bucket"))
+    return t.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

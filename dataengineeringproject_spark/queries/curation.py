@@ -839,3 +839,64 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_MIX_BUDGET) * w_raw / total / F.col("n_tokens"), 6
         ).alias("epochs_at_budget"),
     )
+
+
+# --- Levenshtein fuzzy matching (r3) -----------------------------------------
+
+_LEV_PREFIX = 40   # chars of normalized prefix compared
+_LEV_MAX = 22      # max edit distance reported
+
+
+@register(
+    "fuzzy_pairs_levenshtein",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                    1, {_LEV_PREFIX}) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+    """,
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution / OCR-noise
+    dedup family): document pairs whose normalized {_LEV_PREFIX}-char
+    prefixes are within {_LEV_MAX} edits. Levenshtein is O(len²) per
+    pair and pair counts are O(block²), so the physical shape is
+    everything: pairs are generated ONLY within source blocks (the
+    blocked-comparison discipline of ngram_jaccard_blocked — never
+    all-pairs), the prefix is cut before the join so each side carries
+    {_LEV_PREFIX} chars instead of full documents through the shuffle,
+    and the distance runs JVM-side (codegen levenshtein, no Python).
+    At 100 TB the block key would be an LSH/phonetic bucket; the shape
+    is identical."""
+    d = _docs(spark, sf_dir)
+    pfx = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        1,
+        _LEV_PREFIX,
+    )
+    p = d.select("doc_id", "source", pfx.alias("pfx"))
+    a = p.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("pfx").alias("pfx_a")
+    )
+    b = p.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= _LEV_MAX)
+    )
