@@ -890,7 +890,13 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"),
         F.col("pfx").alias("pfx_b"),
     )
-    dist = F.levenshtein("pfx_a", "pfx_b")
+    # bounded levenshtein: the threshold arg bounds the DP band and
+    # early-terminates past it, returning -1 — identical surviving
+    # rows (the oracle computes the full distance and filters; values
+    # ≤ the bound are exact in both). At this loose bound (22 of 40
+    # chars) the band saves little — the win appears when k ≪ len,
+    # the production fuzzy-match regime (e.g. 3 edits over 100 chars)
+    dist = F.levenshtein("pfx_a", "pfx_b", _LEV_MAX)
     return (
         a.join(
             b,
@@ -898,5 +904,5 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
-        .filter(F.col("edit_dist") <= _LEV_MAX)
+        .filter(F.col("edit_dist") >= 0)
     )
