@@ -90,12 +90,13 @@ def _png_defilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray | 
     return out
 
 
-def _decode_png(content: bytes) -> tuple[int, int, float | None] | None:
-    """Full stdlib PNG decode for 8-bit greyscale/RGB/RGBA/grey+alpha,
-    non-interlaced: IHDR for dimensions, concatenated IDAT inflated
-    with zlib, scanlines defiltered, mean luma = mean over pixels of
-    Rec.601 (0.299R + 0.587G + 0.114B) / 255. Palette/16-bit/interlaced
-    images return dimensions with NULL luma (honest partial decode)."""
+def _png_pixels(
+    content: bytes,
+) -> tuple[int, int, int | None, bytearray | None] | None:
+    """Shared PNG pixel access: returns (width, height, channels, px)
+    with px the defiltered raw pixel bytes, or (w, h, None, None) for
+    an honest partial decode (palette/16-bit/interlaced/corrupt IDAT),
+    or None when the content isn't a PNG at all."""
     if not content.startswith(_PNG_SIG) or len(content) < 33:
         return None
     # IHDR is always the first chunk: length(4) type(4) data(13) crc(4)
@@ -109,7 +110,7 @@ def _decode_png(content: bytes) -> tuple[int, int, float | None] | None:
     if channels is None:
         return None
     if bit_depth != 8 or color_type == 3 or interlace != 0:
-        return width, height, None  # dims from header; luma needs full decode
+        return width, height, None, None  # dims only; needs full decode
     # walk chunks, concatenating IDAT
     idat = bytearray()
     pos = 8
@@ -124,18 +125,35 @@ def _decode_png(content: bytes) -> tuple[int, int, float | None] | None:
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
-        return width, height, None
+        return width, height, None, None
     px = _png_defilter(raw, width, height, channels)
+    if px is None:
+        return width, height, None, None
+    return width, height, channels, px
+
+
+def _px_luma(px: bytearray, i: int, channels: int) -> float:
+    """Rec.601 luma (0..255) of pixel index i in defiltered bytes."""
+    j = i * channels
+    if channels >= 3:
+        return 0.299 * px[j] + 0.587 * px[j + 1] + 0.114 * px[j + 2]
+    return float(px[j])
+
+
+def _decode_png(content: bytes) -> tuple[int, int, float | None] | None:
+    """Full stdlib PNG decode for 8-bit greyscale/RGB/RGBA/grey+alpha,
+    non-interlaced: IHDR for dimensions, concatenated IDAT inflated
+    with zlib, scanlines defiltered, mean luma = mean over pixels of
+    Rec.601 (0.299R + 0.587G + 0.114B) / 255. Palette/16-bit/interlaced
+    images return dimensions with NULL luma (honest partial decode)."""
+    got = _png_pixels(content)
+    if got is None:
+        return None
+    width, height, channels, px = got
     if px is None:
         return width, height, None
     n = width * height
-    if channels >= 3:  # RGB / RGBA
-        total = 0.0
-        for i in range(0, len(px), channels):
-            total += 0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]
-        luma = total / n / 255.0
-    else:  # grey / grey+alpha: channel 0 is luma already
-        luma = sum(px[0::channels]) / n / 255.0
+    luma = sum(_px_luma(px, i, channels) for i in range(n)) / n / 255.0
     return width, height, round(luma, 6)
 
 
@@ -231,6 +249,74 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
         op, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+_AHASH_BITS = 60  # repo-wide Hamming-signature width (matches hex15_to_long)
+
+
+def image_ahash_real(content: bytes) -> int | None:
+    """Average-hash (aHash) of a decodable PNG: 8×8 block-mean luma
+    grid, one bit per block (1 = block ≥ grid mean), packed row-major
+    into the repo's 60-bit signature convention (the last 4 of the 64
+    blocks are dropped so the hash shares simhash's bit width and the
+    banded near-dup machinery). Visually similar images differ in few
+    bits; None for undecodable or sub-8×8 content."""
+    got = _png_pixels(content)
+    if got is None or got[3] is None:
+        return None
+    width, height, channels, px = got
+    if width < 8 or height < 8:
+        return None
+    means = []
+    for by in range(8):
+        y0, y1 = by * height // 8, (by + 1) * height // 8
+        for bx in range(8):
+            x0, x1 = bx * width // 8, (bx + 1) * width // 8
+            total, cnt = 0.0, 0
+            for y in range(y0, y1):
+                base = y * width
+                for x in range(x0, x1):
+                    total += _px_luma(px, base + x, channels)
+                    cnt += 1
+            means.append(total / cnt)
+    grid_mean = sum(means) / 64
+    sig = 0
+    for bit, m in enumerate(means[:_AHASH_BITS]):
+        if m >= grid_mean:
+            sig |= 1 << bit
+    return sig
+
+
+def image_ahash_fake(content: bytes) -> int:
+    """Deterministic fake aHash: 60-bit integer from the md5 hex of the
+    content (first 15 hex chars — the same hex15_to_long convention as
+    functions/text.py, so a SQL oracle reproduces it exactly)."""
+    hx = hashlib.md5(content or b"").hexdigest()
+    return int(hx[:15], 16)
+
+
+IMAGE_AHASH_SCHEMA = "media_id long, ahash long"
+
+
+def extract_image_ahash(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Per-image perceptual hash over the binary column (mapInPandas,
+    Arrow-batched, no shuffle) — the front half of image near-dup
+    detection; feed the result to operators.dedup.signature_neardup
+    for the banded Hamming pair join."""
+    ahash = image_ahash_fake if fake_decode else image_ahash_real
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"].map(
+                lambda c: bytes(c) if c is not None else b""
+            )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": content.map(ahash)}
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        op, schema=IMAGE_AHASH_SCHEMA
     )
 
 

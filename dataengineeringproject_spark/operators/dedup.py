@@ -259,9 +259,29 @@ def simhash_neardup(
     all-pairs cross join. Candidates then verify with one
     bit_count(xor) each. Requires max_hamming < chunks for
     completeness (asserted)."""
+    sig = simhash(df, id_col, text_col, bits=bits)
+    return signature_neardup(
+        sig, id_col, "simhash", bits=bits, chunks=chunks, max_hamming=max_hamming
+    )
+
+
+def signature_neardup(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pigeonhole-banded near-dup pairs over ANY precomputed bitwise
+    signature column (SimHash, image aHash/pHash, audio chromaprint
+    bucket, …): pairs differing in ≤ max_hamming bits. The banding
+    join (see simhash_neardup) is signature-agnostic — this is the
+    shared scale path for every Hamming-space near-dup family."""
     assert max_hamming < chunks, "banding completeness needs max_hamming < chunks"
     assert bits % chunks == 0
-    sig = simhash(df, id_col, text_col, bits=bits)
+    if sig_col != "simhash":
+        sig = sig.withColumnRenamed(sig_col, "simhash")
     w = bits // chunks
     mask = (1 << w) - 1
     chunk_structs = [

@@ -100,3 +100,55 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BINARY column via mapInPandas — same Arrow plumbing as images,
     md5-stub decoder reproduced by the oracle."""
     return M.extract_audio_features(_media(spark, sf_dir), fake_decode=True)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS ahash
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    allsig AS (
+      SELECT media_id, ahash FROM img
+      UNION ALL
+      SELECT media_id + 100000,
+             xor(ahash, CAST(1 AS BIGINT) << CAST(media_id % 60 AS INTEGER))
+      FROM img WHERE media_id % 5 = 0
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM allsig a JOIN allsig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: per-image
+    aHash (mapInPandas over the binary column) fed to the SAME
+    pigeonhole-banded Hamming join as text SimHash
+    (operators/dedup.signature_neardup — one machinery for every
+    Hamming-space modality). The deterministic fake decoder yields
+    independent signatures, so near-pairs are INJECTED: every 5th
+    image gets a 1-bit-perturbed variant copy (id + 100000) — each
+    must surface as a hamming-1 pair. The oracle is a brute-force
+    all-pairs scan, independently verifying the banded join's
+    completeness claim (any pair ≤ 3 bits apart shares ≥ 1 of 4
+    bands). Scale: signatures are 1 long per image; the banded join
+    is the only shuffle."""
+    from dataengineeringproject_spark.operators.dedup import signature_neardup
+
+    media = _media(spark, sf_dir)
+    sig = M.extract_image_ahash(media, fake_decode=True)
+    variants = sig.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.col("ahash")
+        .bitwiseXOR(F.expr("shiftleft(1L, CAST(media_id % 60 AS INT))"))
+        .alias("ahash"),
+    )
+    allsig = sig.union(variants)
+    return signature_neardup(
+        allsig, "media_id", "ahash", bits=60, chunks=4, max_hamming=3
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )

@@ -258,3 +258,95 @@ def test_video_real_gif_demux(spark):
     assert by_id[1][0].frame_digest in {
         hashlib.md5(s).hexdigest() for s in segs
     }
+
+
+def test_real_ahash_similar_vs_different():
+    """aHash: a 1-block perturbation of an image lands within a few
+    bits; an inverted image lands far away; structure is preserved
+    (left-dark/right-bright halves → left bits 0, right bits 1)."""
+    from dataengineeringproject_spark.multimodal import image_ahash_real
+
+    def img(perturb=False, invert=False):
+        rows = []
+        for y in range(16):
+            row = []
+            for x in range(16):
+                v = 40 if x < 8 else 215  # dark left, bright right
+                if invert:
+                    v = 255 - v
+                row.append((v, v, v))
+            rows.append(row)
+        if perturb:  # brighten ONE 2x2 block region on the dark side
+            for y in (0, 1):
+                for x in (0, 1):
+                    rows[y][x] = (250, 250, 250)
+        return _png_rgb(rows)
+
+    a = image_ahash_real(img())
+    b = image_ahash_real(img(perturb=True))
+    c = image_ahash_real(img(invert=True))
+    assert a is not None and b is not None and c is not None
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab <= 3, f"perturbed image drifted {ham_ab} bits"
+    assert ham_ac >= 40, f"inverted image only {ham_ac} bits away"
+    # structural check: row-major 8x8 grid, left half below mean
+    for bit in range(60):
+        expected = 0 if (bit % 8) < 4 else 1
+        assert (a >> bit) & 1 == expected
+
+
+def test_real_ahash_undecodable_is_none():
+    from dataengineeringproject_spark.multimodal import image_ahash_real
+
+    assert image_ahash_real(b"not a png") is None
+    assert image_ahash_real(_png_rgb([[(9, 9, 9)] * 4] * 4)) is None  # < 8x8
+
+
+def test_ahash_neardup_end_to_end_real_decode(spark):
+    """Real-decode aHash through the Spark operator + banded Hamming
+    join: three visually-near variants of one image cluster together;
+    an unrelated image stays unpaired."""
+    import pandas as pd
+
+    from dataengineeringproject_spark import multimodal as M
+    from dataengineeringproject_spark.operators.dedup import signature_neardup
+    from dataengineeringproject_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    def gradient(seed_shift):
+        rows = []
+        for y in range(16):
+            row = []
+            for x in range(16):
+                v = min(255, 16 * x + seed_shift)
+                row.append((v, v, v))
+            rows.append(row)
+        return _png_rgb(rows)
+
+    def noise(k):
+        rows = []
+        for y in range(16):
+            row = []
+            for x in range(16):
+                v = (x * 37 + y * 101 + k) % 256
+                row.append((v, v, v))
+            rows.append(row)
+        return rows and _png_rgb(rows)
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3, 99],
+            "media_type": ["image"] * 4,
+            "content": [gradient(0), gradient(2), gradient(4), noise(7)],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    sig = M.extract_image_ahash(media, fake_decode=False)
+    pairs = signature_neardup(
+        sig, "media_id", "ahash", bits=60, chunks=4, max_hamming=3
+    ).toPandas()
+    got = {tuple(sorted(p)) for p in pairs[["id_a", "id_b"]].values.tolist()}
+    assert {(1, 2), (2, 3), (1, 3)} <= got
+    assert not any(99 in p for p in got)
