@@ -248,3 +248,73 @@ def monthly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_events"),
         )
     )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "ewma_daily_by_type",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             ROUND(sum(value), 2) / count(*) AS x
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+      FROM daily
+    )
+    SELECT event_type, day, ROUND(x, 6) AS daily_avg,
+           ROUND(
+             pow({1 - _EWMA_ALPHA}, t) * (
+               first_value(x) OVER w
+               + sum(CASE WHEN t = 0 THEN 0.0
+                          ELSE x * {_EWMA_ALPHA} * pow({1 / (1 - _EWMA_ALPHA)}, t)
+                     END) OVER w
+             ), 6) AS ewma
+    FROM idx
+    WINDOW w AS (PARTITION BY event_type ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = {_EWMA_ALPHA}) of the
+    daily mean per event_type — the smoothing/forecast-baseline
+    operator Spark has no built-in for. The recurrence
+    s_t = α·x_t + (1−α)·s_{{t−1}} is linearized into ONE running-sum
+    window via rescaling: s_T = (1−α)^T · (x_0 + Σ_{{i≥1}}
+    α·(1−α)^{{−i}}·x_i) — no recursion, no Python, no per-group
+    collect; two window functions over one sort order, evaluated in a
+    single WindowExec pass after the daily pre-aggregate (which also
+    bounds the rescale exponent: ≤ days-per-type, so (1−α)^{{−t}}
+    can't overflow on an unbounded event stream; on multi-year series,
+    window the rescale per month and chain segment seeds). The daily
+    mean uses the boundary-stable round(sum,2)/n formulation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg((F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(wo) - 1)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = _EWMA_ALPHA
+    rescaled = F.when(F.col("t") == 0, F.lit(0.0)).otherwise(
+        F.col("x") * a * F.pow(F.lit(1 / (1 - a)), F.col("t"))
+    )
+    ewma = F.pow(F.lit(1 - a), F.col("t")) * (
+        F.first("x").over(w) + F.sum(rescaled).over(w)
+    )
+    return idx.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("daily_avg"),
+        F.round(ewma, 6).alias("ewma"),
+    )
