@@ -538,3 +538,125 @@ def pq_encode_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mse, 6).alias("recon_mse"),
         F.round(cosine(F.col("v"), F.col("recon")), 6).alias("recon_cos"),
     )
+
+
+# --- ADC top-k over PQ codes --------------------------------------------------
+
+_ADC_K = 5
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(v, s * {_PQ_DSUB} + 1, s * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s)
+    ),
+    cb AS (SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    scored AS (
+      SELECT t.vec_id, t.s, cb.code,
+             ROUND(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                            i -> (t.sv[i] - cb.cv[i]) ^ 2)), 6) AS l2
+      FROM sub t JOIN cb USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY l2, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.s, cb.code,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                      i -> (q.sv[i] - cb.cv[i]) ^ 2)) AS d
+      FROM sub q JOIN cb USING (s)
+      WHERE q.vec_id IN ({_QID_LIST})
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, ROUND(sum(l.d), 6) AS adc_dist
+      FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+      WHERE c.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM adc
+    ) WHERE rank <= {_ADC_K}
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the scoring half
+    of the FAISS IVF-PQ architecture: the corpus exists ONLY as
+    {_PQ_M}-byte codes; each query precomputes a distance LUT (query
+    subvector → every codebook centroid: {_PQ_M}×{_PQ_K} rows per
+    query) and a neighbor's distance is just {_PQ_M} LUT lookups
+    summed — no corpus float is ever touched at query time. Physical
+    shape: the LUT (queries × {_PQ_M} × {_PQ_K} ≈ 1.3k rows) is
+    broadcast; the corpus code table joins it on (subspace, code) and
+    collapses to (query, neighbor) partial sums map-side; per-query
+    top-{_ADC_K} is a WindowGroupLimit. At 100 TB the code table is
+    32× smaller than the float corpus — the difference between
+    scanning 3 TB and 100 TB per query batch. Distances are rounded
+    before ranking with an id tie-break, so engine float ulps can't
+    reorder the cut."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = d.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda s: F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("s", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cv")
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = (
+        sub.join(F.broadcast(cb), "s")
+        .select(
+            "vec_id", "s", F.round(l2(F.col("sv"), F.col("cv")), 6).alias("l2"),
+            "code",
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("l2", "code")).alias("b"))
+        .select("vec_id", "s", F.col("b.code").alias("code"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id").isin(_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "s", "sv")
+        .join(F.broadcast(cb), "s")
+        .select("query_id", "s", "code", l2(F.col("sv"), F.col("cv")).alias("d"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_K)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
