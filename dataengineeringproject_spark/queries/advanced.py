@@ -1024,3 +1024,144 @@ def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("hi"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+_DRIFT_PIVOT = "2024-01-16"  # first half vs second half of the month
+
+
+@register(
+    "drift_ks_value",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, value, event_id,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_PIVOT}' THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    n AS (
+      SELECT event_type,
+             sum(in_a) AS n_a, count(*) - sum(in_a) AS n_b
+      FROM t GROUP BY 1
+    ),
+    c AS (
+      SELECT t.event_type,
+             sum(in_a) OVER w * 1.0 / n.n_a
+               - sum(1 - in_a) OVER w * 1.0 / n.n_b AS diff,
+             n.n_a, n.n_b
+      FROM t JOIN n USING (event_type)
+      WINDOW w AS (PARTITION BY t.event_type ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(max(abs(diff)), 6) AS ks_stat
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: exact two-sample Kolmogorov–
+    Smirnov statistic on `value` per event_type, first half of the
+    month vs second (the train/serve-skew monitor every production
+    scoring pipeline wants). KS = max |ECDF_A − ECDF_B|, computed as
+    one running-count window over the per-type value order — no
+    collect, no Python, one sort per type key. Deterministic event_id
+    tie-break makes the ECDF walk engine-identical. At 100 TB the
+    exact per-type sort gives way to a binned ECDF over
+    approx-quantile boundaries — same max-diff reduction, boundary
+    table broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("ts") < F.lit(_DRIFT_PIVOT).cast("timestamp"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    n = t.groupBy("event_type").agg(
+        F.sum("in_a").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).alias("n_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.join(n, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (
+            F.sum("in_a").over(w) / F.col("n_a")
+            - F.sum(1 - F.col("in_a")).over(w) / F.col("n_b")
+        ).alias("diff"),
+    )
+    return c.groupBy(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    ).agg(F.round(F.max(F.abs("diff")), 6).alias("ks_stat"))
+
+
+@register(
+    "drift_chi2_event_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_PIVOT}' THEN 'a' ELSE 'b' END
+               AS win,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, win, o,
+             sum(o) OVER (PARTITION BY event_type) AS row_tot,
+             sum(o) OVER (PARTITION BY win) AS col_tot,
+             sum(o) OVER () AS grand
+      FROM t
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN win = 'a' THEN o ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN win = 'b' THEN o ELSE 0 END) AS BIGINT) AS n_b,
+           ROUND(sum(pow(o - row_tot * col_tot * 1.0 / grand, 2)
+                     / (row_tot * col_tot * 1.0 / grand)), 6) AS chi2_contrib
+    FROM m GROUP BY 1
+    """,
+)
+def drift_chi2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-mix drift: per-type chi-square contribution of the
+    observed (type × half-month) contingency table vs independence —
+    the companion to drift_ks_value for CATEGORICAL columns (did the
+    event-type mix shift between windows?). The contingency table is
+    |types|×2 rows, so everything after the first aggregate —
+    marginals, expectations, contributions — runs on a frame that
+    would fit on one executor at any corpus size; the only full-data
+    pass is the initial map-side-combined count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_DRIFT_PIVOT).cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("win"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = t.select(
+        "event_type",
+        "win",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("win")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return m.groupBy("event_type").agg(
+        F.sum(F.when(F.col("win") == "a", F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("win") == "b", F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2_contrib"),
+    )
