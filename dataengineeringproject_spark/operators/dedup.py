@@ -280,8 +280,11 @@ def signature_neardup(
     shared scale path for every Hamming-space near-dup family."""
     assert max_hamming < chunks, "banding completeness needs max_hamming < chunks"
     assert bits % chunks == 0
-    if sig_col != "simhash":
-        sig = sig.withColumnRenamed(sig_col, "simhash")
+    # Explicit two-column projection (not withColumnRenamed): if the
+    # caller's frame already carries a column literally named "simhash"
+    # next to sig_col, a rename would create duplicate names and the
+    # F.col("simhash") references below would be ambiguous.
+    sig = sig.select(F.col(id_col), F.col(sig_col).alias("simhash"))
     w = bits // chunks
     mask = (1 << w) - 1
     chunk_structs = [

@@ -947,14 +947,20 @@ def conversion_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "variant_props_extract",
     oracle="""
+    WITH t AS (
+      -- TRY_CAST mirrors Spark's try_variant_get(..., 'int') semantics:
+      -- a non-integer $.k becomes NULL and is filtered, instead of
+      -- hard-erroring the oracle while Spark silently drops the row.
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_parsed,
-           ROUND(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
-             AS avg_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS max_k
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+           ROUND(avg(k), 6) AS avg_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM t
+    WHERE k IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -1043,9 +1049,11 @@ _DRIFT_PIVOT = "2024-01-16"  # first half vs second half of the month
       FROM t GROUP BY 1
     ),
     c AS (
-      SELECT t.event_type,
+      SELECT t.event_type, t.value,
              sum(in_a) OVER w * 1.0 / n.n_a
                - sum(1 - in_a) OVER w * 1.0 / n.n_b AS diff,
+             lead(t.value) OVER (PARTITION BY t.event_type
+                                 ORDER BY value, event_id) AS next_value,
              n.n_a, n.n_b
       FROM t JOIN n USING (event_type)
       WINDOW w AS (PARTITION BY t.event_type ORDER BY value, event_id
@@ -1054,7 +1062,9 @@ _DRIFT_PIVOT = "2024-01-16"  # first half vs second half of the month
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            ROUND(max(abs(diff)), 6) AS ks_stat
-    FROM c GROUP BY 1, 2, 3
+    FROM c
+    WHERE next_value IS NULL OR next_value <> value
+    GROUP BY 1, 2, 3
     """,
 )
 def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,11 +1073,12 @@ def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     month vs second (the train/serve-skew monitor every production
     scoring pipeline wants). KS = max |ECDF_A − ECDF_B|, computed as
     one running-count window over the per-type value order — no
-    collect, no Python, one sort per type key. Deterministic event_id
-    tie-break makes the ECDF walk engine-identical. At 100 TB the
-    exact per-type sort gives way to a binned ECDF over
-    approx-quantile boundaries — same max-diff reduction, boundary
-    table broadcast."""
+    collect, no Python, one sort per type key. The diff is sampled
+    only at the last row of each distinct value group (lead() over the
+    same order), so tied values contribute one complete-point ECDF
+    evaluation and the emitted number is exactly the KS D. At 100 TB
+    the exact per-type sort gives way to a binned ECDF — see
+    drift_ks_binned, the registered scale variant."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -1083,19 +1094,25 @@ def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("in_a")).alias("n_b"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = t.join(n, "event_type").select(
         "event_type",
+        "value",
         "n_a",
         "n_b",
         (
             F.sum("in_a").over(w) / F.col("n_a")
             - F.sum(1 - F.col("in_a")).over(w) / F.col("n_b")
         ).alias("diff"),
+        # Sample the running diff only at the LAST row of each distinct
+        # value group: tied values then contribute one complete-point
+        # ECDF evaluation instead of inflated intra-tie prefixes, so
+        # the max below is exactly the two-sample KS D statistic.
+        F.lead("value").over(wo).alias("next_value"),
+    )
+    c = c.filter(
+        F.col("next_value").isNull() | (F.col("next_value") != F.col("value"))
     )
     return c.groupBy(
         "event_type",
@@ -1165,3 +1182,305 @@ def drift_chi2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_b"),
         F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2_contrib"),
     )
+
+
+# Fixed fine-grid binning: the shared scale trick behind the *_approx /
+# *_binned variants below. One min/max scalar aggregate fixes the grid;
+# bin assignment is pure arithmetic (identical IEEE-double ops on both
+# engines), so the only full-data pass is a map-side-combined hash
+# aggregate and every window/sort downstream runs on a <= _FINE_BINS-row
+# frame. Grid resolution bounds the approximation error: equi-depth
+# bucket counts are off by at most one bin's population, and the binned
+# KS statistic is the exact D evaluated at bin boundaries (error <= the
+# largest single-bin ECDF mass, <= ~1/_FINE_BINS for smooth data).
+_FINE_BINS = 1024
+
+
+def _grid_bin(value: F.Column, nbins: int = _FINE_BINS) -> F.Column:
+    """Bin index on the [vmin, vmax] grid (expects vmin/vmax columns in
+    scope from the broadcast stats row); clamped so value == vmax lands
+    in the top bin, degenerate vmin == vmax collapses to bin 0."""
+    span = F.col("vmax") - F.col("vmin")
+    raw = F.floor((value - F.col("vmin")) * nbins / span)
+    return (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long"))
+        .otherwise(F.least(raw, F.lit(nbins - 1).cast("long")))
+    )
+
+
+def _grid_bin_sql(nbins: int = _FINE_BINS) -> str:
+    """The same arithmetic, spelled for the DuckDB oracle (operand
+    order matters: both engines must run the identical IEEE-double
+    expression for the bin assignment to be engine-deterministic)."""
+    return f"""CASE WHEN s.vmax = s.vmin THEN 0
+               ELSE CAST(least(floor((e.value - s.vmin) * {nbins}
+                                     / (s.vmax - s.vmin)),
+                               {nbins - 1}) AS BIGINT) END"""
+
+
+def _fine_bin(value: F.Column) -> F.Column:
+    return _grid_bin(value, _FINE_BINS)
+
+
+_FINE_BIN_SQL = _grid_bin_sql(_FINE_BINS)
+
+
+@register(
+    "histogram_equidepth_approx",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(value) AS vmin, max(value) AS vmax
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT {_FINE_BIN_SQL} AS bin, e.value
+      FROM events e CROSS JOIN s
+      WHERE e.value IS NOT NULL
+    ),
+    g AS (
+      SELECT bin, count(*) AS cnt, min(value) AS blo, max(value) AS bhi
+      FROM b GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, cnt, blo, bhi,
+             sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt AS cum_before,
+             sum(cnt) OVER () AS tot
+      FROM g
+    )
+    SELECT CAST(least(floor(cum_before * {_EQD_BUCKETS} * 1.0 / tot),
+                      {_EQD_BUCKETS - 1}) + 1 AS BIGINT) AS bucket,
+           ROUND(min(blo), 6) AS lo,
+           ROUND(max(bhi), 6) AS hi,
+           CAST(sum(cnt) AS BIGINT) AS n
+    FROM c GROUP BY 1
+    """,
+)
+def histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram, the 100 TB shape (scale twin of the exact
+    histogram_equidepth_value, whose ntile needs a single-partition
+    global sort): bin rows onto the fixed _FINE_BINS grid with one
+    map-side-combined hash aggregate — the ONLY full-data pass — then
+    derive bucket boundaries from cumulative counts over the <= 1024-row
+    bin table. Each bin lands wholly in the equi-depth bucket of its
+    first row (floor(cum_before*K/tot)), so bucket populations are equal
+    up to one bin's count; lo/hi come from per-bin min/max of the real
+    values, not grid edges. No global sort ever touches the raw table —
+    the window's sort input is the aggregated bin frame (plan-asserted
+    in tests/test_scale_plans.py). Every arithmetic step is the same
+    IEEE-double expression in the DuckDB oracle, so the approximation is
+    engine-deterministic and fully hash-checked."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    b = ev.crossJoin(F.broadcast(s)).select(
+        _fine_bin(F.col("value")).alias("bin"), "value"
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("value").alias("blo"),
+        F.max("value").alias("bhi"),
+    )
+    wo = Window.orderBy("bin")
+    c = g.select(
+        "cnt",
+        "blo",
+        "bhi",
+        (
+            F.sum("cnt").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("cnt")
+        ).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+    )
+    bucket = (
+        F.least(
+            F.floor(F.col("cum_before") * _EQD_BUCKETS * F.lit(1.0) / F.col("tot")),
+            F.lit(_EQD_BUCKETS - 1).cast("long"),
+        )
+        + F.lit(1)
+    ).cast("long")
+    return c.groupBy(bucket.alias("bucket")).agg(
+        F.round(F.min("blo"), 6).alias("lo"),
+        F.round(F.max("bhi"), 6).alias("hi"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+
+
+@register(
+    "drift_ks_binned",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(value) AS vmin, max(value) AS vmax
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT e.event_type,
+             {_FINE_BIN_SQL} AS bin,
+             CASE WHEN e.ts < TIMESTAMP '{_DRIFT_PIVOT}' THEN 1 ELSE 0 END
+               AS in_a
+      FROM events e CROSS JOIN s
+      WHERE e.value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, bin,
+             sum(in_a) AS a_cnt, sum(1 - in_a) AS b_cnt
+      FROM t GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type,
+             sum(a_cnt) OVER w AS cum_a, sum(b_cnt) OVER w AS cum_b,
+             sum(a_cnt) OVER p AS n_a, sum(b_cnt) OVER p AS n_b
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(max(abs(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6)
+             AS ks_stat
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift statistic, the 100 TB shape (scale twin of
+    drift_ks_value, whose per-event_type running window full-sorts each
+    type's entire history through one task — a skewed-key scale-killer
+    on a low-cardinality partition key). Here both half-month samples
+    are histogrammed onto the shared _FINE_BINS grid in ONE map-side-
+    combined aggregate; the per-type ECDF walk then runs over at most
+    |types| x 1024 aggregated rows, and per-type totals come from a
+    partition window on that same tiny frame (no second scan, no join
+    back). The result is the exact KS D evaluated at bin boundaries —
+    a lower bound within max single-bin mass of the true D, identical
+    in both engines, fully hash-checked. No sort over the raw table
+    (plan-asserted in tests/test_scale_plans.py)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    t = ev.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        _fine_bin(F.col("value")).alias("bin"),
+        (F.col("ts") < F.lit(_DRIFT_PIVOT).cast("timestamp"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    g = t.groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("a_cnt"),
+        F.sum(1 - F.col("in_a")).alias("b_cnt"),
+    )
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "event_type",
+        F.sum("a_cnt").over(w).alias("cum_a"),
+        F.sum("b_cnt").over(w).alias("cum_b"),
+        F.sum("a_cnt").over(wp).alias("n_a"),
+        F.sum("b_cnt").over(wp).alias("n_b"),
+    )
+    return c.groupBy(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    ).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.lit(1.0) / F.col("n_a")
+                    - F.col("cum_b") * F.lit(1.0) / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_stat")
+    )
+
+
+_PSI_BINS = 10  # the conventional PSI bin count
+_PSI_EPS = 0.5  # Laplace smoothing per bin (keeps log finite on empties)
+
+
+@register(
+    "drift_psi_value",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(value) AS vmin, max(value) AS vmax
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT e.event_type,
+             {_grid_bin_sql(_PSI_BINS)} AS bin,
+             CASE WHEN e.ts < TIMESTAMP '{_DRIFT_PIVOT}' THEN 1 ELSE 0 END
+               AS in_a
+      FROM events e CROSS JOIN s
+      WHERE e.value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, bin,
+             sum(in_a) AS a_cnt, sum(1 - in_a) AS b_cnt
+      FROM t GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, a_cnt, b_cnt,
+             sum(a_cnt) OVER p AS n_a, sum(b_cnt) OVER p AS n_b
+      FROM g
+      WINDOW p AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(sum(
+             ((a_cnt + {_PSI_EPS}) * 1.0 / (n_a + {_PSI_EPS * _PSI_BINS})
+              - (b_cnt + {_PSI_EPS}) * 1.0 / (n_b + {_PSI_EPS * _PSI_BINS}))
+             * ln(((a_cnt + {_PSI_EPS}) * 1.0 / (n_a + {_PSI_EPS * _PSI_BINS}))
+                  / ((b_cnt + {_PSI_EPS}) * 1.0 / (n_b + {_PSI_EPS * _PSI_BINS})))
+           ), 6) AS psi
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type, first half-month vs
+    second — the third drift monitor next to drift_ks_binned
+    (distributional distance) and drift_chi2_event_mix (categorical
+    mix): PSI is what model-risk teams actually threshold (<0.1 stable,
+    >0.25 shifted). Same scale shape as the binned KS: one map-side-
+    combined (type, bin) count over the conventional 10-bin equal-width
+    grid is the only full-data pass; per-type totals come from a
+    partition window over the <= |types| x 10-row frame. Laplace
+    smoothing (+0.5 per bin) keeps the log finite when a bin is empty
+    on one side — the standard fix, applied identically in the DuckDB
+    oracle so the statistic is engine-deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    t = ev.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        _grid_bin(F.col("value"), _PSI_BINS).alias("bin"),
+        (F.col("ts") < F.lit(_DRIFT_PIVOT).cast("timestamp"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    g = t.groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("a_cnt"),
+        F.sum(1 - F.col("in_a")).alias("b_cnt"),
+    )
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(wp).alias("n_a"),
+        F.sum("b_cnt").over(wp).alias("n_b"),
+    )
+    denom = _PSI_EPS * _PSI_BINS
+    pa = (F.col("a_cnt") + _PSI_EPS) * F.lit(1.0) / (F.col("n_a") + denom)
+    pb = (F.col("b_cnt") + _PSI_EPS) * F.lit(1.0) / (F.col("n_b") + denom)
+    return c.groupBy(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    ).agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))

@@ -495,8 +495,12 @@ _SES_GAP_MIN = 30
     oracle=f"""
     WITH t AS (
       SELECT user_id, ts, value,
+             -- >= (not >): Spark's session_window is half-open
+             -- [start, last_ts + gap), so an event landing EXACTLY gap
+             -- after the previous one starts a NEW session; the oracle
+             -- mirrors that exclusive boundary.
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL {_SES_GAP_MIN} MINUTE
+                       >= INTERVAL {_SES_GAP_MIN} MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events

@@ -25,79 +25,150 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
-# The driver's per-round correctness sweep checks at most ~50 queries in
-# registration order (CORRECTNESS_r01.json stopped at exactly 50 of 85).
-# These names already have a green r01 row, so they yield the front of the
-# queue to the 35 queries the driver has never checked; relative order is
-# otherwise preserved. Drop a name from this set once its semantics change
-# (it then needs a fresh driver row before the long-verified ones).
-_DRIVER_VERIFIED_R01 = {
-    "sessionization", "asof_join_purchase_click", "pivot_daily_event_counts",
-    "salted_skew_agg", "zscore_per_group", "time_band_join", "value_quantiles",
-    "data_profile", "json_props_rollup", "window_lag_delta",
-    "sample_stratified_hash", "split_train_val_test", "contamination_pairs",
-    "repetition_ngram_ratio", "quality_filter_funnel", "text_stats", "lang_id",
-    "doc_fingerprints", "dedup_simhash", "dedup_exact", "minhash_signatures",
-    "dedup_minhash_lsh", "ngram_jaccard_blocked", "token_counts_bpe",
-    "dedup_clusters_minhash", "corpus_curation_pipeline", "text_normalize",
-    "cosine_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
-    "ann_recall_trained_ivf", "dedup_embedding_cosine", "ann_lsh_topk",
-    "embedding_norms", "multimodal_image_features", "multimodal_frame_sample",
-    "multimodal_audio_features", "daily_agg", "monthly_agg", "scalar_exprs",
-    "wind_buckets", "clamp_median_fill", "dedup_keep_first", "drop_unparseable",
-    "pipeline_daily_weather_analog", "validation_summary", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_region_revenue", "topk_per_group",
+# Age-tiered driver-row freshness rotation (VERDICT r3 item 2): the
+# driver's per-round correctness sweep checks at most ~50 queries in
+# registration order, so `_sweep_order` re-ranks registration so the
+# budget lands where the signal is oldest. Tiers, in order:
+#   0. queries with NO entry here — brand new this round, or semantics/
+#      oracle changed (the escape hatch: DELETE a query's entry when you
+#      change what it computes, so it must earn a fresh row before any
+#      long-verified query is re-checked);
+#   1+. queries whose newest green row is round N, oldest N first.
+# Relative registration order is preserved within every tier. After
+# each round, regenerate from the union of CORRECTNESS_r0*.json (latest
+# green round per query; see tools/gen_sweep_tiers.py).
+_LAST_GREEN_ROUND: dict[str, int] = {
+    # --- round 1 is the newest green driver row (35 queries)
+    "ann_ivf_topk": 1,
+    "ann_ivf_trained_topk": 1,
+    "ann_lsh_topk": 1,
+    "ann_recall_trained_ivf": 1,
+    "clamp_median_fill": 1,
+    "corpus_curation_pipeline": 1,
+    "cosine_topk": 1,
+    "daily_agg": 1,
+    "dedup_clusters_minhash": 1,
+    "dedup_embedding_cosine": 1,
+    "dedup_exact": 1,
+    "dedup_keep_first": 1,
+    "dedup_minhash_lsh": 1,
+    "dedup_simhash": 1,
+    "doc_fingerprints": 1,
+    "drop_unparseable": 1,
+    "embedding_norms": 1,
+    "lang_id": 1,
+    "minhash_signatures": 1,
+    "monthly_agg": 1,
+    "multimodal_audio_features": 1,
+    "multimodal_frame_sample": 1,
+    "multimodal_image_features": 1,
+    "ngram_jaccard_blocked": 1,
+    "pipeline_daily_weather_analog": 1,
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "q5_region_revenue": 1,
+    "scalar_exprs": 1,
+    "text_normalize": 1,
+    "text_stats": 1,
+    "token_counts_bpe": 1,
+    "topk_per_group": 1,
+    "validation_summary": 1,
+    "wind_buckets": 1,
+    # --- round 2 is the newest green driver row (39 queries)
+    "cube_agg": 2,
+    "dedup_chunks_c4": 2,
+    "dedup_corpus_materialize": 2,
+    "dedup_incremental_batch": 2,
+    "dsir_importance_score": 2,
+    "gap_fill_daily_locf": 2,
+    "monthly_from_daily_rollup": 2,
+    "nation_wealth_full_outer": 2,
+    "order_limit": 2,
+    "parts_above_brand_avg": 2,
+    "pii_redact": 2,
+    "q11_important_parts": 2,
+    "q12_priority_shipping": 2,
+    "q13_customer_distribution": 2,
+    "q14_promo_revenue": 2,
+    "q15_top_supplier": 2,
+    "q16_part_supplier_counts": 2,
+    "q17_small_quantity_revenue": 2,
+    "q18_large_orders": 2,
+    "q19_disjunctive_revenue": 2,
+    "q20_promo_suppliers": 2,
+    "q21_waiting_suppliers": 2,
+    "q22_idle_rich_customers": 2,
+    "q2_min_acctbal_supplier": 2,
+    "q4_order_priority": 2,
+    "q6_forecast_revenue": 2,
+    "q7_volume_shipping": 2,
+    "q8_market_share": 2,
+    "q9_product_profit": 2,
+    "quality_logistic_score": 2,
+    "rollup_agg": 2,
+    "sample_weighted_priority": 2,
+    "semi_anti_join": 2,
+    "session_window_agg": 2,
+    "set_ops": 2,
+    "sliding_window_agg": 2,
+    "sql_q10_returned_items": 2,
+    "tfidf_top_terms": 2,
+    "window_running_sum": 2,
+    # --- round 3 is the newest green driver row (47 queries)
+    "asof_join_cogroup": 3,
+    "asof_join_purchase_click": 3,
+    "chunk_sliding_rag": 3,
+    "cohort_retention": 3,
+    "contamination_pairs": 3,
+    "conversion_funnel_3step": 3,
+    "data_profile": 3,
+    "drift_chi2_event_mix": 3,
+    "embedding_quantize_int8": 3,
+    "ewma_daily_by_type": 3,
+    "fuzzy_pairs_levenshtein": 3,
+    "grouping_sets_agg": 3,
+    "histogram_equidepth_value": 3,
+    "histogram_value_buckets": 3,
+    "json_props_rollup": 3,
+    "merge_scd1_upsert": 3,
+    "mixture_temperature_weights": 3,
+    "multimodal_phash_neardup": 3,
+    "outlier_mad_robust_zscore": 3,
+    "pivot_daily_event_counts": 3,
+    "pq_adc_topk": 3,
+    "pq_encode_recon": 3,
+    "quality_filter_funnel": 3,
+    "quality_gopher_rules": 3,
+    "repetition_ngram_ratio": 3,
+    "salted_skew_agg": 3,
+    "sample_balanced_per_source": 3,
+    "sample_stratified_hash": 3,
+    "scd2_customer_priority": 3,
+    "sequence_packing": 3,
+    "sessionization": 3,
+    "split_train_val_test": 3,
+    "sql_recursive_hierarchy_rollup": 3,
+    "streaming_band_join": 3,
+    "streaming_daily_means": 3,
+    "streaming_daily_mode": 3,
+    "streaming_dedup_daily_counts": 3,
+    "streaming_outer_join": 3,
+    "streaming_sliding_means": 3,
+    "streaming_static_join_daily": 3,
+    "synth_source_events": 3,
+    "time_band_join": 3,
+    "unpivot_daily_metrics": 3,
+    "value_quantiles": 3,
+    "window_lag_delta": 3,
+    "window_range_rolling_7d": 3,
+    "zscore_per_group": 3,
 }
-
-
-# Green rows in CORRECTNESS_r02.json (46 of the 50 swept in round 2).
-_DRIVER_VERIFIED_R02 = {
-    "semi_anti_join", "set_ops", "rollup_agg", "cube_agg",
-    "window_running_sum", "order_limit", "q6_forecast_revenue",
-    "parts_above_brand_avg", "nation_wealth_full_outer", "q14_promo_revenue",
-    "q18_large_orders", "q4_order_priority", "q7_volume_shipping",
-    "q2_min_acctbal_supplier", "sql_q10_returned_items", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_priority_shipping",
-    "q13_customer_distribution", "q15_top_supplier", "q16_part_supplier_counts",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_promo_suppliers", "q21_waiting_suppliers", "q22_idle_rich_customers",
-    "sliding_window_agg", "session_window_agg", "gap_fill_daily_locf",
-    "monthly_from_daily_rollup", "asof_join_cogroup",
-    "histogram_value_buckets", "scd2_customer_priority", "cohort_retention",
-    "merge_scd1_upsert", "sequence_packing", "sample_balanced_per_source",
-    "dsir_importance_score", "quality_logistic_score",
-    "sample_weighted_priority", "dedup_corpus_materialize", "pii_redact",
-    "tfidf_top_terms", "dedup_chunks_c4", "dedup_incremental_batch",
-}
-
-# Round-3 sweep head (VERDICT r2 "Next round" items 1-3), in order:
-# the 6 registered-in-r2-but-never-checked queries, the 4 r02 ERR rows
-# (TIMESTAMP_NTZ drift, fixed at the root in schemas.load_table this
-# round), and asof_join_purchase_click (r1-green, broken by the same
-# drift mid-r2, re-verify post-fix).
-_PRIORITY_R03 = [
-    "streaming_band_join", "streaming_outer_join",
-    "streaming_static_join_daily", "embedding_quantize_int8",
-    "grouping_sets_agg", "window_range_rolling_7d",
-    "streaming_daily_mode", "streaming_daily_means",
-    "streaming_dedup_daily_counts", "streaming_sliding_means",
-    "asof_join_purchase_click",
-]
-
-_DRIVER_VERIFIED = (
-    _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
-) - set(_PRIORITY_R03)
 
 
 def _sweep_order(names: list[str]) -> list[str]:
-    """Priority (never-checked / erred / needs-reverify) queries first,
-    then queries with no green driver row yet (new this round), then the
-    long-verified ones; relative order preserved within each tier."""
-    prio = [n for n in _PRIORITY_R03 if n in names]
-    rest = [n for n in names if n not in prio]
-    unseen = [n for n in rest if n not in _DRIVER_VERIFIED]
-    seen = [n for n in rest if n in _DRIVER_VERIFIED]
-    return prio + unseen + seen
+    """Never-checked / changed-semantics queries first, then stalest
+    green driver rows first; registration order within each tier."""
+    return sorted(names, key=lambda n: _LAST_GREEN_ROUND.get(n, 0))
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

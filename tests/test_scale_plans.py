@@ -1,0 +1,98 @@
+"""Plan-shape assertions for the scale-safe *_approx / *_binned query
+variants (VERDICT r3 item 1): the whole point of those queries is that
+NO sort ever runs over the raw events table — the only full-data pass
+is a map-side-combined hash aggregate, and every Sort/Window node's
+input is the tiny aggregated bin frame. These tests pin that property
+in the physical plan so a refactor can't silently reintroduce the
+single-partition (or skewed-per-key) global sort the exact variants
+pay.
+
+Method: with AQE off the physical plan prints as one indented DFS
+tree, so for every `Sort` line, each deeper `Scan parquet` line that
+follows before indentation pops back must have an aggregate line
+between them — the path Sort -> ... -> Scan passes through an
+aggregate, i.e. the sort input is post-aggregation.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import re
+
+from dataengineeringproject_spark import registry
+
+from conftest import SF_SMOKE
+
+_AGG_RE = re.compile(r"HashAggregate|SortAggregate|ObjectHashAggregate")
+
+
+@contextlib.contextmanager
+def _no_aqe(spark):
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a physical-plan line from its ASCII-art prefix.
+    Nodes print as `<indent>+- Name` / `<indent>:- Name` (or bare root);
+    two spaces of prefix per level."""
+    m = re.match(r"^[\s:+|-]*", line)
+    return len(m.group(0)) // 3
+
+
+def _sorts_only_over_aggregates(plan: str) -> list[str]:
+    """Return violations: Sort nodes that reach a parquet Scan without
+    an aggregate on the path (DFS-order check, see module docstring)."""
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    violations = []
+    for i, ln in enumerate(lines):
+        if "Sort " not in ln and not ln.strip().startswith("Sort"):
+            continue
+        d = _depth(ln)
+        agg_seen = False
+        for nxt in lines[i + 1 :]:
+            nd = _depth(nxt)
+            if nd <= d:
+                break  # left the Sort's subtree
+            if _AGG_RE.search(nxt):
+                agg_seen = True
+            if "Scan parquet" in nxt and not agg_seen:
+                violations.append(ln.strip())
+                break
+    return violations
+
+
+def _physical_plan(spark, name: str) -> str:
+    q = registry.queries()[name]
+    with _no_aqe(spark):
+        df = q(spark, SF_SMOKE)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_histogram_equidepth_approx_no_raw_sort(spark):
+    plan = _physical_plan(spark, "histogram_equidepth_approx")
+    assert "ntile" not in plan, plan
+    bad = _sorts_only_over_aggregates(plan)
+    assert not bad, f"sort over un-aggregated scan: {bad}\n{plan}"
+
+
+def test_drift_ks_binned_no_raw_sort(spark):
+    plan = _physical_plan(spark, "drift_ks_binned")
+    bad = _sorts_only_over_aggregates(plan)
+    assert not bad, f"sort over un-aggregated scan: {bad}\n{plan}"
+
+
+def test_exact_variants_do_sort_raw(spark):
+    """Sanity check that the detector actually detects: the exact
+    (test-scale oracle twin) variants DO sort the raw table, so they
+    must trip the same predicate — otherwise the two tests above pass
+    vacuously."""
+    for name in ("histogram_equidepth_value", "drift_ks_value"):
+        plan = _physical_plan(spark, name)
+        assert _sorts_only_over_aggregates(plan), (
+            f"{name} expected to sort the raw scan but detector saw none:\n{plan}"
+        )
