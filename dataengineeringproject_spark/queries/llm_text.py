@@ -798,3 +798,267 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vs_corpus.join(within, ["fingerprint", "doc_id"]).select(
         "doc_id", "source", "fingerprint"
     )
+
+
+# --- BM25 ranking + BPE pair statistics (r4) --------------------------------
+
+_BM25_TERMS = ["spark", "join"]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+_LTOKS = X.tokens_sql("lower(text)")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter({_LTOKS}, w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # every float literal in e-notation: DuckDB parses 0.75 as DECIMAL,
+    # and decimal arithmetic would diverge from Spark's IEEE doubles.
+    score = " + ".join(
+        f"ln(1e0 + (n_docs - df_{i} + 0.5e0) / (df_{i} + 0.5e0))"
+        f" * (tf_{i} * {_BM25_K1 + 1}e0)"
+        f" / (tf_{i} + {_BM25_K1}e0"
+        f" * (1e0 - {_BM25_B}e0 + {_BM25_B}e0 * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len({_LTOKS}) AS dl, {tf_cols}
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM t
+    ),
+    scored AS (
+      SELECT t.doc_id, ROUND({score}, 6) AS score
+      FROM t CROSS JOIN s
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@register("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson/Sparck Jones; the sparse-retrieval
+    scoring function behind Lucene/Elasticsearch and most RAG keyword
+    arms) for a fixed {len(_BM25_TERMS)}-term query over `documents`.
+    Physical shape: per-doc term frequencies and doc length come from
+    one higher-order-function projection (no explode — the token array
+    is filtered per term inside codegen); the corpus statistics
+    (N, avgdl, per-term df) collapse to ONE scalar-aggregate row that
+    broadcasts back; the final top-{_BM25_TOPK} is orderBy+limit —
+    TakeOrderedAndProject, a per-partition heap + driver merge, never
+    a global sort. The rank window runs AFTER the limit, on
+    {_BM25_TOPK} rows. IDF uses the +1 smoothing variant
+    (ln(1 + (N-df+.5)/(df+.5))), always positive; identical IEEE
+    arithmetic spelled in the oracle (e-notation literals keep DuckDB
+    in DOUBLE, not DECIMAL)."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens(F.lower(F.col("text")))
+    t = d.select(F.col("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, w -> w = '{term}'))").alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        term_score = (
+            idf
+            * (tf * F.lit(k1 + 1))
+            / (tf + F.lit(k1) * (F.lit(1.0) - b + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        )
+        score = term_score if score is None else score + term_score
+    scored = t.crossJoin(F.broadcast(s)).select(
+        "doc_id", F.round(score, 6).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+_BPE_TOPK = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest({_LTOKS}) AS w FROM documents
+      ) WHERE length(w) >= 2 GROUP BY 1
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair,
+             freq
+      FROM w
+    ),
+    g AS (SELECT pair, sum(freq) AS n FROM p GROUP BY 1),
+    r AS (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+      FROM g
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer training: corpus-wide
+    frequencies of adjacent character pairs inside words, weighted by
+    word frequency — exactly what one merge iteration of byte-pair
+    encoding maximizes over. The load-bearing scale trick is the
+    DISTINCT-WORD pre-aggregate: pair explosion runs over the
+    vocabulary (bounded, Zipf-capped) times ~word length, not over
+    corpus tokens, so a 100 TB corpus pays one token-count shuffle and
+    the quadratic-ish work happens on a frame the size of its
+    vocabulary. Pair generation is a higher-order transform over
+    sequence(1, len-1) (codegen, no Python); the final top-{_BPE_TOPK}
+    is orderBy+limit (TakeOrderedAndProject) with rank attached after
+    the limit. Integer counts with (count desc, pair asc) ordering —
+    engine-deterministic with no float concerns."""
+    d = _docs(spark, sf_dir)
+    wtab = (
+        d.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    p = wtab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    g = p.groupBy("pair").agg(F.sum("freq").alias("n"))
+    top = g.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.select(
+        "pair",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# --- unigram-LM quality scoring + shingle novelty (r4) ----------------------
+
+
+@register(
+    "quality_unigram_nll",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_LTOKS}) AS w FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS tot FROM cnt)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(ln(tot.tot * 1e0 / cnt.cnt)), 6) AS nll
+    FROM tok JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the classic cheap proxy: train a
+    corpus unigram LM (token counts / total) in one aggregate, then
+    score every document by its mean negative log-likelihood under it
+    — high NLL flags gibberish/rare-token documents, low NLL flags
+    boilerplate; both tails are what perplexity-based corpus filters
+    (CCNet-style) cut. Physical shape: token explode -> one
+    map-side-combined count = the model; the grand total is a 1-row
+    broadcast; scoring re-joins tokens to counts on the token key
+    (shuffle on the natural key; the model side is already partitioned
+    by it from the count) and collapses per doc. No Python anywhere —
+    ln() inside codegen. Documents with zero tokens have no LM score
+    and drop out in both engines."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("tot"))
+    return (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tot") * F.lit(1.0) / F.col("cnt"))), 6
+            ).alias("nll"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH shg AS (
+      SELECT doc_id,
+             unnest({D.shingles_sql(_TOKS, _SHINGLE_K)}) AS sh
+      FROM documents
+    ),
+    f AS (SELECT sh, min(doc_id) AS first_doc FROM shg GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 * 1e0 / count(*), 6) AS novel_frac
+    FROM shg s JOIN f USING (sh)
+    GROUP BY 1
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct {_SHINGLE_K}-token shingles whose FIRST corpus occurrence
+    (min doc_id, a stable ingestion-order stand-in) is this document —
+    the dedup-adjacent diagnostic behind train-set decontamination and
+    memorization studies (a doc that is 95% previously-seen shingles
+    is boilerplate or a near-copy even when no single pair-wise match
+    fires). Physical shape: the shingle table feeds one min-aggregate
+    (map-side combined) keyed by shingle, and the scoring join runs on
+    that same key — the aggregate's output partitioning is reused, so
+    the big table shuffles once. Integer counts; the only float is the
+    final ratio of two per-doc counts — engine-exact."""
+    d = _docs(spark, sf_dir)
+    shg = d.select(
+        "doc_id", F.explode(D.shingles(F.col("text"), k=_SHINGLE_K)).alias("sh")
+    )
+    f = shg.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    g = shg.join(f, "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(novel).cast("long").alias("n_novel"),
+        F.round(
+            F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("novel_frac"),
+    )
+    return g

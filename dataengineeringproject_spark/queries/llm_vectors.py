@@ -660,3 +660,134 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_K)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+# --- Reciprocal-rank fusion (r4): dense + sparse hybrid retrieval -----------
+
+_RRF_C = 60          # the standard RRF dampening constant
+_RRF_POOL = 20       # per-arm candidate pool
+_RRF_TOPK = 10
+_RRF_QUERIES = {0: "spark", 1: "join", 2: "table"}  # vec_id -> keyword
+
+
+def _rrf_oracle() -> str:
+    from dataengineeringproject_spark.functions.text import tokens_sql
+
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in _RRF_QUERIES.items())
+    qids = ", ".join(str(q) for q in _RRF_QUERIES)
+    ltoks = tokens_sql("lower(d.text)")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v
+          WHERE vec_id IN ({qids})),
+    dense AS (
+      SELECT query_id, doc_id, rank_d FROM (
+        SELECT q.query_id, v.vec_id AS doc_id, row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND(list_cosine_similarity(q.qemb, v.emb), 6) DESC,
+                   v.vec_id ASC) AS rank_d
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank_d <= {_RRF_POOL}
+    ),
+    terms(query_id, term) AS (VALUES {qvals}),
+    sparse AS (
+      SELECT query_id, doc_id, rank_s FROM (
+        SELECT x.query_id, x.doc_id, row_number() OVER (
+          PARTITION BY x.query_id ORDER BY x.tf DESC, x.doc_id ASC) AS rank_s
+        FROM (
+          SELECT d.doc_id, t.query_id,
+                 len(list_filter({ltoks}, w -> w = t.term)) AS tf
+          FROM documents d CROSS JOIN terms t
+        ) x
+        WHERE x.tf > 0 AND x.doc_id <> x.query_id
+      ) WHERE rank_s <= {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT coalesce(dense.query_id, sparse.query_id) AS query_id,
+             coalesce(dense.doc_id, sparse.doc_id) AS doc_id,
+             ROUND(coalesce(1e0 / ({_RRF_C} + rank_d), 0e0)
+                   + coalesce(1e0 / ({_RRF_C} + rank_s), 0e0), 6) AS rrf
+      FROM dense FULL OUTER JOIN sparse
+        ON dense.query_id = sparse.query_id AND dense.doc_id = sparse.doc_id
+    )
+    SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {_RRF_TOPK}
+    """
+
+
+@register("rrf_fusion_topk", oracle=_rrf_oracle())
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.):
+    fuse a DENSE arm (exact cosine over `embeddings`, the cosine_topk
+    machinery) with a SPARSE arm (keyword term-frequency over the
+    id-aligned `documents`) per query; rrf = sum over arms of
+    1/({_RRF_C}+rank). This is the standard RAG retrieval stack shape
+    — vector index + keyword index merged by rank, immune to the
+    arms' incomparable score scales. Physical shape: each arm is a
+    broadcast-query-side scan producing a per-query top-{_RRF_POOL}
+    pool (window over candidates; the sparse arm filters tf > 0 BEFORE
+    ranking so the window never sees non-matching docs); the fusion is
+    a full outer join of two <= |Q|x{_RRF_POOL}-row frames — trivially
+    broadcastable at any corpus size. Rank arithmetic only (integer
+    ranks into 1/(c+r)), so fusion scores are engine-exact; the dense
+    ranks inherit cosine_topk's ROUND-then-rank determinism."""
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.functions.text import tokens
+    from dataengineeringproject_spark.schemas import load_table as _lt
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        S.cosine_topk(
+            emb, "vec_id", "embedding", list(_RRF_QUERIES), k=_RRF_POOL
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_d"),
+        )
+    )
+    docs = _lt(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        list(_RRF_QUERIES.items()), "query_id long, term string"
+    )
+    cand = (
+        docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.filter("toks", lambda w: w == F.col("term"))).alias("tf"),
+        )
+        .filter((F.col("tf") > 0) & (F.col("doc_id") != F.col("query_id")))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("doc_id"))
+    sparse = (
+        cand.withColumn("rank_s", F.row_number().over(ws))
+        .filter(F.col("rank_s") <= _RRF_POOL)
+        .select("query_id", "doc_id", "rank_s")
+    )
+    fused = (
+        dense.join(sparse, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (_RRF_C + F.col("rank_d")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (_RRF_C + F.col("rank_s")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOPK)
+    )

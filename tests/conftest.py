@@ -13,6 +13,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "sf01: oracle spot-checks at sf0.1 (bench scale, AQE-sensitive)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from dataengineeringproject_spark.session import get_spark

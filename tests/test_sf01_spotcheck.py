@@ -1,0 +1,36 @@
+"""sf0.1 oracle spot-checks (VERDICT r3 item 6): the full differential
+harness runs at sf0.001 (pytest) / sf0.01 (driver), but bench runs at
+sf0.1 where AQE has 10x more rows to re-plan with — coalesced shuffle
+partitions, demoted/promoted broadcasts, skew splits. These hash-check
+a representative slice at sf0.1 so a plan that only materializes at
+bench scale can't silently diverge: one broadcast-dim join chain, one
+range-frame window, one LSH dedup (candidate-join heavy), and the two
+r4 binned scale variants (their tiny-frame windows sit right where AQE
+coalesces hardest).
+
+Marked `sf01` (registered in conftest): deselect with -m "not sf01"
+for a fast loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests._harness import compare
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+SPOT = [
+    "q5_region_revenue",
+    "window_range_rolling_7d",
+    "dedup_minhash_lsh",
+    "histogram_equidepth_approx",
+    "drift_ks_binned",
+]
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle_at_sf01(spark, name):
+    ok, msg = compare(spark, name, SF_BENCH)
+    assert ok, f"{name} at sf0.1: {msg}"
