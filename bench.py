@@ -56,12 +56,23 @@ HEADLINE = [
     # r3/r4 additions (VERDICT r3 item 3: measure them at scale)
     "pq_adc_topk",
     "fuzzy_pairs_levenshtein",
+    "fuzzy_pairs_blocked",
     "quality_gopher_rules",
     "drift_ks_value",
     "drift_ks_binned",
+    "drift_psi_value",
     "drift_chi2_event_mix",
     "histogram_equidepth_value",
     "histogram_equidepth_approx",
+    "bm25_topk",
+    "bpe_pair_counts",
+    "rrf_fusion_topk",
+    "quality_unigram_nll",
+    "ngram_novelty",
+    "hll_distinct_users",
+    "cms_heavy_hitters",
+    "bloom_prefilter_join",
+    "window_rank_family",
 ]
 
 

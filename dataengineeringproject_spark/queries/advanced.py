@@ -1609,3 +1609,319 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact"), 4
         ).alias("rel_err"),
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             ROUND(sum(value), 2) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, day_value,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           nth_value(day, 2) OVER (PARTITION BY event_type
+                                   ORDER BY day_value DESC, day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS second_best_day
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_value DESC, day)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one query — rank,
+    dense_rank, percent_rank, cume_dist, nth_value — ranking each
+    event_type's days by daily revenue. The window runs AFTER the
+    daily pre-aggregate, so its sort input is |types| x |days| rows no
+    matter how many raw events exist (the same aggregate-before-window
+    discipline as the binned drift queries; a window directly over raw
+    events would be the per-type full sort drift_ks_value is being
+    retired for). day_value is rounded BEFORE ranking so float ulps
+    cannot flip rank order between engines; (value, day) tie-break
+    pins total order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("day_value"), F.asc("day")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return d.select(
+        "event_type",
+        "day",
+        "day_value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("day", 2).over(wf).alias("second_best_day"),
+    )
+
+
+# --- Bloom-filter semi-join prefilter (r4) ----------------------------------
+
+_BLOOM_M = 512  # bits — sized so the false-positive mechanism is OBSERVABLE
+_BLOOM_K = 3    # hash functions
+_BLOOM_CUTOFF = "2024-01-03"  # build side: users who purchased BEFORE this
+
+
+def _bloom_pos_sql(j: int) -> str:
+    from dataengineeringproject_spark.functions.text import token_hash_sql
+
+    return (
+        f"{token_hash_sql('CAST(user_id AS VARCHAR)', f'bloom{j}')} % {_BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_prefilter_join",
+    oracle=f"""
+    WITH purch AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_BLOOM_CUTOFF}'
+    ),
+    bits AS (
+      SELECT list(DISTINCT pos) AS bits FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql(j) for j in range(_BLOOM_K))}])
+               AS pos
+        FROM purch
+      )
+    ),
+    clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    pass AS (
+      SELECT count(*) AS n_bloom_pass
+      FROM clicks, bits
+      WHERE {" AND ".join(
+          f"list_contains(bits, {_bloom_pos_sql(j)})" for j in range(_BLOOM_K)
+      )}
+    ),
+    tru AS (
+      SELECT count(*) AS n_true_match FROM clicks
+      WHERE user_id IN (SELECT user_id FROM purch)
+    )
+    SELECT CAST((SELECT count(*) FROM purch) AS BIGINT) AS n_keys,
+           CAST((SELECT count(*) FROM clicks) AS BIGINT) AS n_probe,
+           CAST(pass.n_bloom_pass AS BIGINT) AS n_bloom_pass,
+           CAST(tru.n_true_match AS BIGINT) AS n_true_match,
+           ROUND((pass.n_bloom_pass - tru.n_true_match) * 1e0
+                 / nullif((SELECT count(*) FROM clicks) - tru.n_true_match, 0),
+                 6) AS fp_rate
+    FROM pass, tru
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, built deterministically so both
+    engines compute the IDENTICAL filter: a {_BLOOM_M}-bit /
+    {_BLOOM_K}-hash Bloom filter over purchase-side user ids probes
+    the click stream before the exact semi join. Why it matters at
+    100 TB: a semi join shuffles the probe side on the join key; the
+    Bloom filter is a {_BLOOM_M}-bit broadcast that eliminates most
+    non-matching probe rows AT THE SCAN (this is what Spark's runtime
+    row-level filtering / Parquet bloom pushdown do internally —
+    built explicitly here so the mechanism and its false-positive
+    rate are measurable and oracle-checked). The query reports build
+    cardinality, probe cardinality, bloom-pass count, true match
+    count, and the realized fp rate among true negatives (expected
+    ~(1 - e^(-kn/m))^k). Hashes are the repo-standard md5-prefix
+    integers with per-hash seeds; the bit set aggregates to ONE
+    bounded array row (<= {_BLOOM_M} positions) that broadcasts —
+    never a shuffle of the probe side before the filter."""
+    from dataengineeringproject_spark.functions.text import token_hash
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def pos(j: int) -> F.Column:
+        return (
+            token_hash(F.col("user_id").cast("string"), seed=f"bloom{j}")
+            % _BLOOM_M
+        )
+
+    purch = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit(_BLOOM_CUTOFF).cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    bits = purch.select(
+        F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("p")
+    ).agg(F.collect_set("p").alias("bits"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    passed = (
+        clicks.crossJoin(F.broadcast(bits))
+        .filter(
+            F.array_contains("bits", pos(0))
+            & F.array_contains("bits", pos(1))
+            & F.array_contains("bits", pos(2))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    )
+    tru = (
+        clicks.join(purch, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true_match"))
+    )
+    nk = purch.agg(F.count(F.lit(1)).alias("n_keys"))
+    np_ = clicks.agg(F.count(F.lit(1)).alias("n_probe"))
+    out = (
+        nk.crossJoin(np_).crossJoin(passed).crossJoin(tru)
+    )
+    return out.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_probe").cast("long").alias("n_probe"),
+        F.col("n_bloom_pass").cast("long").alias("n_bloom_pass"),
+        F.col("n_true_match").cast("long").alias("n_true_match"),
+        F.round(
+            (F.col("n_bloom_pass") - F.col("n_true_match"))
+            * F.lit(1.0)
+            / F.nullif(
+                F.col("n_probe") - F.col("n_true_match"), F.lit(0)
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+# --- Count-Min sketch heavy hitters (r4) ------------------------------------
+
+_CMS_D = 4     # depth: independent hash rows
+_CMS_W = 256   # width: counters per row
+_CMS_TOPK = 10
+
+
+def _cms_bucket_sql(j: int, expr: str = "CAST(user_id AS VARCHAR)") -> str:
+    from dataengineeringproject_spark.functions.text import token_hash_sql
+
+    return f"{token_hash_sql(expr, f'cms{j}')} % {_CMS_W}"
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH sketch AS (
+      SELECT j, bucket, count(*) AS c FROM (
+        SELECT unnest([{", ".join(str(j) for j in range(_CMS_D))}]) AS j,
+               unnest([{", ".join(_cms_bucket_sql(j) for j in range(_CMS_D))}])
+                 AS bucket
+        FROM events
+      ) GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, count(*) AS n_exact,
+             row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
+      FROM events GROUP BY 1
+      QUALIFY rnk <= {_CMS_TOPK}
+    ),
+    est AS (
+      SELECT t.user_id, t.n_exact, t.rnk, min(s.c) AS cms_estimate
+      FROM top t, (SELECT unnest([{", ".join(str(j) for j in range(_CMS_D))}])
+                   AS j) js
+      JOIN sketch s
+        ON s.j = js.j
+       AND s.bucket = CASE js.j
+             {" ".join(f"WHEN {j} THEN {_cms_bucket_sql(j, 'CAST(t.user_id AS VARCHAR)')}" for j in range(_CMS_D))}
+           END
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - n_exact AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, engine-deterministic like
+    the HLL twin: a {_CMS_D}x{_CMS_W} counter sketch over the event
+    stream's user ids, read back for the top-{_CMS_TOPK} exact heavy
+    hitters with the classic min-over-rows estimate and its realized
+    overestimate (CMS never underestimates; expected error <=
+    2N/{_CMS_W} with prob 1-(1/2)^{_CMS_D}). Scale story: the sketch
+    state is {_CMS_D}x{_CMS_W} integers built in ONE map-side-combined
+    aggregate — per-key frequency queries over an unbounded key space
+    then cost a broadcast lookup instead of a full groupBy, and
+    sketches from disjoint shards merge by cell-wise ADD (counts are
+    linear), the property that makes CMS the streaming/telemetry
+    workhorse. Hashes are seeded md5-prefix integers; every step is
+    mirrored in the DuckDB oracle, so the sketch content itself is
+    hash-checked. The exact top-{_CMS_TOPK} ranking (count desc,
+    user_id) is computed independently on both sides as the read-back
+    probe set."""
+    from dataengineeringproject_spark.functions.text import token_hash
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(j: int, col: F.Column) -> F.Column:
+        return token_hash(col.cast("string"), seed=f"cms{j}") % _CMS_W
+
+    sketch = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("user_id")).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.j", "s.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heap
+    # + driver merge — no global sort of the user-grain table), rank
+    # attached afterwards on the k-row result.
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
+            ),
+        )
+    )
+    probes = top.select(
+        "user_id",
+        "n_exact",
+        "rnk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("user_id")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "n_exact", "rnk", "p.j", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "n_exact", "rnk")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("n_exact")).cast("long").alias("overestimate"),
+    )

@@ -844,7 +844,15 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Levenshtein fuzzy matching (r3) -----------------------------------------
 
 _LEV_PREFIX = 40   # chars of normalized prefix compared
-_LEV_MAX = 22      # max edit distance reported
+# Max edit distance reported. r3 shipped 22 — but 22-of-40 chars is not
+# a near-dup test, it is "half the prefix may differ", and on a
+# low-entropy corpus that makes nearly every in-block pair a match:
+# candidate verification then dominates bench (19 s at sf0.1, r4
+# measurement) with an output too loose to act on. 8-of-40 is the
+# production fuzzy-match regime (k << len) the bounded-DP kernel is
+# built for: the band DP early-terminates most pairs, and surviving
+# pairs are actual near-duplicates.
+_LEV_MAX = 8
 
 
 @register(
@@ -909,6 +917,16 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZ_BANDS = 2  # minhash bands; a pair is a candidate if ANY band key matches
+_FUZ_ROWS = 2   # minhashes concatenated per band key: P(collide) = J^_FUZ_ROWS
+
+
+def _fuz_band_min_sql(band: int, row: int) -> str:
+    """min over the prefix's 3-gram set of md5 seeded per (band, row)."""
+    return (
+        f"list_min(list_transform("
+        f"generate_series(1, greatest(length(pfx) - 2, 1)), "
+        f"i -> md5('{band}r{row}|' || substr(pfx, i, 3))))"
+    )
 
 
 @register(
@@ -922,10 +940,13 @@ _FUZ_BANDS = 2  # minhash bands; a pair is a candidate if ANY band key matches
     ),
     k AS (
       SELECT doc_id, pfx, band,
-             list_min(list_transform(
-               generate_series(1, greatest(length(pfx) - 2, 1)),
-               i -> md5(CAST(band AS VARCHAR) || '|' || substr(pfx, i, 3))
-             )) AS bkey
+             {" || ".join(
+                 "CASE band " + " ".join(
+                     f"WHEN {b} THEN {_fuz_band_min_sql(b, r)}"
+                     for b in range(_FUZ_BANDS)
+                 ) + " END"
+                 for r in range(_FUZ_ROWS)
+             )} AS bkey
       FROM p, (SELECT unnest([{", ".join(str(b) for b in range(_FUZ_BANDS))}])
                AS band) bands
     )
@@ -961,10 +982,15 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LEV_PREFIX,
     )
     p = d.select("doc_id", pfx.alias("pfx"))
+    def _band_min(b: int, r: int) -> str:
+        return (
+            f"array_min(transform(sequence(1, greatest(length(pfx) - 2, 1)), "
+            f"i -> md5(concat('{b}r{r}|', substring(pfx, i, 3)))))"
+        )
+
     band_keys = [
         F.expr(
-            f"array_min(transform(sequence(1, greatest(length(pfx) - 2, 1)), "
-            f"i -> md5(concat('{b}|', substring(pfx, i, 3)))))"
+            "concat(" + ", ".join(_band_min(b, r) for r in range(_FUZ_ROWS)) + ")"
         ).alias(f"bkey_{b}")
         for b in range(_FUZ_BANDS)
     ]

@@ -125,7 +125,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "drift_chi2_event_mix": 3,
     "embedding_quantize_int8": 3,
     "ewma_daily_by_type": 3,
-    "fuzzy_pairs_levenshtein": 3,
+    # fuzzy_pairs_levenshtein: entry removed in r4 (threshold tightened
+    # 22 -> 8, see queries/curation.py) — needs a fresh driver row.
     "grouping_sets_agg": 3,
     "histogram_equidepth_value": 3,
     "histogram_value_buckets": 3,
