@@ -73,6 +73,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_prefilter_join",
     "window_rank_family",
+    "hll_daily_to_monthly_rollup",
 ]
 
 

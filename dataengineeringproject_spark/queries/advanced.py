@@ -1925,3 +1925,171 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").cast("long").alias("cms_estimate"),
         (F.col("cms_estimate") - F.col("n_exact")).cast("long").alias("overestimate"),
     )
+
+
+# Shared HLL pieces for the rollup / streaming variants: hash → (bucket,
+# rank) projection and the register-table → estimate finisher, with SQL
+# twins built from the same constants.
+
+
+def _hll_bucket_rank(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Project rows to (keys..., bucket, rk) — the HLL observation."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = df.select(*key_cols, h.alias("__h"))
+    w = F.expr(f"__h div {_HLL_M}")
+    rank = F.when(w == 0, F.lit(_HLL_RANK_MAX)).otherwise(
+        F.lit(_HLL_RANK_MAX) - F.length(F.bin(w))
+    )
+    return d.select(*key_cols, (F.col("__h") % _HLL_M).alias("bucket"), rank.alias("rk"))
+
+
+def _hll_finish(registers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Register table (keys..., bucket, m_rank) → (keys..., estimate)."""
+    agg = registers.groupBy(*key_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rank"))).alias("s_present"),
+        F.count(F.lit(1)).alias("c_present"),
+    )
+    raw = F.lit(_HLL_AMM) / (
+        F.col("s_present") + (F.lit(_HLL_M) - F.col("c_present")) * F.lit(1.0)
+    )
+    zeros = F.lit(_HLL_M) - F.col("c_present")
+    return agg.select(
+        *key_cols,
+        F.when(
+            (raw <= F.lit(2.5) * _HLL_M) & (zeros > 0),
+            F.lit(_HLL_M) * F.log(F.lit(_HLL_M) * F.lit(1.0) / zeros),
+        )
+        .otherwise(raw)
+        .alias("estimate"),
+    )
+
+
+_HLL_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+_HLL_RANK_SQL = f"""CASE WHEN hash // {_HLL_M} = 0 THEN {_HLL_RANK_MAX}
+         ELSE {_HLL_RANK_MAX} - length(bin(hash // {_HLL_M})) END"""
+
+
+def _hll_finish_sql(src: str, keys: str) -> str:
+    """SQL: register table `src`(keys, bucket, m_rank) → keys, estimate."""
+    return f"""
+      SELECT {keys},
+             CASE WHEN {_HLL_AMM!r} / (s_present + ({_HLL_M} - c_present) * 1e0)
+                       <= 2.5e0 * {_HLL_M}
+                       AND {_HLL_M} - c_present > 0
+                  THEN {_HLL_M} * ln({_HLL_M} * 1e0 / ({_HLL_M} - c_present))
+                  ELSE {_HLL_AMM!r} / (s_present + ({_HLL_M} - c_present) * 1e0)
+             END AS estimate
+      FROM (
+        SELECT {keys}, sum(pow(2e0, -m_rank)) AS s_present,
+               count(*) AS c_present
+        FROM {src} GROUP BY {keys}
+      )
+    """
+
+
+@register(
+    "hll_daily_to_monthly_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             {_HLL_HASH_SQL} AS hash
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, hash % {_HLL_M} AS bucket,
+             max({_HLL_RANK_SQL}) AS m_rank
+      FROM h GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, max(m_rank) AS m_rank
+      FROM daily GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT event_type, hash % {_HLL_M} AS bucket,
+             max({_HLL_RANK_SQL}) AS m_rank
+      FROM h GROUP BY 1, 2
+    ),
+    em AS ({_hll_finish_sql("merged", "event_type")}),
+    ed AS ({_hll_finish_sql("direct", "event_type")}),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT em.event_type,
+           CAST((SELECT count(DISTINCT day) FROM daily d
+                 WHERE d.event_type = em.event_type) AS BIGINT) AS n_days,
+           ROUND(em.estimate, 2) AS est_merged,
+           ROUND(ed.estimate, 2) AS est_direct,
+           CAST(CASE WHEN em.estimate = ed.estimate THEN 1 ELSE 0 END
+                AS BIGINT) AS merge_lossless,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           ROUND(abs(em.estimate - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM em JOIN ed ON em.event_type = ed.event_type
+            JOIN ex ON em.event_type = ex.event_type
+    """,
+)
+def hll_daily_to_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-mergeability contract, demonstrated end to end: build
+    PER-DAY HLL register tables (what an incremental pipeline persists
+    as its gold-table state), merge a month of them by register-wise
+    MAX, and show the merged estimate is IDENTICAL to the sketch built
+    directly over the raw month (merge_lossless = 1 for every type —
+    max is associative, so daily partials lose nothing). This is the
+    approx-distinct analog of monthly_from_daily_rollup's mergeable-
+    partials rule: exact count(DISTINCT) per month must re-shuffle all
+    raw ids (distinct does not merge), while HLL rolls up from
+    |types|x|days|x256 tiny persisted rows — the difference between
+    re-scanning a month of 100 TB and aggregating kilobytes. Also
+    reports the realized error vs the exact distinct. All arithmetic
+    shared with hll_distinct_users; both engines regenerate the
+    identical registers."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = _hll_bucket_rank(
+        ev.select(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        ),
+        ["event_type", "day"],
+        "user_id",
+    )
+    daily = obs.groupBy("event_type", "day", "bucket").agg(
+        F.max("rk").alias("m_rank")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("m_rank").alias("m_rank")
+    )
+    direct = obs.groupBy("event_type", "bucket").agg(F.max("rk").alias("m_rank"))
+    em = _hll_finish(merged, ["event_type"]).withColumnRenamed(
+        "estimate", "est_m"
+    )
+    ed = _hll_finish(direct, ["event_type"]).withColumnRenamed(
+        "estimate", "est_d"
+    )
+    ndays = daily.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    ex = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        em.join(ed, "event_type")
+        .join(ndays, "event_type")
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("est_m", 2).alias("est_merged"),
+            F.round("est_d", 2).alias("est_direct"),
+            F.when(F.col("est_m") == F.col("est_d"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("merge_lossless"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(
+                F.abs(F.col("est_m") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    )

@@ -564,3 +564,103 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # last day's sessions would never emit; found by batch-progress
     # trace: sentinel batches read 0 rows with the filter in-plan).
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "streaming_hll_daily_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hash
+      FROM events
+    ),
+    reg AS (
+      SELECT day, hash % 256 AS bucket,
+             max(CASE WHEN hash // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(hash // 256)) END) AS m_rank
+      FROM h GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT day,
+             CASE WHEN 47072.71267120224 / (s_present + (256 - c_present) * 1e0)
+                       <= 2.5e0 * 256 AND 256 - c_present > 0
+                  THEN 256 * ln(256 * 1e0 / (256 - c_present))
+                  ELSE 47072.71267120224 / (s_present + (256 - c_present) * 1e0)
+             END AS estimate
+      FROM (
+        SELECT day, sum(pow(2e0, -m_rank)) AS s_present,
+               count(*) AS c_present
+        FROM reg GROUP BY day
+      )
+    ),
+    ex AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT est.day, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           ROUND(est.estimate, 2) AS hll_estimate,
+           ROUND(abs(est.estimate - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM est JOIN ex USING (day)
+    """,
+)
+def streaming_hll_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches composed with Structured Streaming — the telemetry
+    shape the sketch family exists for: per-day distinct-user
+    estimation where the streaming aggregation STATE IS the HLL
+    register table. The stream projects each event to its (bucket,
+    rank) observation (deterministic md5 codegen, no Python), then a
+    watermarked tumbling-window groupBy keeps max(rank) per (day,
+    bucket): bounded state of <= days x 256 tiny rows regardless of
+    event volume — this is why approx-distinct works as a streaming
+    aggregate while exact count(DISTINCT) cannot (distinct state grows
+    with cardinality and distinct does not merge). Update-mode
+    emissions re-emit registers as they grow; because a register is
+    MONOTONE under max, the final state is recovered from the emission
+    log by one more max — no counter column needed. The estimate is
+    finished batch-side on the converged register table (shared
+    _hll_finish), and the DuckDB oracle regenerates the identical
+    registers from the raw table: the whole streaming sketch is
+    value-hash-checked, no rows-only exemption. Constants are the
+    hll_distinct_users family's (256 registers, repr-round-tripped
+    bias constant)."""
+    from dataengineeringproject_spark.queries.advanced import (
+        _hll_bucket_rank,
+        _hll_finish,
+    )
+
+    d = _staged_events(spark, sf_dir)
+    name = f"hll_daily_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        obs = _hll_bucket_rank(src.select("ts", "user_id"), ["ts"], "user_id")
+        agg = (
+            obs.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("win"), "bucket")
+            .agg(F.max("rk").alias("m_rank"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+                "bucket",
+                "m_rank",
+            )
+        )
+        run_to_memory(agg, name, output_mode="update")
+    registers = (
+        spark.table(name)
+        .groupBy("day", "bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    est = _hll_finish(registers, ["day"])
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.join(ex, "day").select(
+        "day",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round("estimate", 2).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
