@@ -74,6 +74,8 @@ HEADLINE = [
     "bloom_prefilter_join",
     "window_rank_family",
     "hll_daily_to_monthly_rollup",
+    "gap_fill_daily_interp",
+    "split_leakage_ngram",
 ]
 
 

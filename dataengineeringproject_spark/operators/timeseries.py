@@ -69,3 +69,59 @@ def resample_daily_locf(
         F.last(value_name, ignorenulls=True).over(w).alias(f"{value_name}_locf"),
         F.col(value_name).isNull().alias("is_gap"),
     )
+
+
+def resample_daily_interp(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    agg_expr: Column,
+    value_name: str = "value_raw",
+) -> DataFrame:
+    """Aggregate to the daily grain, materialize missing (key, day)
+    buckets, and LINEARLY INTERPOLATE each key's gaps between its
+    nearest bracketing observations — the harder sibling of
+    resample_daily_locf (LOCF holds a stale level; interpolation
+    models the trend between readings, the default for sensor/metric
+    hypertables). Implementation: two mirror-image windows per key —
+    last-known (value, day) looking back, first-known looking forward
+    — then one arithmetic lerp; no self-join, no per-gap search, state
+    = one row per window side. Output: key, day, <value_name> (null on
+    gap days), <value_name>_interp, is_gap. Leading/trailing gaps have
+    only one bracket and stay null — downstream picks a policy, same
+    contract as LOCF's leading gaps."""
+    day = F.to_date(ts_col).alias("__day")
+    agg = df.groupBy(key, day).agg(agg_expr.alias(value_name))
+    spine = calendar_spine(agg, key, "__day")
+    joined = spine.join(agg, [key, "__day"], "left")
+    v = F.col(value_name)
+    known_day = F.when(v.isNotNull(), F.col("__day"))
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("__day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_d = F.last(known_day, ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_d = F.first(known_day, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col("__day"), prev_d) * F.lit(1.0) / F.datediff(
+        next_d, prev_d
+    )
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        key,
+        F.col("__day").alias("day"),
+        value_name,
+        interp.alias(f"{value_name}_interp"),
+        v.isNull().alias("is_gap"),
+    )

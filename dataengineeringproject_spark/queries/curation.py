@@ -1029,3 +1029,90 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") >= 0)
         .distinct()
     )
+
+
+# --- cross-split n-gram leakage (r4) ----------------------------------------
+
+_LEAK_HIGH = 0.5  # a doc with > this fraction of train-seen shingles
+
+
+@register(
+    "split_leakage_ngram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_bucket_sql('doc_id')} < {SPLIT_TRAIN} THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split,
+             text
+      FROM documents
+    ),
+    shg AS (
+      SELECT DISTINCT doc_id, split,
+             unnest(list_distinct(CASE WHEN len(CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) >= 3 THEN list_transform(generate_series(1, len(CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) - 2), i -> concat_ws(' ', CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END[i + 0], CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END[i + 1], CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END[i + 2])) ELSE [concat_ws(' ', CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)] END)) AS sh
+      FROM d
+    ),
+    train_sh AS (SELECT DISTINCT sh FROM shg WHERE split = 'train'),
+    ev AS (
+      SELECT s.doc_id, s.split,
+             count(*) AS n_sh,
+             sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_leaked
+      FROM shg s LEFT JOIN train_sh t USING (sh)
+      WHERE s.split <> 'train'
+      GROUP BY 1, 2
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(avg(n_leaked * 1e0 / n_sh), 6) AS avg_leak_frac,
+           CAST(sum(CASE WHEN n_leaked * 1e0 / n_sh > {_LEAK_HIGH}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_leak
+    FROM ev GROUP BY 1
+    """,
+)
+def split_leakage_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval n-gram leakage report: for every val/test document
+    (same stable id-hash split rule as split_train_val_test), the
+    fraction of its distinct 3-token shingles that also occur anywhere
+    in the train split — the shingle-grain decontamination audit that
+    catches paraphrase-level leakage contamination_pairs' whole-prefix
+    fingerprints cannot (a reworded eval item shares most shingles but
+    no 20-token prefix). Physical shape: one exploded shingle
+    projection; the train shingle VOCABULARY (distinct, Zipf-bounded)
+    is the join's build side on the shingle key the probe side is
+    already partitioned by; per-doc then per-split collapse. Reports
+    per eval split: doc count, mean leak fraction, and docs past the
+    {_LEAK_HIGH} high-leak threshold (integer ratio arithmetic,
+    engine-exact)."""
+    from dataengineeringproject_spark.operators import dedup as D
+
+    d = _docs(spark, sf_dir)
+    b = _bucket("doc_id")
+    split = (
+        F.when(b < SPLIT_TRAIN, F.lit("train"))
+        .when(b < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    shg = d.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(D.shingles(F.col("text"), k=3)).alias("sh"),
+    ).distinct()
+    train_sh = shg.filter(F.col("split") == "train").select("sh").distinct()
+    marked = (
+        shg.filter(F.col("split") != "train")
+        .join(train_sh.withColumn("__hit", F.lit(1)), "sh", "left")
+    )
+    ev = marked.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias(
+            "n_leaked"
+        ),
+    )
+    frac = F.col("n_leaked") * F.lit(1.0) / F.col("n_sh")
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg(frac), 6).alias("avg_leak_frac"),
+        F.sum(F.when(frac > _LEAK_HIGH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_leak"),
+    )

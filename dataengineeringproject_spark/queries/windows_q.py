@@ -318,3 +318,73 @@ def ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 6).alias("daily_avg"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+@register(
+    "gap_fill_daily_interp",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS value_raw
+      FROM events WHERE value >= 200 GROUP BY 1, 2
+    ),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM agg),
+    spine AS (
+      SELECT t.event_type, u.day
+      FROM (SELECT DISTINCT event_type FROM agg) t
+      CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                  FROM b) u
+    ),
+    j AS (
+      SELECT s.event_type, s.day, a.value_raw
+      FROM spine s LEFT JOIN agg a USING (event_type, day)
+    ),
+    k AS (
+      SELECT event_type, day, value_raw,
+             last_value(value_raw IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN value_raw IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER wb AS prev_d,
+             first_value(value_raw IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN value_raw IS NOT NULL THEN day END
+                         IGNORE NULLS) OVER wf AS next_d
+      FROM j
+      WINDOW wb AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(value_raw, 6) AS value_raw,
+           ROUND(CASE WHEN value_raw IS NOT NULL THEN value_raw
+                      WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                      ELSE prev_v + (next_v - prev_v)
+                           * (date_diff('day', prev_d, day) * 1e0
+                              / date_diff('day', prev_d, next_d))
+                 END, 6) AS value_interp,
+           value_raw IS NULL AS is_gap
+    FROM k
+    """,
+)
+def gap_fill_daily_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + LINEAR INTERPOLATION
+    (operators/timeseries.resample_daily_interp): the trend-modelling
+    sibling of gap_fill_daily_locf on the same genuinely-sparse series
+    (value >= 200 keeps ~30-40% of (type, day) buckets empty). Each gap
+    lerps between its nearest bracketing observations via two
+    mirror-image ignore-nulls windows — no self-join, no per-gap
+    search; leading/trailing gaps (one bracket missing) stay null by
+    contract. Windows run over the |types| x |days| spine, never raw
+    events. The datediff fraction and lerp are spelled identically in
+    the DuckDB oracle (1e0 literal keeps it in DOUBLE)."""
+    from dataengineeringproject_spark.operators.timeseries import (
+        resample_daily_interp,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 200)
+    out = resample_daily_interp(ev, "event_type", "ts", F.avg("value"))
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("value_raw", 6).alias("value_raw"),
+        F.round("value_raw_interp", 6).alias("value_interp"),
+        "is_gap",
+    )
