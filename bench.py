@@ -76,6 +76,8 @@ HEADLINE = [
     "hll_daily_to_monthly_rollup",
     "gap_fill_daily_interp",
     "split_leakage_ngram",
+    "hll_rolling_7d_distinct",
+    "event_path_top3",
 ]
 
 

@@ -2093,3 +2093,180 @@ def hll_daily_to_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+_HLL_ROLL_DAYS = 7
+
+
+@register(
+    "hll_rolling_7d_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             {_HLL_HASH_SQL} AS hash
+      FROM events
+    ),
+    daily AS (
+      SELECT day, day_num, hash % {_HLL_M} AS bucket,
+             max({_HLL_RANK_SQL}) AS m_rank
+      FROM h GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT d.day, d.day_num, b.bucket
+      FROM (SELECT DISTINCT day, day_num FROM daily) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) b
+    ),
+    dense AS (
+      SELECT g.day, g.day_num, g.bucket, daily.m_rank
+      FROM grid g LEFT JOIN daily USING (day, day_num, bucket)
+    ),
+    rolled AS (
+      SELECT day, bucket,
+             max(m_rank) OVER (PARTITION BY bucket ORDER BY day_num
+                               RANGE BETWEEN {_HLL_ROLL_DAYS - 1} PRECEDING
+                               AND CURRENT ROW) AS m_rank
+      FROM dense
+    ),
+    reg AS (SELECT day, bucket, m_rank FROM rolled WHERE m_rank IS NOT NULL),
+    est AS ({_hll_finish_sql("reg", "day")}),
+    ex AS (
+      SELECT d.day, count(DISTINCT e.user_id) AS n_exact
+      FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(ts AS DATE) AS dt FROM events) d
+      JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.dt - {_HLL_ROLL_DAYS - 1} AND d.dt
+      GROUP BY 1
+    )
+    SELECT est.day, CAST(ex.n_exact AS BIGINT) AS n_exact_7d,
+           ROUND(est.estimate, 2) AS hll_estimate_7d,
+           ROUND(abs(est.estimate - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM est JOIN ex USING (day)
+    """,
+)
+def hll_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the DAU/WAU machinery,
+    and the canonical HLL deployment: exact rolling distinct needs a
+    self-join of every day against its trailing week of raw events
+    (here computed anyway as the diagnostic column), while the sketch
+    path NEVER revisits raw data — per-day register tables merge into
+    trailing-window registers with one max-over-RANGE window on the
+    dense (bucket x day) grid ({_HLL_M} x |days| tiny rows). The grid
+    densification matters: a register silent TODAY but hit 3 days ago
+    must still contribute to today's window, so the window runs over
+    the spine, not just observed (bucket, day) rows. Estimates finish
+    with the shared _hll_finish; the oracle regenerates everything;
+    leading days simply have shorter windows (same on both engines)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+        "user_id",
+    )
+    obs = _hll_bucket_rank(base, ["day", "day_num"], "user_id")
+    daily = obs.groupBy("day", "day_num", "bucket").agg(
+        F.max("rk").alias("m_rank")
+    )
+    days = daily.select("day", "day_num").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            days.sparkSession.range(1).select(
+                F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket")
+            )
+        )
+    )
+    dense = grid.join(daily, ["day", "day_num", "bucket"], "left")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day_num")
+        .rangeBetween(-(_HLL_ROLL_DAYS - 1), 0)
+    )
+    rolled = dense.select(
+        "day", "bucket", F.max("m_rank").over(w).alias("m_rank")
+    ).filter(F.col("m_rank").isNotNull())
+    est = _hll_finish(rolled, ["day"])
+    dt = days.select(
+        "day", F.to_date("day", "yyyy-MM-dd").alias("dt")
+    )
+    ex = (
+        dt.join(
+            ev.select(F.to_date("ts").alias("edt"), "user_id"),
+            (F.col("edt") >= F.date_sub(F.col("dt"), _HLL_ROLL_DAYS - 1))
+            & (F.col("edt") <= F.col("dt")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(ex, "day").select(
+        "day",
+        F.col("n_exact").cast("long").alias("n_exact_7d"),
+        F.round("estimate", 2).alias("hll_estimate_7d"),
+        F.round(
+            F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+_PATH_TOPK = 10
+
+
+@register(
+    "event_path_top3",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+      SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
+      FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+      FROM p
+    )
+    SELECT path, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_PATH_TOPK}
+    """,
+)
+def event_path_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the corpus's most frequent 3-step
+    event-type journeys (view>click>purchase and friends), the
+    click-stream analysis behind funnel discovery — where
+    conversion_funnel_3step VERIFIES one known path, this FINDS the
+    paths worth verifying. Physical shape: per-user lead() windows
+    (user_id is a fine-grained, evenly distributed key — the safe kind
+    of window partitioning, unlike the low-cardinality per-type sorts
+    the binned drift queries retired), then a map-side-combined path
+    count whose output is bounded by |types|^3, and
+    TakeOrderedAndProject for the top-{_PATH_TOPK} with rank attached
+    after the limit. Integer counts, (n desc, path asc) total order —
+    engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    p = o.groupBy(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = p.orderBy(F.desc("n"), F.asc("path")).limit(_PATH_TOPK)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.select(
+        "path",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
