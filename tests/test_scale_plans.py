@@ -19,6 +19,8 @@ from __future__ import annotations
 import contextlib
 import re
 
+import pytest
+
 from dataengineeringproject_spark import registry
 
 from conftest import SF_SMOKE
@@ -96,3 +98,41 @@ def test_exact_variants_do_sort_raw(spark):
         assert _sorts_only_over_aggregates(plan), (
             f"{name} expected to sort the raw scan but detector saw none:\n{plan}"
         )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["bm25_topk", "bpe_pair_counts", "cms_heavy_hitters", "event_path_top3"],
+)
+def test_topk_uses_take_ordered(spark, name):
+    """These queries' docstrings claim top-k via orderBy+limit —
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    global sort of the scored frame. Pin it."""
+    plan = _physical_plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "drift_psi_value",
+        "window_rank_family",
+        "hll_distinct_users",
+        "hll_daily_to_monthly_rollup",
+        "hll_rolling_7d_distinct",
+        "cms_heavy_hitters",
+        "quality_unigram_nll",
+        "ngram_novelty",
+        "gap_fill_daily_interp",
+        "split_leakage_ngram",
+    ],
+)
+def test_r4_sorts_only_over_aggregates(spark, name):
+    """Every r4 query that windows or sorts does so over an aggregated
+    (or spine-sized) frame — no Sort whose subtree reaches a parquet
+    scan without an aggregate on the path. (event_path_top3 is exempt:
+    its per-user lead() window legitimately sorts raw events on the
+    fine-grained user key, the documented safe shape.)"""
+    plan = _physical_plan(spark, name)
+    bad = _sorts_only_over_aggregates(plan)
+    assert not bad, f"{name}: sort over un-aggregated scan: {bad}\n{plan}"
