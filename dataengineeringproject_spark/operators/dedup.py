@@ -394,3 +394,68 @@ def ngram_jaccard_blocked(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def ngram_containment_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment within a blocking key:
+    containment(sub → super) = |sh(sub) ∩ sh(super)| / |sh(sub)| — the
+    asymmetric companion to ngram_jaccard_blocked that catches
+    SUBSET/SUPERSET near-dups Jaccard structurally under-scores (a doc
+    embedded verbatim in a 10× longer one has Jaccard ≤ 0.1 but
+    containment 1.0 — the quote-plus-commentary and boilerplate-wrap
+    shapes a dedup pass actually meets). Same physical shape as the
+    Jaccard operator: explode + equi-join on (block, shingle) counts
+    intersections so zero-overlap pairs never materialize; each
+    unordered pair then fans out to its two directions and filters on
+    the smaller side's size. Output: id_sub, id_super, n_sub,
+    containment."""
+    sh = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col), shingles(text_col, k).alias("sh")
+    )
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    ex = sh.select("blk", F.col(id_col), F.explode("sh").alias("s"))
+    a = ex.select(F.col("blk"), F.col(id_col).alias("id_a"), "s")
+    b = ex.select(
+        F.col("blk").alias("blk_b"), F.col(id_col).alias("id_b"), F.col("s").alias("s_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("s") == F.col("s_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = inter.select("id_a", "id_b", "inter").unionByName(
+        inter.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "inter"
+        )
+    )
+    nsub = sizes.select(
+        F.col(id_col).alias("id_sub"), F.col("n").alias("n_sub")
+    )
+    cont = (
+        both.select(
+            F.col("id_a").alias("id_sub"), F.col("id_b").alias("id_super"), "inter"
+        )
+        .join(nsub, "id_sub")
+        .select(
+            "id_sub",
+            "id_super",
+            F.col("n_sub").cast("long").alias("n_sub"),
+            F.round(F.col("inter") * F.lit(1.0) / F.col("n_sub"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return cont

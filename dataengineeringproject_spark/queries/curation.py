@@ -1116,3 +1116,99 @@ def split_leakage_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_high_leak"),
     )
+
+
+_FUZ_SAMPLE_MOD = 10  # recall truth anchors: doc_id % this == 0
+
+
+@register(
+    "fuzzy_recall_blocked",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                    1, {_LEV_PREFIX}) AS pfx
+      FROM documents
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM p a JOIN p b ON a.doc_id < b.doc_id
+      WHERE a.doc_id % {_FUZ_SAMPLE_MOD} = 0
+        AND levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+    ),
+    k AS (
+      SELECT doc_id, pfx, band,
+             {" || ".join(
+                 "CASE band " + " ".join(
+                     f"WHEN {b} THEN {_fuz_band_min_sql(b, r)}"
+                     for b in range(_FUZ_BANDS)
+                 ) + " END"
+                 for r in range(_FUZ_ROWS)
+             )} AS bkey
+      FROM p, (SELECT unnest([{", ".join(str(b) for b in range(_FUZ_BANDS))}])
+               AS band) bands
+    ),
+    found AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM k a JOIN k b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.doc_id % {_FUZ_SAMPLE_MOD} = 0
+    ),
+    hit AS (
+      SELECT count(*) AS n_hit
+      FROM truth t JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST(hit.n_hit AS BIGINT) AS n_hit,
+           ROUND(hit.n_hit * 1e0
+                 / nullif((SELECT count(*) FROM truth), 0), 6) AS recall
+    FROM hit
+    """,
+)
+def fuzzy_recall_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the LSH blocking (fuzzy_pairs_blocked's
+    candidate generator) against exact edit-distance ground truth —
+    the same honesty metric the ANN family carries
+    (ann_recall_trained_ivf): an approximate blocker without a
+    measured recall is a hope, not an operator. Ground truth is exact
+    bounded-DP levenshtein over ALL pairs anchored at a deterministic
+    1/{_FUZ_SAMPLE_MOD} doc sample (id % {_FUZ_SAMPLE_MOD} == 0) —
+    the anchor-sampling discipline that keeps truth computation
+    bounded at corpus scale while estimating the same recall; the
+    candidate side applies the identical anchor filter. Reports
+    truth-pair count, candidates hitting truth, and recall. Raising
+    _FUZ_BANDS is the recall dial; this query is what makes turning
+    it evidence-based."""
+    d = _docs(spark, sf_dir)
+    pfx = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        1,
+        _LEV_PREFIX,
+    )
+    p = d.select("doc_id", pfx.alias("pfx"))
+    a = p.filter(F.col("doc_id") % _FUZ_SAMPLE_MOD == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a")
+    )
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pfx_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("pfx_a", "pfx_b", _LEV_MAX) >= 0)
+        .select("id_a", "id_b")
+    )
+    found = (
+        fuzzy_pairs_blocked(spark, sf_dir)
+        .filter(F.col("id_a") % _FUZ_SAMPLE_MOD == 0)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hit = truth.join(found, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return nt.crossJoin(hit).select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.col("n_hit") * F.lit(1.0) / F.nullif(F.col("n_true"), F.lit(0)), 6
+        ).alias("recall"),
+    )

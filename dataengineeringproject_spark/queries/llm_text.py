@@ -1062,3 +1062,36 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("novel_frac"),
     )
     return g
+
+
+_CONT_T = 0.6
+
+
+@register(
+    "ngram_containment_blocked",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source, doc_id, {D.shingles_sql(_TOKS, 2)} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+           CAST(len(a.sh) AS BIGINT) AS n_sub,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1e0 / len(a.sh), 6)
+             AS containment
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1e0 / len(a.sh) >= {_CONT_T}
+    """,
+)
+def ngram_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle CONTAINMENT within source blocks —
+    |sh(sub) ∩ sh(super)| / |sh(sub)| ≥ {_CONT_T}: the subset/superset
+    near-dup detector Jaccard structurally under-scores (a doc quoted
+    whole inside a 10× longer one scores Jaccard ≤ 0.1 but containment
+    1.0 — the quote-plus-commentary and boilerplate-wrap shapes).
+    Spark side counts intersections via explode + (block, shingle)
+    equi-join (zero-overlap pairs never materialize, same discipline
+    as ngram_jaccard_blocked); the oracle uses DuckDB's whole-array
+    list_intersect — two independent algorithms must agree."""
+    return D.ngram_containment_blocked(
+        _docs(spark, sf_dir), "doc_id", "text", "source", k=2, threshold=_CONT_T
+    )
