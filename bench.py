@@ -78,6 +78,7 @@ HEADLINE = [
     "split_leakage_ngram",
     "hll_rolling_7d_distinct",
     "event_path_top3",
+    "bpe_apply_merges",
 ]
 
 

@@ -1095,3 +1095,89 @@ def ngram_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_blocked(
         _docs(spark, sf_dir), "doc_id", "text", "source", k=2, threshold=_CONT_T
     )
+
+
+# --- BPE merge application (r4: the frozen-tokenizer half) ------------------
+
+# The frozen merge table: top first-round pairs from bpe_pair_counts at
+# design time (a tokenizer is a frozen artifact applied unchanged at
+# inference — same pattern as the embedded LSH hyperplanes and PQ
+# codebook seeds), in priority order. Each merge (a, b) -> ab; later
+# merges may consume earlier merges' outputs.
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("er", "y"),  # 'er'+'y' chains on merge #1's output
+]
+
+
+@register(
+    "bpe_apply_merges",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_LTOKS}) AS w FROM documents
+    ),
+    d AS (
+      SELECT doc_id, length(w) AS n_sym,
+             {"".join(
+                 "replace(" for _ in _BPE_MERGES
+             )}array_to_string(
+                 list_transform(range(1, length(w) + 1),
+                                i -> substr(w, i, 1)), '|')
+             {"".join(
+                 f", '{a}|{b}', '{a}{b}')" for a, b in _BPE_MERGES
+             )} AS merged
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(sum(n_sym) AS BIGINT) AS n_sym_before,
+           CAST(sum(length(merged) - length(replace(merged, '|', '')) + 1)
+                AS BIGINT) AS n_tok_after,
+           ROUND(sum(length(merged) - length(replace(merged, '|', '')) + 1)
+                 * 1e0 / sum(n_sym), 6) AS compression
+    FROM d GROUP BY 1
+    """,
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE loop
+    (bpe_pair_counts learns merges; this applies a frozen merge table
+    at corpus scale, which is what every training-data pipeline does
+    to every byte it ships): each word becomes a '|'-delimited symbol
+    string and the merge list applies in priority order as plain
+    string replacement — replace() in both engines substitutes
+    leftmost-non-overlapping occurrences, which IS greedy BPE pass
+    semantics ('a|a|a' + merge(a,a) -> 'aa|a'), and later merges can
+    consume earlier outputs ('er'+'y' after 'e'+'r'). No regex (no
+    escaping divergence), no Python, no shuffle until the per-doc
+    count collapse: the whole rewrite is a codegen'd scalar expression
+    chain over the exploded token stream. Reports per doc the symbol
+    count before, token count after, and the compression ratio the
+    merge table buys — the metric a tokenizer-coverage monitor
+    alerts on when a corpus shifts away from the tokenizer's training
+    distribution."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    delim = F.array_join(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        "|",
+    )
+    merged = delim
+    for a, b in _BPE_MERGES:
+        merged = F.replace(merged, F.lit(f"{a}|{b}"), F.lit(f"{a}{b}"))
+    t = w.select(
+        "doc_id",
+        F.length("w").alias("n_sym"),
+        (
+            F.length(merged)
+            - F.length(F.replace(merged, F.lit("|"), F.lit("")))
+            + 1
+        ).alias("n_tok"),
+    )
+    return t.groupBy("doc_id").agg(
+        F.sum("n_sym").cast("long").alias("n_sym_before"),
+        F.sum("n_tok").cast("long").alias("n_tok_after"),
+        F.round(
+            F.sum("n_tok") * F.lit(1.0) / F.sum("n_sym"), 6
+        ).alias("compression"),
+    )
