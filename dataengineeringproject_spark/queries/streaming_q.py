@@ -664,3 +664,111 @@ def streaming_hll_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact"), 4
         ).alias("rel_err"),
     )
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    oracle=None,  # set just below: shares the batch CMS oracle verbatim
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained AS STREAMING STATE — the add-merge
+    companion to streaming_hll_daily_distinct's max-merge: the stream
+    explodes each event into its 4 (row, bucket) cells and a running
+    groupBy counts per cell. State is the FIXED 4x256 counter grid at
+    any event volume and any key cardinality (no watermark needed:
+    the key space is the sketch's, not the data's — this is the
+    property that lets telemetry pipelines keep per-key frequency
+    queries over unbounded id spaces in kilobytes of state).
+    Update-mode cell counts grow monotonically, so the emission log
+    reduces to converged state by max per cell; the read-back (exact
+    top-10 heavy hitters probed with min-over-rows) then matches the
+    BATCH cms_heavy_hitters bit-for-bit, so this query shares its
+    oracle verbatim — the streaming path is held to the identical
+    hash check."""
+    from dataengineeringproject_spark.queries.advanced import (
+        _CMS_D,
+        _CMS_TOPK,
+        _CMS_W,
+    )
+    from dataengineeringproject_spark.functions.text import token_hash
+
+    def bucket(j: int, col: F.Column) -> F.Column:
+        return token_hash(col.cast("string"), seed=f"cms{j}") % _CMS_W
+
+    d = _staged_events(spark, sf_dir)
+    name = f"cms_hh_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        cells = src.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("user_id")).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.j", "s.bucket")
+        agg = cells.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+        run_to_memory(agg, name, output_mode="update")
+    sketch = (
+        spark.table(name).groupBy("j", "bucket").agg(F.max("c").alias("c"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
+            ),
+        )
+    )
+    probes = top.select(
+        "user_id",
+        "n_exact",
+        "rnk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("user_id")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "n_exact", "rnk", "p.j", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "n_exact", "rnk")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("n_exact")).cast("long").alias(
+            "overestimate"
+        ),
+    )
+
+
+def _share_cms_oracle() -> None:
+    """streaming_cms_heavy_hitters must equal the batch CMS exactly, so
+    it is checked against the SAME oracle SQL."""
+    from dataengineeringproject_spark import registry as _r
+    from dataengineeringproject_spark.queries import advanced as _a  # noqa: F401
+
+    _r._ORACLE["streaming_cms_heavy_hitters"] = _r._ORACLE["cms_heavy_hitters"]
+
+
+_share_cms_oracle()
