@@ -79,6 +79,7 @@ HEADLINE = [
     "hll_rolling_7d_distinct",
     "event_path_top3",
     "bpe_apply_merges",
+    "cdc_latest_state_tombstones",
 ]
 
 

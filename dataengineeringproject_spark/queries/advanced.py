@@ -2270,3 +2270,50 @@ def event_path_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.row_number().over(wr).cast("long").alias("rank"),
     )
+
+
+@register(
+    "cdc_latest_state_tombstones",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_op,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           ROUND(value, 6) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_latest_state_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse a change log to
+    latest-state-per-key with tombstone semantics — the MERGE pattern
+    every lakehouse gold table is built on (Debezium/Delta CDF
+    consumers do exactly this): newest change per key wins
+    (deterministic (ts, event_id) order), and a key whose newest
+    change is a delete marker (here: event_type 'error' standing in
+    for the op=DELETE column) yields NO row, not a null row. One
+    row_number window per key — the fine-grained-key shape — with the
+    rank-1 filter pushed into WindowGroupLimit by Catalyst, so the
+    shuffle carries only each key's newest few rows, not the full
+    history. The tombstone filter applies AFTER rank-1 selection:
+    filtering deletes first would wrongly resurrect the
+    second-newest change."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
