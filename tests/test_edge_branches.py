@@ -1,0 +1,71 @@
+"""Edge branches the differential harness can NEVER exercise with the
+shipped testdata — degenerate grids (vmin == vmax), the HLL rank branch
+for an all-zero rank word (P = 2^-52 per row, unreachable by data), and
+greedy-overlap BPE merge semantics. These paths are correctness claims
+in docstrings; a unit test each keeps them honest.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dataengineeringproject_spark.queries.advanced import (
+    _HLL_M,
+    _HLL_RANK_MAX,
+    _fine_bin,
+    _grid_bin,
+)
+
+
+def test_grid_bin_degenerate_and_clamp(spark):
+    """vmin == vmax collapses to bin 0; value == vmax lands in the TOP
+    bin (clamped), not one past it; interior values bin by position."""
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,)], ["value"]
+    ).crossJoin(
+        spark.createDataFrame([(0.0, 10.0)], ["vmin", "vmax"])
+    )
+    rows = {r.value: r.b for r in df.select(
+        "value", _grid_bin(F.col("value"), 10).alias("b")).collect()}
+    assert rows[0.0] == 0
+    assert rows[5.0] == 5
+    assert rows[10.0] == 9  # clamped into the top bin
+
+    deg = spark.createDataFrame([(7.0,)], ["value"]).crossJoin(
+        spark.createDataFrame([(7.0, 7.0)], ["vmin", "vmax"])
+    )
+    assert deg.select(_fine_bin(F.col("value")).alias("b")).first().b == 0
+
+
+def test_hll_rank_zero_word_branch(spark):
+    """A hash whose rank word is all zeros (hash < _HLL_M, so
+    hash div _HLL_M == 0) must take the explicit rank-max branch —
+    unreachable from md5 data (P = 2^-52), so pinned here."""
+    # bypass the md5 by feeding controlled hash values through the
+    # identical rank expression _hll_bucket_rank builds
+    probe = spark.createDataFrame(
+        [(5,), (_HLL_M,), (_HLL_M * 2,)], ["hash"]
+    )
+    w = F.expr(f"hash div {_HLL_M}")
+    rank = F.when(w == 0, F.lit(_HLL_RANK_MAX)).otherwise(
+        F.lit(_HLL_RANK_MAX) - F.length(F.bin(w))
+    )
+    got = {r.hash: r.rk for r in probe.select("hash", rank.alias("rk")).collect()}
+    assert got[5] == _HLL_RANK_MAX          # w == 0 branch
+    assert got[_HLL_M] == _HLL_RANK_MAX - 1  # w == 1 -> one bit
+    assert got[_HLL_M * 2] == _HLL_RANK_MAX - 2  # w == 2 -> two bits
+
+
+def test_bpe_merge_greedy_overlap(spark):
+    """'a|a|a' under merge (a,a) must become 'aa|a' (leftmost
+    non-overlapping), never 'a|aa' or 'aaa' — the greedy BPE pass
+    semantics bpe_apply_merges' docstring claims for replace()."""
+    df = spark.createDataFrame([("a|a|a",)], ["s"])
+    out = df.select(F.replace("s", F.lit("a|a"), F.lit("aa")).alias("m")).first().m
+    assert out == "aa|a"
+
+    # chained merge consuming an earlier output
+    df2 = spark.createDataFrame([("e|r|y",)], ["s"])
+    step1 = F.replace("s", F.lit("e|r"), F.lit("er"))
+    step2 = F.replace(step1, F.lit("er|y"), F.lit("ery"))
+    assert df2.select(step2.alias("m")).first().m == "ery"
