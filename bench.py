@@ -80,6 +80,7 @@ HEADLINE = [
     "event_path_top3",
     "bpe_apply_merges",
     "cdc_latest_state_tombstones",
+    "value_quantiles_binned",
 ]
 
 

@@ -2317,3 +2317,102 @@ def cdc_latest_state_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+_QB_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+
+@register(
+    "value_quantiles_binned",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(value) AS vmin, max(value) AS vmax
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, {_FINE_BIN_SQL} AS bin,
+             count(*) AS cnt, max(e.value) AS bhi
+      FROM events e CROSS JOIN s
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, bhi,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS tot
+      FROM g
+    ),
+    q AS (SELECT unnest([{", ".join(str(q) for _, q in _QB_QS)}]) AS q,
+                 unnest([{", ".join(f"'{n}'" for n, _ in _QB_QS)}]) AS qname),
+    hit AS (
+      SELECT c.event_type, q.qname,
+             min(c.bin) AS qbin
+      FROM c CROSS JOIN q
+      WHERE c.cum >= q.q * c.tot
+      GROUP BY 1, 2
+    )
+    SELECT hit.event_type,
+           {", ".join(
+               f"ROUND(max(CASE WHEN qname = '{n}' THEN bhi END), 6) AS {n}"
+               for n, _ in _QB_QS
+           )}
+    FROM hit JOIN c ON c.event_type = hit.event_type AND c.bin = hit.qbin
+    GROUP BY 1
+    """,
+)
+def value_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles from the shared fixed fine grid —
+    the registered scale twin value_quantiles' docstring promises: the
+    exact variant buffers each group's full value set (fine per bounded
+    key, unbounded at a 100 TB global profile), while this reads each
+    quantile off the 1024-bin histogram — one map-side-combined
+    aggregate over raw data, everything after runs on |types| x 1024
+    rows. The estimate is the max observed value in the first bin whose
+    cumulative count crosses q x total (error bounded by bin width,
+    ~0.1% of the value range), and DETERMINISTIC — unlike t-digest
+    approx_percentile, whose sketch DuckDB cannot replicate, this
+    approximation is bit-identical in both engines and fully
+    hash-checked. Same grid/arithmetic as histogram_equidepth_approx."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    g = (
+        ev.crossJoin(F.broadcast(s))
+        .select("event_type", _fine_bin(F.col("value")).alias("bin"), "value")
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("value").alias("bhi"))
+    )
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "bin",
+        "bhi",
+        F.sum("cnt")
+        .over(wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(wp).alias("tot"),
+    )
+    qtab = g.sparkSession.createDataFrame(
+        [(n, q) for n, q in _QB_QS], "qname string, q double"
+    )
+    hit = (
+        c.crossJoin(F.broadcast(qtab))
+        .filter(F.col("cum") >= F.col("q") * F.col("tot"))
+        .groupBy("event_type", "qname")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    joined = hit.join(
+        c.select("event_type", F.col("bin").alias("qbin"), "bhi"),
+        ["event_type", "qbin"],
+    )
+    return joined.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.max(F.when(F.col("qname") == n, F.col("bhi"))), 6
+            ).alias(n)
+            for n, _ in _QB_QS
+        ]
+    )

@@ -125,6 +125,7 @@ def test_topk_uses_take_ordered(spark, name):
         "ngram_novelty",
         "gap_fill_daily_interp",
         "split_leakage_ngram",
+        "value_quantiles_binned",
     ],
 )
 def test_r4_sorts_only_over_aggregates(spark, name):
