@@ -81,6 +81,9 @@ HEADLINE = [
     "bpe_apply_merges",
     "cdc_latest_state_tombstones",
     "value_quantiles_binned",
+    # r5 additions
+    "bpe_train_k_merges",
+    "ann_ivfpq_topk",
 ]
 
 
@@ -138,6 +141,14 @@ def main() -> None:
 
     timings = _run_headline(spark, qs, sf_dir)
     total = round(sum(timings.values()), 4)
+    # Machine-readable scale posture (registry scale_class metadata):
+    # "diagnostic" rows are exact ground-truth variants kept for recall
+    # measurement — their scalable twin carries the 100 TB number, so a
+    # slow diagnostic row is labeled, not a regression.
+    diag = sorted(
+        n for n, c in registry.scale_classes().items()
+        if c == "diagnostic" and n in timings
+    )
     print(
         json.dumps(
             {
@@ -145,6 +156,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "diagnostic_queries": diag,
                 "sf": sf,
             }
         )

@@ -5,6 +5,8 @@ independent algorithm agreeing with our union-tag window composition.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -13,8 +15,11 @@ from dataengineeringproject_spark.operators.relational import (
     pivot_counts,
     sessionize,
 )
+from dataengineeringproject_spark.functions.windows import (
+    tiny_ordered_window,
+)
 from dataengineeringproject_spark.registry import register
-from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.schemas import load_table, local_df
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -995,6 +1000,7 @@ _EQD_BUCKETS = 10
 
 @register(
     "histogram_equidepth_value",
+    scale_class="diagnostic",
     oracle=f"""
     WITH t AS (
       SELECT value, ntile({_EQD_BUCKETS}) OVER (ORDER BY value, event_id)
@@ -1037,6 +1043,7 @@ _DRIFT_PIVOT = "2024-01-16"  # first half vs second half of the month
 
 @register(
     "drift_ks_value",
+    scale_class="diagnostic",
     oracle=f"""
     WITH t AS (
       SELECT event_type, value, event_id,
@@ -1283,7 +1290,7 @@ def histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("blo"),
         F.max("value").alias("bhi"),
     )
-    wo = Window.orderBy("bin")
+    wo = tiny_ordered_window("bin")
     c = g.select(
         "cnt",
         "blo",
@@ -1402,6 +1409,12 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSI_BINS = 10  # the conventional PSI bin count
 _PSI_EPS = 0.5  # Laplace smoothing per bin (keeps log finite on empties)
+# Float literals reach DuckDB in e-notation so they parse as IEEE
+# DOUBLE, never DECIMAL (the e-notation rule, SKILL.md): with a bare
+# `0.5` the hash only matched because the 0.5-family happens to be
+# exactly representable — any other _PSI_EPS would silently diverge.
+_PSI_EPS_SQL = f"{_PSI_EPS!r}e0"
+_PSI_DENOM_SQL = f"{_PSI_EPS * _PSI_BINS!r}e0"
 
 
 @register(
@@ -1419,10 +1432,19 @@ _PSI_EPS = 0.5  # Laplace smoothing per bin (keeps log finite on empties)
       FROM events e CROSS JOIN s
       WHERE e.value IS NOT NULL
     ),
-    g AS (
+    g0 AS (
       SELECT event_type, bin,
              sum(in_a) AS a_cnt, sum(1 - in_a) AS b_cnt
       FROM t GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grid.event_type, grid.bin,
+             coalesce(g0.a_cnt, 0) AS a_cnt, coalesce(g0.b_cnt, 0) AS b_cnt
+      FROM (SELECT et.event_type, r.range AS bin
+            FROM (SELECT DISTINCT event_type FROM t) et
+            CROSS JOIN range({_PSI_BINS}) r) grid
+      LEFT JOIN g0
+        ON grid.event_type = g0.event_type AND grid.bin = g0.bin
     ),
     c AS (
       SELECT event_type, a_cnt, b_cnt,
@@ -1433,10 +1455,10 @@ _PSI_EPS = 0.5  # Laplace smoothing per bin (keeps log finite on empties)
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            ROUND(sum(
-             ((a_cnt + {_PSI_EPS}) * 1.0 / (n_a + {_PSI_EPS * _PSI_BINS})
-              - (b_cnt + {_PSI_EPS}) * 1.0 / (n_b + {_PSI_EPS * _PSI_BINS}))
-             * ln(((a_cnt + {_PSI_EPS}) * 1.0 / (n_a + {_PSI_EPS * _PSI_BINS}))
-                  / ((b_cnt + {_PSI_EPS}) * 1.0 / (n_b + {_PSI_EPS * _PSI_BINS})))
+             ((a_cnt + {_PSI_EPS_SQL}) * 1e0 / (n_a + {_PSI_DENOM_SQL})
+              - (b_cnt + {_PSI_EPS_SQL}) * 1e0 / (n_b + {_PSI_DENOM_SQL}))
+             * ln(((a_cnt + {_PSI_EPS_SQL}) * 1e0 / (n_a + {_PSI_DENOM_SQL}))
+                  / ((b_cnt + {_PSI_EPS_SQL}) * 1e0 / (n_b + {_PSI_DENOM_SQL})))
            ), 6) AS psi
     FROM c GROUP BY 1, 2, 3
     """,
@@ -1452,7 +1474,12 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition window over the <= |types| x 10-row frame. Laplace
     smoothing (+0.5 per bin) keeps the log finite when a bin is empty
     on one side — the standard fix, applied identically in the DuckDB
-    oracle so the statistic is engine-deterministic."""
+    oracle so the statistic is engine-deterministic. The (type, bin)
+    frame is densified to the full {_PSI_BINS}-bin grid before summing
+    (a broadcast cross of distinct types x range({_PSI_BINS}), still
+    aggregate-sized), so bins empty on BOTH sides contribute their
+    textbook nonzero smoothed term when n_a != n_b — this is the
+    standard 10-bin smoothed PSI, not an only-observed-bins variant."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -1464,9 +1491,20 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("in_a"),
     )
-    g = t.groupBy("event_type", "bin").agg(
+    g0 = t.groupBy("event_type", "bin").agg(
         F.sum("in_a").alias("a_cnt"),
         F.sum(1 - F.col("in_a")).alias("b_cnt"),
+    )
+    grid = (
+        t.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_PSI_BINS).select(F.col("id").alias("bin")))
+    )
+    g = grid.join(g0, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+        F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
     )
     wp = Window.partitionBy("event_type")
     c = g.select(
@@ -1681,9 +1719,10 @@ def _bloom_pos_sql(j: int) -> str:
     )
 
 
-@register(
-    "bloom_prefilter_join",
-    oracle=f"""
+# Shared with streaming_bloom_dedup (streaming_q.py): the streaming
+# filter's bit set must converge to the identical batch filter, so
+# both register() calls pass this same oracle SQL.
+BLOOM_PREFILTER_ORACLE = f"""
     WITH purch AS (
       SELECT DISTINCT user_id FROM events
       WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_BLOOM_CUTOFF}'
@@ -1715,35 +1754,26 @@ def _bloom_pos_sql(j: int) -> str:
                  / nullif((SELECT count(*) FROM clicks) - tru.n_true_match, 0),
                  6) AS fp_rate
     FROM pass, tru
-    """,
-)
-def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter semi-join pruning, built deterministically so both
-    engines compute the IDENTICAL filter: a {_BLOOM_M}-bit /
-    {_BLOOM_K}-hash Bloom filter over purchase-side user ids probes
-    the click stream before the exact semi join. Why it matters at
-    100 TB: a semi join shuffles the probe side on the join key; the
-    Bloom filter is a {_BLOOM_M}-bit broadcast that eliminates most
-    non-matching probe rows AT THE SCAN (this is what Spark's runtime
-    row-level filtering / Parquet bloom pushdown do internally —
-    built explicitly here so the mechanism and its false-positive
-    rate are measurable and oracle-checked). The query reports build
-    cardinality, probe cardinality, bloom-pass count, true match
-    count, and the realized fp rate among true negatives (expected
-    ~(1 - e^(-kn/m))^k). Hashes are the repo-standard md5-prefix
-    integers with per-hash seeds; the bit set aggregates to ONE
-    bounded array row (<= {_BLOOM_M} positions) that broadcasts —
-    never a shuffle of the probe side before the filter."""
+    """
+
+
+def _bloom_pos(j: int) -> F.Column:
     from dataengineeringproject_spark.functions.text import token_hash
 
+    return (
+        token_hash(F.col("user_id").cast("string"), seed=f"bloom{j}")
+        % _BLOOM_M
+    )
+
+
+def bloom_readback(spark: SparkSession, sf_dir: str, bits: DataFrame) -> DataFrame:
+    """Probe the click stream through a built Bloom filter and report
+    the prefilter scorecard (n_keys/n_probe/n_bloom_pass/n_true_match/
+    fp_rate). `bits` is the 1-row (bits: array<bigint>) filter — built
+    batch-side by bloom_prefilter_join, or recovered from streaming
+    state by streaming_bloom_dedup; everything downstream (and the
+    oracle) is shared, so the two paths are held to the same hash."""
     ev = load_table(spark, sf_dir, "events")
-
-    def pos(j: int) -> F.Column:
-        return (
-            token_hash(F.col("user_id").cast("string"), seed=f"bloom{j}")
-            % _BLOOM_M
-        )
-
     purch = (
         ev.filter(
             (F.col("event_type") == "purchase")
@@ -1752,16 +1782,17 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    bits = purch.select(
-        F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("p")
-    ).agg(F.collect_set("p").alias("bits"))
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     passed = (
         clicks.crossJoin(F.broadcast(bits))
         .filter(
-            F.array_contains("bits", pos(0))
-            & F.array_contains("bits", pos(1))
-            & F.array_contains("bits", pos(2))
+            # probe predicate generated from the same _BLOOM_K as the
+            # build side and the oracle, so bumping k can't silently
+            # probe with fewer hashes than the filter was built with
+            reduce(
+                lambda a, b: a & b,
+                [F.array_contains("bits", _bloom_pos(j)) for j in range(_BLOOM_K)],
+            )
         )
         .agg(F.count(F.lit(1)).alias("n_bloom_pass"))
     )
@@ -1790,6 +1821,41 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bloom_prefilter_join", oracle=BLOOM_PREFILTER_ORACLE)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, built deterministically so both
+    engines compute the IDENTICAL filter: a {_BLOOM_M}-bit /
+    {_BLOOM_K}-hash Bloom filter over purchase-side user ids probes
+    the click stream before the exact semi join. Why it matters at
+    100 TB: a semi join shuffles the probe side on the join key; the
+    Bloom filter is a {_BLOOM_M}-bit broadcast that eliminates most
+    non-matching probe rows AT THE SCAN (this is what Spark's runtime
+    row-level filtering / Parquet bloom pushdown do internally —
+    built explicitly here so the mechanism and its false-positive
+    rate are measurable and oracle-checked). The query reports build
+    cardinality, probe cardinality, bloom-pass count, true match
+    count, and the realized fp rate among true negatives (expected
+    ~(1 - e^(-kn/m))^k). Hashes are the repo-standard md5-prefix
+    integers with per-hash seeds; the bit set aggregates to ONE
+    bounded array row (<= {_BLOOM_M} positions) that broadcasts —
+    never a shuffle of the probe side before the filter."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit(_BLOOM_CUTOFF).cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    bits = purch.select(
+        F.explode(
+            F.array(*[_bloom_pos(j) for j in range(_BLOOM_K)])
+        ).alias("p")
+    ).agg(F.collect_set("p").alias("bits"))
+    return bloom_readback(spark, sf_dir, bits)
+
+
 # --- Count-Min sketch heavy hitters (r4) ------------------------------------
 
 _CMS_D = 4     # depth: independent hash rows
@@ -1803,9 +1869,10 @@ def _cms_bucket_sql(j: int, expr: str = "CAST(user_id AS VARCHAR)") -> str:
     return f"{token_hash_sql(expr, f'cms{j}')} % {_CMS_W}"
 
 
-@register(
-    "cms_heavy_hitters",
-    oracle=f"""
+# Shared with streaming_cms_heavy_hitters (streaming_q.py): the
+# streaming sketch must equal the batch CMS bit-for-bit, so both
+# register() calls pass this same oracle SQL.
+CMS_HEAVY_HITTERS_ORACLE = f"""
     WITH sketch AS (
       SELECT j, bucket, count(*) AS c FROM (
         SELECT unnest([{", ".join(str(j) for j in range(_CMS_D))}]) AS j,
@@ -1836,8 +1903,10 @@ def _cms_bucket_sql(j: int, expr: str = "CAST(user_id AS VARCHAR)") -> str:
            CAST(cms_estimate AS BIGINT) AS cms_estimate,
            CAST(cms_estimate - n_exact AS BIGINT) AS overestimate
     FROM est
-    """,
-)
+    """
+
+
+@register("cms_heavy_hitters", oracle=CMS_HEAVY_HITTERS_ORACLE)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation, engine-deterministic like
     the HLL twin: a {_CMS_D}x{_CMS_W} counter sketch over the event
@@ -1893,7 +1962,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rnk",
             F.row_number().over(
-                Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
+                tiny_ordered_window(F.desc("n_exact"), F.asc("user_id"))
             ),
         )
     )
@@ -2264,7 +2333,7 @@ def event_path_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "event_type", "t1", "t2").alias("path")
     ).agg(F.count(F.lit(1)).alias("n"))
     top = p.orderBy(F.desc("n"), F.asc("path")).limit(_PATH_TOPK)
-    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    wr = tiny_ordered_window(F.desc("n"), F.asc("path"))
     return top.select(
         "path",
         F.col("n").cast("long").alias("n"),
@@ -2395,8 +2464,8 @@ def value_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum"),
         F.sum("cnt").over(wp).alias("tot"),
     )
-    qtab = g.sparkSession.createDataFrame(
-        [(n, q) for n, q in _QB_QS], "qname string, q double"
+    qtab = local_df(
+        g.sparkSession, [(n, q) for n, q in _QB_QS], "qname string, q double"
     )
     hit = (
         c.crossJoin(F.broadcast(qtab))

@@ -857,6 +857,7 @@ _LEV_MAX = 8
 
 @register(
     "fuzzy_pairs_levenshtein",
+    scale_class="diagnostic",
     oracle=f"""
     WITH p AS (
       SELECT doc_id, source,
@@ -1038,7 +1039,7 @@ _LEAK_HIGH = 0.5  # a doc with > this fraction of train-seen shingles
 
 @register(
     "split_leakage_ngram",
-    oracle=f"""
+    oracle=rf"""
     WITH d AS (
       SELECT doc_id,
              CASE WHEN {_bucket_sql('doc_id')} < {SPLIT_TRAIN} THEN 'train'

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.functions import text as X
 from dataengineeringproject_spark.operators import dedup as D
+from dataengineeringproject_spark.functions.windows import (
+    tiny_ordered_window,
+)
 from dataengineeringproject_spark.registry import register
 from dataengineeringproject_spark.schemas import load_table
 
@@ -898,7 +901,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(score, 6).alias("score")
     )
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_TOPK)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = tiny_ordered_window(F.desc("score"), F.asc("doc_id"))
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
     )
@@ -959,7 +962,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = p.groupBy("pair").agg(F.sum("freq").alias("n"))
     top = g.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
-    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    w = tiny_ordered_window(F.desc("n"), F.asc("pair"))
     return top.select(
         "pair",
         F.col("n").cast("long").alias("n"),
@@ -1181,3 +1184,156 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok") * F.lit(1.0) / F.sum("n_sym"), 6
         ).alias("compression"),
     )
+
+
+# --- iterative BPE trainer (r5) ---------------------------------------------
+# The REAL tokenizer training loop (closing the r4 gap: bpe_pair_counts
+# counts once, bpe_apply_merges applies a frozen table — this recounts
+# after every merge): k rounds of count -> select-top-merge -> apply,
+# where round r's pair counts are computed over the vocabulary AFTER
+# merges 1..r-1 were applied (e.g. after 'e r' -> 'er', round 2 sees
+# 'er' as one symbol and counts pairs like ('er', 'y')).
+
+_BPE_TRAIN_ROUNDS = 4
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """k unrolled trainer rounds in DuckDB — the same boundary-exact
+    wrapped-symbol string rewriting the Spark plan uses (see
+    bpe_train_k_merges docstring for the '|a||b|' encoding)."""
+    sql = f"""
+    WITH v0 AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest({_LTOKS}) AS w FROM documents
+      ) WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$') GROUP BY 1
+    ),
+    s0 AS (
+      SELECT '|' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+               '||') || '|' AS s, freq
+      FROM v0
+    )"""
+    for r in range(1, k + 1):
+        sql += f""",
+    p{r} AS (
+      SELECT unnest(CASE WHEN len(syms) >= 2
+                    THEN list_transform(range(1, len(syms)),
+                                        i -> syms[i] || ' ' || syms[i + 1])
+                    ELSE [] END) AS pair, freq
+      FROM (SELECT list_filter(string_split(s, '|'), x -> x != '') AS syms,
+                   freq
+            FROM s{r - 1})
+    ),
+    c{r} AS (SELECT pair, sum(freq) AS n FROM p{r} GROUP BY 1),
+    t{r} AS (SELECT {r} AS round, pair, n FROM c{r}
+             ORDER BY n DESC, pair ASC LIMIT 1),
+    s{r} AS (
+      SELECT replace(s,
+               '|' || split_part(t.pair, ' ', 1) || '||'
+                   || split_part(t.pair, ' ', 2) || '|',
+               '|' || replace(t.pair, ' ', '') || '|') AS s, freq
+      FROM s{r - 1}, t{r} t
+    )"""
+    union = " UNION ALL ".join(f"SELECT * FROM t{r}" for r in range(1, k + 1))
+    sql += f"""
+    SELECT CAST(round AS BIGINT) AS round, pair, CAST(n AS BIGINT) AS n
+    FROM ({union})
+    """
+    return sql
+
+
+@register("bpe_train_k_merges", oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING: {_BPE_TRAIN_ROUNDS} rounds of
+    count-all-adjacent-pairs -> pick the most frequent -> merge it
+    everywhere, with full count RECOMPUTATION between rounds (the part
+    bpe_pair_counts/bpe_apply_merges individually don't do). Returns
+    the learned merge table: (round, pair, weighted count at selection
+    time), deterministic via (count desc, pair asc) tie-break.
+
+    Representation: each vocabulary word is a string of '|'-wrapped
+    symbols ('low' -> '|l||o||w|'). Merging pair (a, b) is then the
+    plain (non-regex) replacement '|a||b|' -> '|ab|', which is
+    boundary-EXACT (pair ('b','c') can never match inside '|ab||c|')
+    and left-to-right non-overlapping ('|a||a||a||a|' with ('a','a')
+    -> '|aa||aa|') — exactly greedy single-merge BPE semantics, with
+    no regex-escaping divergence between engines. The vocabulary is
+    restricted to ^[a-z]+$ words so the '|' sentinel can't collide
+    with a corpus character (real trainers pre-tokenize to an
+    alphabet for the same reason).
+
+    Scale shape: everything after the one corpus-wide token-count
+    shuffle operates on the VOCABULARY frame (Zipf-bounded), never the
+    corpus. Each round is: one map-side-combined pair count over the
+    vocab, a 1-row TakeOrdered top-1 (selection stays IN the plan —
+    no driver collect), broadcast back onto the vocab for the rewrite.
+    The per-round .cache() is load-bearing: round r's frame is
+    referenced by both round r+1 paths (count and apply), so without
+    it the lineage re-computes 2^k times; at 100 TB you'd checkpoint
+    the (still vocab-sized) frame instead."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = vocab.select(
+        F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ),
+                "||",
+            ),
+            F.lit("|"),
+        ).alias("s"),
+        "freq",
+    ).cache()
+    merge_rows = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        syms = cur.select(
+            F.filter(F.split("s", r"\|"), lambda x: x != F.lit("")).alias(
+                "syms"
+            ),
+            "freq",
+        )
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), ' ', "
+                    "element_at(syms, i + 1))) "
+                    "ELSE array() END"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("round"), "pair", "n")
+        )
+        merge_rows.append(top1)
+        pa = F.split(F.col("pair"), " ").getItem(0)
+        pb = F.split(F.col("pair"), " ").getItem(1)
+        cur = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit("|"), pa, F.lit("||"), pb, F.lit("|")),
+                    F.concat(F.lit("|"), pa, pb, F.lit("|")),
+                ).alias("s"),
+                "freq",
+            )
+            .cache()
+        )
+    out = merge_rows[0]
+    for t in merge_rows[1:]:
+        out = out.unionAll(t)
+    return out.select("round", "pair", F.col("n").cast("long").alias("n"))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.operators import similarity as S
 from dataengineeringproject_spark.registry import register
-from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.schemas import load_table, local_df
 
 _QUERY_IDS = list(range(10))
 _K, _N_PLANES, _N_DIMS = 5, 4, 64
@@ -545,6 +545,67 @@ def pq_encode_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADC_K = 5
 
 
+def _pq_sub(d: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): every vector split into its _PQ_M subvectors."""
+    return d.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda s: F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("s", "sv"),
+    )
+
+
+def _pq_cb(sub: DataFrame) -> DataFrame:
+    """(code, s, cv): deterministic seed codebook — the subvectors of
+    the _PQ_K smallest vec_ids (oracle-replayable; see pq_encode_recon
+    docstring)."""
+    return sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cv")
+    )
+
+
+def _pq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, s, code): nearest-codebook-entry assignment (rounded
+    L2^2, code tie-break) via a map-side-combining min(struct) — no
+    window over the corpus."""
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .select(
+            "vec_id", "s",
+            F.round(_pq_l2(F.col("sv"), F.col("cv")), 6).alias("l2"),
+            "code",
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("l2", "code")).alias("b"))
+        .select("vec_id", "s", F.col("b.code").alias("code"))
+    )
+
+
+def _pq_lut(sub: DataFrame, cb: DataFrame, query_ids: list[int]) -> DataFrame:
+    """(query_id, s, code, d): per-query asymmetric-distance lookup
+    table — exact query subvector vs every codebook entry."""
+    return (
+        sub.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "s", "sv")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "code",
+            _pq_l2(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+
+
 @register(
     "pq_adc_topk",
     oracle=f"""
@@ -610,42 +671,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sub = d.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-                lambda s: F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB),
-            )
-        ).alias("s", "sv"),
-    )
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cv")
-    )
-
-    def l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    codes = (
-        sub.join(F.broadcast(cb), "s")
-        .select(
-            "vec_id", "s", F.round(l2(F.col("sv"), F.col("cv")), 6).alias("l2"),
-            "code",
-        )
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("l2", "code")).alias("b"))
-        .select("vec_id", "s", F.col("b.code").alias("code"))
-    )
-    lut = (
-        sub.filter(F.col("vec_id").isin(_QUERY_IDS))
-        .select(F.col("vec_id").alias("query_id"), "s", "sv")
-        .join(F.broadcast(cb), "s")
-        .select("query_id", "s", "code", l2(F.col("sv"), F.col("cv")).alias("d"))
-    )
+    sub = _pq_sub(d)
+    cb = _pq_cb(sub)
+    codes = _pq_codes(sub, cb)
+    lut = _pq_lut(sub, cb, _QUERY_IDS)
     adc = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -659,6 +688,231 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _ADC_K)
         .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+# --- IVF-PQ composition (r5): the actual 100 TB ANN deployment shape --------
+# ann_ivf_trained_topk prunes WHICH vectors to score (probe nprobe
+# trained centroid lists); pq_adc_topk makes scoring them cheap (8-byte
+# codes + per-query LUT). This composes the two: ADC-score ONLY the
+# probed lists' codes — FAISS's IVFPQ — plus the recall honesty metric
+# vs exact brute force.
+
+
+def _ivfpq_sql(k: int) -> str:
+    """CTE chain: trained-IVF probe set -> candidate lists -> ADC
+    scoring over PQ codes; emits ptop(query_id, neighbor_id, adc_dist,
+    rank). Assumes v and q CTEs; reuses kmeans_sql's k{n}(cid, cemb)."""
+    cents = f"k{_TRAIN_ITERS}"
+    return f"""va AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+        ) AS rn FROM v, {cents} c) WHERE rn = 1
+    ),
+    vp AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid, row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cid ASC
+        ) AS rn FROM q, {cents} c) WHERE rn <= {_NPROBE}
+    ),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(emb, s * {_PQ_DSUB} + 1, s * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s)
+    ),
+    cb AS (SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    pqs AS (
+      SELECT t.vec_id, t.s, cb.code,
+             ROUND(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                            i -> (t.sv[i] - cb.cv[i]) ^ 2)), 6) AS l2
+      FROM sub t JOIN cb USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY l2, code) AS rn
+        FROM pqs
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT qq.vec_id AS query_id, qq.s, cb.code,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                      i -> (qq.sv[i] - cb.cv[i]) ^ 2)) AS d
+      FROM sub qq JOIN cb USING (s)
+      WHERE qq.vec_id IN ({_QID_LIST})
+    ),
+    cand AS (
+      SELECT vp.query_id, va.vec_id
+      FROM vp JOIN va USING (cid)
+      WHERE va.vec_id <> vp.query_id
+    ),
+    padc AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id, ROUND(sum(l.d), 6) AS adc_dist
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.s = co.s AND l.code = co.code
+      GROUP BY 1, 2
+    ),
+    ptop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rank
+        FROM padc
+      ) WHERE rank <= {k}
+    )"""
+
+
+def _ivfpq_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Spark IVF-PQ top-k: trained centroids (cached — feeds assignment
+    AND probes), inverted-list pruning, ADC scoring of the pruned
+    candidate set only. Everything broadcastable stays broadcast
+    (centroids, probe set, codebook, LUT); the corpus crosses the
+    network once for assignment and once for the code join."""
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.operators.similarity import (
+        _cosine_pre,
+        _with_norm,
+        assign_nearest,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = kmeans_centroids(
+        d, "vec_id", init_mod=_CENTROID_MOD, n_iters=_TRAIN_ITERS
+    ).cache()
+    assign = assign_nearest(d, cents, "vec_id")
+    qn = _with_norm(
+        d.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        "qv",
+        "__qn",
+    )
+    cents_n = _with_norm(cents, "cv", "__cn")
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    probes = (
+        qn.crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "ccos",
+            F.round(
+                _cosine_pre(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("query_id", "cid")
+    )
+    sub = _pq_sub(d)
+    cb = _pq_cb(sub)
+    codes = _pq_codes(sub, cb)
+    lut = _pq_lut(sub, cb, _QUERY_IDS)
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {S.kmeans_sql(_TRAIN_ITERS, _CENTROID_MOD)},
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
+    {_ivfpq_sql(_ADC_K)}
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM ptop
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-{_ADC_K}: probe the {_NPROBE} nearest Lloyd-trained
+    centroid lists per query, then ADC-score ONLY those lists' {_PQ_M}-
+    byte codes against the per-query LUT. At 100 TB this is THE
+    deployment shape: list pruning cuts candidates to ~nprobe/C of the
+    corpus, PQ cuts bytes-per-candidate 32x, so query cost is
+    (nprobe/C) x (1/32) of a brute-force float scan — with recall
+    measured honestly by ann_recall_trained_ivfpq. ADC distances are
+    rounded before ranking with an id tie-break (engine-exact cut)."""
+    return _ivfpq_df(spark, sf_dir, _ADC_K)
+
+
+@register(
+    "ann_recall_trained_ivfpq",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {S.kmeans_sql(_TRAIN_ITERS, _CENTROID_MOD)},
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
+    {_ivfpq_sql(_ADC_K)},
+    es AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    etop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM es
+      ) WHERE rank <= {_ADC_K}
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM etop e JOIN ptop p USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1e0 / {_ADC_K}e0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM etop) q
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann_recall_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_ADC_K} of the composed IVF-PQ path against the exact
+    cosine top-{_ADC_K} (cosine_topk machinery) — the honesty metric
+    that closes the loop: IVF pruning loses candidates outside probed
+    lists, PQ loses precision to 8-byte codes (and ranks by L2 while
+    the ground truth ranks by cosine), and this reports exactly how
+    much, per query. The number a 100 TB deployment tunes nprobe /
+    codebook size against."""
+    ivfpq = _ivfpq_df(spark, sf_dir, _ADC_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=_ADC_K)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ivfpq.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) * F.lit(1.0) / _ADC_K, 6
+        ).alias("recall"),
     )
 
 
@@ -751,8 +1005,8 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = _lt(spark, sf_dir, "documents")
-    terms = spark.createDataFrame(
-        list(_RRF_QUERIES.items()), "query_id long, term string"
+    terms = local_df(
+        spark, list(_RRF_QUERIES.items()), "query_id long, term string"
     )
     cand = (
         docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))

@@ -26,8 +26,11 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dataengineeringproject_spark.functions.windows import (
+    tiny_ordered_window,
+)
 from dataengineeringproject_spark.registry import register
-from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.schemas import load_table, local_df
 from dataengineeringproject_spark.session import ensure_package_on_workers
 from dataengineeringproject_spark.streaming.daily import (
     daily_means_stream,
@@ -393,7 +396,7 @@ def streaming_static_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps state). Final emission per day equals the batch join+agg."""
     d = _staged_events(spark, sf_dir)
     name = f"static_join_q_{next(_RUN_ID)}"
-    weights = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+    weights = local_df(spark, _TYPE_WEIGHTS, "event_type string, weight double")
     with _pinned_shuffle_partitions(spark, 8):
         ev = read_events_stream(spark, d, max_files_per_trigger=1)
         enriched = ev.join(F.broadcast(weights), "event_type")
@@ -666,9 +669,16 @@ def streaming_hll_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dataengineeringproject_spark.queries.advanced import (  # noqa: E402
+    CMS_HEAVY_HITTERS_ORACLE as _CMS_SHARED_ORACLE,
+)
+
+
 @register(
     "streaming_cms_heavy_hitters",
-    oracle=None,  # set just below: shares the batch CMS oracle verbatim
+    # shares the BATCH cms_heavy_hitters oracle verbatim (the streaming
+    # sketch must reduce to the identical state; see docstring)
+    oracle=_CMS_SHARED_ORACLE,
 )
 def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch maintained AS STREAMING STATE — the add-merge
@@ -726,7 +736,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rnk",
             F.row_number().over(
-                Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
+                tiny_ordered_window(F.desc("n_exact"), F.asc("user_id"))
             ),
         )
     )
@@ -762,13 +772,73 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _share_cms_oracle() -> None:
-    """streaming_cms_heavy_hitters must equal the batch CMS exactly, so
-    it is checked against the SAME oracle SQL."""
-    from dataengineeringproject_spark import registry as _r
-    from dataengineeringproject_spark.queries import advanced as _a  # noqa: F401
 
-    _r._ORACLE["streaming_cms_heavy_hitters"] = _r._ORACLE["cms_heavy_hitters"]
+from dataengineeringproject_spark.queries.advanced import (  # noqa: E402
+    BLOOM_PREFILTER_ORACLE as _BLOOM_SHARED_ORACLE,
+)
 
 
-_share_cms_oracle()
+@register(
+    "streaming_bloom_dedup",
+    # shares the BATCH bloom_prefilter_join oracle verbatim: the
+    # streaming filter's bit set must converge to the identical batch
+    # filter (bit-or is order-independent), so the full scorecard —
+    # including the measured false-drop rate — is held to the same
+    # value hash.
+    oracle=_BLOOM_SHARED_ORACLE,
+)
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter maintained AS STREAMING STATE — the third streaming
+    sketch merge class, completing the trio: HLL merges by MAX,
+    CMS by ADD, Bloom by bit-OR (all commutative+associative+
+    idempotent-or-monotone, which is exactly why each works as a
+    streaming aggregation). The build stream (pre-cutoff purchase
+    users) explodes each key into its _BLOOM_K bit positions and a running
+    groupBy keeps bit=1 per position: state is AT MOST the filter's
+    _BLOOM_M one-row bits regardless of event volume or key cardinality —
+    the bounded-memory property that lets a 100 TB ingest keep
+    approximate seen-before dedup state in kilobytes where an exact
+    seen-set grows without bound. Update-mode bit emissions are
+    monotone, so the converged filter is the distinct position set of
+    the emission log. The read-back (shared bloom_readback) then
+    probes the click stream through the streaming-built filter:
+    fp_rate IS the measured false-drop rate — the fraction of
+    never-purchased click users the filter would wrongly drop as
+    'already seen' — the number an approximate dedup deployment
+    budgets (expected ~(1 - e^(-kn/m))^k; filter sizing is the knob).
+
+    Cites reference scope: the reference has no streaming surface
+    (SURVEY §2.6); this extends the engine's streaming-sketch family
+    (§8.8.3) with the Bloom merge class."""
+    from dataengineeringproject_spark.queries.advanced import (
+        _BLOOM_CUTOFF,
+        _BLOOM_K,
+        _bloom_pos,
+        bloom_readback,
+    )
+
+    d = _staged_events(spark, sf_dir)
+    name = f"bloom_dedup_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        build = src.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit(_BLOOM_CUTOFF).cast("timestamp"))
+        ).select("user_id")
+        obs = build.select(
+            F.explode(
+                F.array(*[_bloom_pos(j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        # non-windowed streaming groupBy: no watermark on purpose — the
+        # key space is the filter's bit positions (bounded), not the
+        # data's, so state cannot grow past the filter size.
+        agg = obs.groupBy("pos").agg(F.max(F.lit(1)).alias("bit"))
+        run_to_memory(agg, name, output_mode="update")
+    bits = (
+        spark.table(name)
+        .select("pos")
+        .distinct()
+        .agg(F.collect_set("pos").alias("bits"))
+    )
+    return bloom_readback(spark, sf_dir, bits)

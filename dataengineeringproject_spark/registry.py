@@ -24,6 +24,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
+# Machine-readable scale posture per query (VERDICT r4 item 2).
+#   "scalable"   (default): the physical plan survives a 100 TB /
+#                1000-executor scale-up (blocked/bucketed/broadcast —
+#                never all-pairs, never a global sort of raw rows).
+#   "diagnostic": correct and oracle-checked, but deliberately exact /
+#                 O(n log n)-sorted / O(block²) — kept as ground truth
+#                 or recall baseline for a scalable twin, NOT the
+#                 at-scale deployment shape. bench.py surfaces these
+#                 so a slow diagnostic row is never read as a
+#                 scalability regression.
+_SCALE_CLASS: dict[str, str] = {}
 
 # Age-tiered driver-row freshness rotation (VERDICT r3 item 2): the
 # driver's per-round correctness sweep checks at most ~50 queries in
@@ -38,39 +49,18 @@ _ORACLE: dict[str, str] = {}
 # each round, regenerate from the union of CORRECTNESS_r0*.json (latest
 # green round per query; see tools/gen_sweep_tiers.py).
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # --- round 1 is the newest green driver row (35 queries)
-    "ann_ivf_topk": 1,
-    "ann_ivf_trained_topk": 1,
-    "ann_lsh_topk": 1,
-    "ann_recall_trained_ivf": 1,
+    # --- round 1 is the newest green driver row (14 queries)
     "clamp_median_fill": 1,
-    "corpus_curation_pipeline": 1,
-    "cosine_topk": 1,
     "daily_agg": 1,
-    "dedup_clusters_minhash": 1,
-    "dedup_embedding_cosine": 1,
-    "dedup_exact": 1,
     "dedup_keep_first": 1,
-    "dedup_minhash_lsh": 1,
-    "dedup_simhash": 1,
-    "doc_fingerprints": 1,
     "drop_unparseable": 1,
-    "embedding_norms": 1,
-    "lang_id": 1,
-    "minhash_signatures": 1,
     "monthly_agg": 1,
     "multimodal_audio_features": 1,
-    "multimodal_frame_sample": 1,
-    "multimodal_image_features": 1,
-    "ngram_jaccard_blocked": 1,
     "pipeline_daily_weather_analog": 1,
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 1,
     "q5_region_revenue": 1,
     "scalar_exprs": 1,
-    "text_normalize": 1,
-    "text_stats": 1,
-    "token_counts_bpe": 1,
     "topk_per_group": 1,
     "validation_summary": 1,
     "wind_buckets": 1,
@@ -114,7 +104,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sql_q10_returned_items": 2,
     "tfidf_top_terms": 2,
     "window_running_sum": 2,
-    # --- round 3 is the newest green driver row (47 queries)
+    # --- round 3 is the newest green driver row (46 queries)
     "asof_join_cogroup": 3,
     "asof_join_purchase_click": 3,
     "chunk_sliding_rag": 3,
@@ -125,8 +115,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "drift_chi2_event_mix": 3,
     "embedding_quantize_int8": 3,
     "ewma_daily_by_type": 3,
-    # fuzzy_pairs_levenshtein: entry removed in r4 (threshold tightened
-    # 22 -> 8, see queries/curation.py) — needs a fresh driver row.
     "grouping_sets_agg": 3,
     "histogram_equidepth_value": 3,
     "histogram_value_buckets": 3,
@@ -163,6 +151,56 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_lag_delta": 3,
     "window_range_rolling_7d": 3,
     "zscore_per_group": 3,
+    # --- round 4 is the newest green driver row (50 queries)
+    "ann_ivf_topk": 4,
+    "ann_ivf_trained_topk": 4,
+    "ann_lsh_topk": 4,
+    "ann_recall_trained_ivf": 4,
+    "bloom_prefilter_join": 4,
+    "bm25_topk": 4,
+    "bpe_apply_merges": 4,
+    "bpe_pair_counts": 4,
+    "cdc_latest_state_tombstones": 4,
+    "cms_heavy_hitters": 4,
+    "corpus_curation_pipeline": 4,
+    "cosine_topk": 4,
+    "dedup_clusters_minhash": 4,
+    "dedup_embedding_cosine": 4,
+    "dedup_exact": 4,
+    "dedup_minhash_lsh": 4,
+    "dedup_simhash": 4,
+    "doc_fingerprints": 4,
+    "drift_ks_binned": 4,
+    "drift_ks_value": 4,
+    "embedding_norms": 4,
+    "event_path_top3": 4,
+    "fuzzy_pairs_blocked": 4,
+    "fuzzy_pairs_levenshtein": 4,
+    "fuzzy_recall_blocked": 4,
+    "gap_fill_daily_interp": 4,
+    "histogram_equidepth_approx": 4,
+    "hll_daily_to_monthly_rollup": 4,
+    "hll_distinct_users": 4,
+    "hll_rolling_7d_distinct": 4,
+    "lang_id": 4,
+    "minhash_signatures": 4,
+    "multimodal_frame_sample": 4,
+    "multimodal_image_features": 4,
+    "ngram_containment_blocked": 4,
+    "ngram_jaccard_blocked": 4,
+    "ngram_novelty": 4,
+    "quality_unigram_nll": 4,
+    "rrf_fusion_topk": 4,
+    "split_leakage_ngram": 4,
+    "streaming_cms_heavy_hitters": 4,
+    "streaming_hll_daily_distinct": 4,
+    "streaming_session_window": 4,
+    "text_normalize": 4,
+    "text_stats": 4,
+    "token_counts_bpe": 4,
+    "value_quantiles_binned": 4,
+    "variant_props_extract": 4,
+    "window_rank_family": 4,
 }
 
 
@@ -172,16 +210,34 @@ def _sweep_order(names: list[str]) -> list[str]:
     return sorted(names, key=lambda n: _LAST_GREEN_ROUND.get(n, 0))
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query (and optionally its oracle SQL)."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    scale_class: str = "scalable",
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optionally its oracle SQL).
+
+    scale_class tags the 100 TB posture ("scalable" | "diagnostic",
+    see _SCALE_CLASS above); diagnostic exact variants keep their
+    scalable twin named in the docstring.
+    """
+    if scale_class not in ("scalable", "diagnostic"):
+        raise ValueError(f"unknown scale_class {scale_class!r}")
 
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLE[name] = oracle
+        _SCALE_CLASS[name] = scale_class
         return fn
 
     return deco
+
+
+def scale_classes() -> dict[str, str]:
+    """name -> "scalable" | "diagnostic" for every registered query."""
+    _load_all()
+    return dict(_SCALE_CLASS)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -57,6 +57,39 @@ TESTDATA_TABLES = [
 ]
 
 
+def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Tiny literal DataFrame as a pure-JVM plan (range→explode of a
+    struct-array literal) instead of `spark.createDataFrame(py_list)`.
+
+    createDataFrame from a Python list builds a Python-RDD-backed plan:
+    every one of its `defaultParallelism` partitions spawns a Python
+    worker at execution time just to unpickle (usually) zero rows.
+    Measured on local[32]: a 3-row broadcast build ran 32 worker
+    launches ≈ 2-3 s PER EXECUTION — dominating several headline
+    queries — versus ~0 for this literal plan, which also
+    constant-folds into broadcasts. Use for any small driver-side
+    lookup/parameter table on a query's hot path; `schema` is the
+    usual "name type, name2 type2" DDL string.
+    """
+    from pyspark.sql import functions as F
+
+    fields = [tuple(s.strip().rsplit(" ", 1)) for s in schema.split(",")]
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n)
+                for (n, t), v in zip(fields, row, strict=True)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table. Parquet + explicit column use
     downstream gives Catalyst pushdown + pruning for free (§4).

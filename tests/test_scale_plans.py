@@ -112,6 +112,51 @@ def test_topk_uses_take_ordered(spark, name):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_diagnostic_scale_class_metadata():
+    """The three deliberately-exact variants carry machine-readable
+    scale_class="diagnostic" registry metadata (VERDICT r4 item 2);
+    everything else defaults to "scalable". bench.py surfaces the
+    diagnostic set in its JSON output."""
+    classes = registry.scale_classes()
+    diagnostic = {n for n, c in classes.items() if c == "diagnostic"}
+    assert diagnostic == {
+        "histogram_equidepth_value",
+        "drift_ks_value",
+        "fuzzy_pairs_levenshtein",
+    }
+    assert set(classes) == set(registry.queries())
+    assert set(classes.values()) <= {"scalable", "diagnostic"}
+
+
+def test_sample_weighted_priority_takeordered_prune(spark):
+    """sample_weighted_priority's docstring claims the rank<=k filter
+    prunes the corpus to k rows BEFORE the single-partition rank
+    window runs — the full corpus never sorts. Catalyst realizes this
+    as LimitPushDownThroughWindow: the unpartitioned row_number window
+    sits on top of TakeOrderedAndProject(limit=k) (per-partition heap
+    + driver merge of k rows), so the only windowed frame is ≤k rows.
+    Pin it: the prune node exists, and every Window/Sort subtree
+    passes through it before reaching the parquet scan."""
+    plan = _physical_plan(spark, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for i, ln in enumerate(lines):
+        s = ln.strip()
+        is_node = ("Sort " in ln or s.startswith("Sort")
+                   or s.startswith("Window") or "+- Window" in ln)
+        if not is_node:
+            continue
+        d = _depth(ln)
+        pruned = False
+        for nxt in lines[i + 1 :]:
+            if _depth(nxt) <= d:
+                break
+            if "TakeOrderedAndProject" in nxt or "WindowGroupLimit" in nxt:
+                pruned = True
+            if "Scan parquet" in nxt and not pruned:
+                pytest.fail(f"Window/Sort reaches scan unpruned:\n{plan}")
+
+
 @pytest.mark.parametrize(
     "name",
     [
