@@ -40,7 +40,17 @@ def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a fold over zip_with — sequential left-to-right, the
-    same order DuckDB's list functions use, so doubles agree."""
+    same order DuckDB's list functions use, so doubles agree.
+
+    Measured dead end (r5), do not retry: statically unrolling this to
+    a 64-term element_at sum (to escape the interpreted-HOF path) was
+    value-bit-identical but 3-5x SLOWER end-to-end on the kmeans/IVF
+    queries — the giant generated methods blow past JIT inlining
+    limits and Catalyst analysis time grows with the 128x larger
+    expression trees (plan build 6.2s vs 1.3s, exec 12.8s vs 4.0s on
+    ann_ivf_trained_topk at sf0.1). Unrolling the 4x64 LSH plane
+    projections was 2x slower likewise; only the 8-dim PQ subspace
+    kernel broke even. The fold stays."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -270,6 +280,12 @@ def ivf_topk(
         emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     )
     if train_iters > 0:
+        # cache the NORMALIZED CORPUS too: every Lloyd iteration, the
+        # final assignment, and the scoring join each re-derive it, and
+        # the norm is an interpreted-HOF pass over every vector — the
+        # dominant repeated cost. An ANN index build at 100 TB persists
+        # this frame for the same reason (it is read 2·iters+2 times).
+        vecs = vecs.cache()
         # cache: the trained centroid set (tiny) feeds BOTH the corpus
         # assignment and the query probes — without it Spark would
         # re-run every Lloyd iteration for each consumer.

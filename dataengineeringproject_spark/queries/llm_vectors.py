@@ -781,9 +781,12 @@ def _ivfpq_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # cached: the cast corpus feeds Lloyd training (2 passes/iter), the
+    # final list assignment, the PQ code build, and the LUT — an index
+    # build reads its corpus many times, so persist it once.
     d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).cache()
     cents = kmeans_centroids(
         d, "vec_id", init_mod=_CENTROID_MOD, n_iters=_TRAIN_ITERS
     ).cache()
