@@ -84,6 +84,10 @@ HEADLINE = [
     # r5 additions
     "bpe_train_k_merges",
     "ann_ivfpq_topk",
+    "hll_intersection_estimate",
+    "quantiles_binned_rollup",
+    "profile_table",
+    "pagerank_event_graph",
 ]
 
 

@@ -2485,3 +2485,528 @@ def value_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n, _ in _QB_QS
         ]
     )
+
+
+# --- HLL set algebra (r5): intersection via inclusion-exclusion -------------
+# The union of two HLLs is exact sketch algebra (register-wise max —
+# the merge the rollup query already proves); intersection has no
+# native sketch operation, so the standard estimator is
+# inclusion-exclusion over three estimates: |A∩B| ≈ |A| + |B| - |A∪B|.
+# Its error compounds (known caveat: variance grows as the true
+# intersection shrinks relative to the union), so the query reports
+# the exact intersection and realized relative error alongside.
+
+_HLL_PAIRS = [("click", "purchase"), ("view", "signup"), ("click", "view")]
+
+
+@register(
+    "hll_intersection_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, user_id, {_HLL_HASH_SQL} AS hash
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, hash % {_HLL_M} AS bucket,
+             max({_HLL_RANK_SQL}) AS m_rank
+      FROM h GROUP BY 1, 2
+    ),
+    pairs(ta, tb) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _HLL_PAIRS)}),
+    ra AS (SELECT p.ta, p.tb, r.bucket, r.m_rank
+           FROM pairs p JOIN reg r ON r.event_type = p.ta),
+    rb AS (SELECT p.ta, p.tb, r.bucket, r.m_rank
+           FROM pairs p JOIN reg r ON r.event_type = p.tb),
+    ru AS (
+      SELECT coalesce(ra.ta, rb.ta) AS ta, coalesce(ra.tb, rb.tb) AS tb,
+             coalesce(ra.bucket, rb.bucket) AS bucket,
+             greatest(coalesce(ra.m_rank, 0), coalesce(rb.m_rank, 0)) AS m_rank
+      FROM ra FULL OUTER JOIN rb
+        ON ra.ta = rb.ta AND ra.tb = rb.tb AND ra.bucket = rb.bucket
+    ),
+    ea AS ({_hll_finish_sql("ra", "ta, tb")}),
+    eb AS ({_hll_finish_sql("rb", "ta, tb")}),
+    eu AS ({_hll_finish_sql("ru", "ta, tb")}),
+    ex AS (
+      SELECT p.ta, p.tb, count(*) AS n_exact FROM pairs p
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) ua
+        ON ua.event_type = p.ta
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) ub
+        ON ub.event_type = p.tb AND ub.user_id = ua.user_id
+      GROUP BY 1, 2
+    )
+    SELECT ea.ta, ea.tb,
+           ROUND(ea.estimate, 2) AS est_a,
+           ROUND(eb.estimate, 2) AS est_b,
+           ROUND(eu.estimate, 2) AS est_union,
+           ROUND(ea.estimate + eb.estimate - eu.estimate, 2)
+             AS est_intersection,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           ROUND(abs(ea.estimate + eb.estimate - eu.estimate - ex.n_exact)
+                 / ex.n_exact, 4) AS rel_err
+    FROM ea JOIN eb USING (ta, tb) JOIN eu USING (ta, tb)
+    JOIN ex USING (ta, tb)
+    """,
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: per event-type pair, estimate |A|, |B|, |A∪B|
+    (union = register-wise MAX — exact sketch algebra, the merge
+    hll_daily_to_monthly_rollup proves) and derive |A∩B| by
+    inclusion-exclusion, against the exact intersection and its
+    realized relative error. Why it earns a slot: at 100 TB, overlap
+    questions ("how many users both clicked and purchased", "how many
+    docs appear in both crawls") are exact-join questions costing a
+    corpus-wide shuffle each — three 256-register sketches answer
+    them in one pass, mergeable across shards/days, with this query
+    measuring exactly the estimator's known weakness (error compounds
+    as the true overlap shrinks). Registers are the engine-
+    deterministic md5 family; every estimate is hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = _hll_bucket_rank(
+        ev.select("event_type", "user_id"), ["event_type"], "user_id"
+    )
+    reg = obs.groupBy("event_type", "bucket").agg(F.max("rk").alias("m_rank"))
+    pairs = local_df(spark, _HLL_PAIRS, "ta string, tb string")
+    ra = pairs.join(
+        reg, reg["event_type"] == pairs["ta"]
+    ).select("ta", "tb", "bucket", "m_rank")
+    rb = pairs.join(
+        reg, reg["event_type"] == pairs["tb"]
+    ).select("ta", "tb", "bucket", "m_rank")
+    ru = (
+        ra.withColumnRenamed("m_rank", "mra")
+        .join(
+            rb.withColumnRenamed("m_rank", "mrb"),
+            ["ta", "tb", "bucket"],
+            "full_outer",
+        )
+        .select(
+            "ta",
+            "tb",
+            "bucket",
+            F.greatest(
+                F.coalesce("mra", F.lit(0)), F.coalesce("mrb", F.lit(0))
+            ).alias("m_rank"),
+        )
+    )
+    ea = _hll_finish(ra, ["ta", "tb"]).withColumnRenamed("estimate", "e_a")
+    eb = _hll_finish(rb, ["ta", "tb"]).withColumnRenamed("estimate", "e_b")
+    eu = _hll_finish(ru, ["ta", "tb"]).withColumnRenamed("estimate", "e_u")
+    users = ev.select("event_type", "user_id").distinct()
+    ex = (
+        pairs.join(users.alias("ua"), F.col("ua.event_type") == F.col("ta"))
+        .join(
+            users.alias("ub"),
+            (F.col("ub.event_type") == F.col("tb"))
+            & (F.col("ub.user_id") == F.col("ua.user_id")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    inter = F.col("e_a") + F.col("e_b") - F.col("e_u")
+    return (
+        ea.join(eb, ["ta", "tb"])
+        .join(eu, ["ta", "tb"])
+        .join(ex, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            F.round("e_a", 2).alias("est_a"),
+            F.round("e_b", 2).alias("est_b"),
+            F.round("e_u", 2).alias("est_union"),
+            F.round(inter, 2).alias("est_intersection"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(F.abs(inter - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+# --- mergeable binned quantiles (r5): day-shard rollup ----------------------
+
+
+@register(
+    "quantiles_binned_rollup",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(value) AS vmin, max(value) AS vmax
+      FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, strftime(e.ts, '%Y-%m-%d') AS day,
+             {_FINE_BIN_SQL} AS bin,
+             count(*) AS cnt, max(e.value) AS bhi
+      FROM events e CROSS JOIN s
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bin, sum(cnt) AS cnt, max(bhi) AS bhi
+      FROM daily GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT event_type, {_FINE_BIN_SQL} AS bin,
+             count(*) AS cnt, max(e.value) AS bhi
+      FROM events e CROSS JOIN s
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    q AS (SELECT unnest([{", ".join(str(q) for _, q in _QB_QS)}]) AS q,
+                 unnest([{", ".join(f"'{n}'" for n, _ in _QB_QS)}]) AS qname),
+    cm AS (
+      SELECT event_type, bin, bhi,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS tot
+      FROM merged
+    ),
+    cd AS (
+      SELECT event_type, bin, bhi,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS tot
+      FROM direct
+    ),
+    hm AS (
+      SELECT cm.event_type, q.qname, min(cm.bin) AS qbin
+      FROM cm CROSS JOIN q WHERE cm.cum >= q.q * cm.tot GROUP BY 1, 2
+    ),
+    hd AS (
+      SELECT cd.event_type, q.qname, min(cd.bin) AS qbin
+      FROM cd CROSS JOIN q WHERE cd.cum >= q.q * cd.tot GROUP BY 1, 2
+    ),
+    vm AS (
+      SELECT hm.event_type, hm.qname, ROUND(cm.bhi, 6) AS q_merged
+      FROM hm JOIN cm ON cm.event_type = hm.event_type AND cm.bin = hm.qbin
+    ),
+    vd AS (
+      SELECT hd.event_type, hd.qname, ROUND(cd.bhi, 6) AS q_direct
+      FROM hd JOIN cd ON cd.event_type = hd.event_type AND cd.bin = hd.qbin
+    )
+    SELECT vm.event_type, vm.qname, vm.q_merged, vd.q_direct,
+           vm.q_merged = vd.q_direct AS equal
+    FROM vm JOIN vd USING (event_type, qname)
+    """,
+)
+def quantiles_binned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY proof for the binned-quantile family, the property
+    that makes it deployable where exact quantiles are not: per-day
+    (event_type, day, bin) histograms merge to per-type histograms by
+    plain cnt-sum / bhi-max — bin counts are LINEAR, so shard-wise
+    sketches combine associatively and LOSSLESSLY — and the quantiles
+    read off the merged histogram equal the direct whole-corpus
+    computation EXACTLY (the `equal` column asserts it per quantile,
+    engine-checked on both sides). This is the same merge class as
+    CMS (add) and the reason a 100 TB profile runs as one map-side-
+    combined pass per shard/day plus a tiny rollup, while exact
+    quantiles would re-sort the corpus per regrouping. Grid and
+    read-off arithmetic are value_quantiles_binned's (shared fine
+    grid, first bin crossing q x total)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        _fine_bin(F.col("value")).alias("bin"),
+        "value",
+    )
+    daily = binned.groupBy("event_type", "day", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("value").alias("bhi")
+    )
+    merged = daily.groupBy("event_type", "bin").agg(
+        F.sum("cnt").alias("cnt"), F.max("bhi").alias("bhi")
+    )
+    direct = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("value").alias("bhi")
+    )
+    qtab = local_df(
+        spark, [(n, q) for n, q in _QB_QS], "qname string, q double"
+    )
+
+    def read_quantiles(g: DataFrame, out: str) -> DataFrame:
+        wp = Window.partitionBy("event_type")
+        c = g.select(
+            "event_type",
+            "bin",
+            "bhi",
+            F.sum("cnt")
+            .over(
+                wp.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum"),
+            F.sum("cnt").over(wp).alias("tot"),
+        )
+        hit = (
+            c.crossJoin(F.broadcast(qtab))
+            .filter(F.col("cum") >= F.col("q") * F.col("tot"))
+            .groupBy("event_type", "qname")
+            .agg(F.min("bin").alias("qbin"))
+        )
+        return hit.join(
+            c.select("event_type", F.col("bin").alias("qbin"), "bhi"),
+            ["event_type", "qbin"],
+        ).select("event_type", "qname", F.round("bhi", 6).alias(out))
+
+    vm = read_quantiles(merged, "q_merged")
+    vd = read_quantiles(direct, "q_direct")
+    return vm.join(vd, ["event_type", "qname"]).select(
+        "event_type",
+        "qname",
+        "q_merged",
+        "q_direct",
+        (F.col("q_merged") == F.col("q_direct")).alias("equal"),
+    )
+
+
+# --- table profiling (r5): the data-quality pass every pipeline runs --------
+# One scan of `events` producing a per-column scorecard: row count,
+# null count/fraction, deterministic HLL distinct estimate, numeric
+# min/max. The per-column value is canonicalized to a string FORM THE
+# TWO ENGINES AGREE ON before hashing (longs/strings as-is, timestamps
+# via explicit format, doubles via C-style %.6f — a bare double→string
+# cast diverges between Java and DuckDB formatting, which would change
+# the registers), so even the approximate distinct is value-hash-checked.
+
+_PROFILE_COLS = [
+    # (name, canonical-string spark expr template, numeric?)
+    ("event_id", "CAST(event_id AS STRING)", True),
+    ("user_id", "CAST(user_id AS STRING)", True),
+    ("event_type", "event_type", False),
+    ("value", "format_string('%.6f', value)", True),
+    ("props", "props", False),
+]
+
+
+def _profile_oracle() -> str:
+    duck_canon = {
+        "event_id": "CAST(event_id AS VARCHAR)",
+        "user_id": "CAST(user_id AS VARCHAR)",
+        "event_type": "event_type",
+        "value": "printf('%.6f', value)",
+        "props": "props",
+    }
+    stacked = " UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {duck_canon[name]} AS val, "
+        + (
+            f"CAST({name} AS DOUBLE) AS num"
+            if numeric
+            else "CAST(NULL AS DOUBLE) AS num"
+        )
+        + " FROM events"
+        for name, _, numeric in _PROFILE_COLS
+    )
+    return f"""
+    WITH stacked AS ({stacked}),
+    base AS (
+      SELECT col_name, count(*) AS n_rows,
+             sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+             ROUND(min(num), 6) AS min_num, ROUND(max(num), 6) AS max_num
+      FROM stacked GROUP BY 1
+    ),
+    h AS (
+      SELECT col_name,
+             CAST(concat('0x', substr(md5(val), 1, 15)) AS BIGINT) AS hash
+      FROM stacked WHERE val IS NOT NULL
+    ),
+    reg AS (
+      SELECT col_name, hash % {_HLL_M} AS bucket,
+             max({_HLL_RANK_SQL}) AS m_rank
+      FROM h GROUP BY 1, 2
+    ),
+    est AS ({_hll_finish_sql("reg", "col_name")})
+    SELECT base.col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           ROUND(n_null * 1e0 / n_rows, 6) AS null_frac,
+           ROUND(est.estimate, 2) AS distinct_est,
+           min_num, max_num
+    FROM base JOIN est USING (col_name)
+    """
+
+
+@register("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide profiling in ONE corpus pass — the expectations/
+    data-quality scan every training-data pipeline runs before and
+    after each transform: per column, row count, null count and
+    fraction, an approximate distinct-value count, and numeric
+    min/max. Physical shape for 100 TB: the row fans out to one
+    (col_name, canonical_val, num) tuple per profiled column map-side
+    (no extra scan per column — the naive per-column profile costs
+    |cols| scans and |cols| exact-distinct shuffles), and everything
+    aggregates map-side-combined: counts and min/max directly, the
+    distinct estimate through the engine's deterministic 256-register
+    HLL (mergeable across shards, bounded state — the profile of a
+    sharded corpus rolls up losslessly). Distinct estimates hash the
+    CANONICAL string form (see _PROFILE_COLS: %.6f for doubles —
+    engine-identical formatting), so the whole profile, approximation
+    included, is value-hash-checked against DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    stacked = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        F.expr(canon).alias("val"),
+                        (
+                            F.col(name).cast("double")
+                            if numeric
+                            else F.lit(None).cast("double")
+                        ).alias("num"),
+                    )
+                    for name, canon, numeric in _PROFILE_COLS
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    base = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.round(F.min("num"), 6).alias("min_num"),
+        F.round(F.max("num"), 6).alias("max_num"),
+    )
+    obs = _hll_bucket_rank(
+        stacked.filter(F.col("val").isNotNull()).select("col_name", "val"),
+        ["col_name"],
+        "val",
+    )
+    reg = obs.groupBy("col_name", "bucket").agg(F.max("rk").alias("m_rank"))
+    est = _hll_finish(reg, ["col_name"])
+    return base.join(est, "col_name").select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.round(F.col("n_null") * F.lit(1.0) / F.col("n_rows"), 6).alias(
+            "null_frac"
+        ),
+        F.round("estimate", 2).alias("distinct_est"),
+        "min_num",
+        "max_num",
+    )
+
+
+# --- PageRank (r5): iterative linear algebra kept in the plan ---------------
+# Third member of the in-plan iterative family (Lloyd k-means trains
+# the IVF index, the BPE trainer loops count→merge→apply): k unrolled
+# power iterations over an edge frame, no driver collect. The graph is
+# the event-type transition graph (consecutive events per user),
+# weighted by transition count.
+
+_PR_D = 0.85      # damping
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(k: int) -> str:
+    sql = f"""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    edges AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS w
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    outd AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+    e AS (
+      SELECT edges.src, edges.dst, edges.w * 1e0 / outd.outw AS p
+      FROM edges JOIN outd USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1e0 / n.n AS r FROM nodes, n)"""
+    for i in range(1, k + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT nodes.node,
+             ROUND((1e0 - {_PR_D}e0) / n.n
+                   + {_PR_D}e0 * coalesce(m.mass, 0e0), 6) AS r
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r{i - 1}.r * e.p) AS mass
+        FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src
+        GROUP BY 1
+      ) m USING (node)
+    )"""
+    sql += f"""
+    SELECT node, r AS pagerank,
+           CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rnk
+    FROM r{k}
+    """
+    return sql
+
+
+@register("pagerank_event_graph", oracle=_pagerank_oracle(_PR_ITERS))
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph: {_PR_ITERS}
+    unrolled power iterations of r ← (1-d)/N + d·Σ r(u)·w(u,v)/out(u),
+    d = {_PR_D}, per-iteration values rounded to 6dp (the same
+    round-stabilization Lloyd's means use, so engine float ulps can't
+    compound across iterations). One corpus pass builds the weighted
+    edge frame (per-user lead() window — event_path_top3's documented
+    safe shape); every iteration after that is a join + map-side-
+    combined sum on the EDGE frame, shuffled by dst — on a 100 TB
+    graph that is the canonical BSP iteration (rank vector partitioned
+    with the edges, never collected; checkpoint every few iterations
+    to truncate lineage). Nodes with no in-edges keep the (1-d)/N
+    teleport mass via the left join; dangling-node mass is not
+    redistributed (none exist in this graph; the textbook correction
+    adds one aggregate per iteration)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w_user).alias("nxt")
+    )
+    edges = (
+        o.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outd = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(outd, "src").select(
+        "src", "dst", (F.col("w") * F.lit(1.0) / F.col("outw")).alias("p")
+    ).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        mass = (
+            e.join(r, e["src"] == r["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(mass, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - _PR_D) / F.col("n")
+                    + F.lit(_PR_D) * F.coalesce("mass", F.lit(0.0)),
+                    6,
+                ).alias("r"),
+            )
+        )
+    wr = tiny_ordered_window(F.desc("r"), F.asc("node"))
+    return r.select(
+        "node",
+        F.col("r").alias("pagerank"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )

@@ -1048,3 +1048,86 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= _RRF_TOPK)
     )
+
+
+# --- k-means cluster observability (r5) --------------------------------------
+
+
+@register(
+    "kmeans_cluster_stats",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {S.kmeans_sql(_TRAIN_ITERS, _CENTROID_MOD)},
+    a AS (
+      SELECT vec_id, cid, ccos FROM (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.emb, c.cemb), 6) AS ccos,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM v, k{_TRAIN_ITERS} c) WHERE rn = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           ROUND(sum(CAST(ROUND(ccos * 1e6, 0) AS BIGINT)) * 1e0
+                 / count(*) / 1e6, 6) AS avg_cos,
+           ROUND(min(ccos), 6) AS min_cos
+    FROM a GROUP BY 1
+    """,
+)
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health observability for the trained-IVF family: per
+    Lloyd-trained cluster, the member count and the mean/worst member
+    cohesion (rounded cosine to the owning centroid — the quantity
+    k-means maximizes). This is what an ANN deployment monitors to
+    retrain or re-shard: skewed n_members means hot inverted lists
+    (probe cost variance), falling avg_cos/min_cos means the corpus
+    drifted off the codebook and recall will sag at fixed nprobe.
+    Same cached-corpus/cached-centroid physical shape as the index
+    build itself: one broadcast-join assignment pass, then a
+    map-side-combined aggregate over (cid) — cluster count rows out."""
+    from dataengineeringproject_spark.operators.similarity import (
+        _cosine_pre,
+        _with_norm,
+        kmeans_centroids,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).cache()
+    cents = kmeans_centroids(
+        d, "vec_id", init_mod=_CENTROID_MOD, n_iters=_TRAIN_ITERS
+    ).cache()
+    vn = _with_norm(d, "v", "__vn")
+    cn = _with_norm(cents, "cv", "__cn")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    a = (
+        vn.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "ccos",
+            F.round(
+                _cosine_pre(
+                    F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "ccos")
+    )
+    # mean over INTEGER micro-units: summing the 6dp-rounded cosines
+    # as doubles is summation-order-sensitive at the 6th digit (a
+    # parallel engine and DuckDB disagree by 1 ulp on ~1-in-10^6
+    # groups); integer sums are order-independent and exact.
+    units = F.round(F.col("ccos") * F.lit(1e6), 0).cast("long")
+    return a.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(units) * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e6), 6
+        ).alias("avg_cos"),
+        F.round(F.min("ccos"), 6).alias("min_cos"),
+    )
