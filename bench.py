@@ -88,6 +88,9 @@ HEADLINE = [
     "quantiles_binned_rollup",
     "profile_table",
     "pagerank_event_graph",
+    "drift_js_binned",
+    "topic_terms_ctfidf",
+    "tfidf_cosine_pairs",
 ]
 
 

@@ -2803,22 +2803,26 @@ def _profile_oracle() -> str:
     )
     return f"""
     WITH stacked AS ({stacked}),
-    base AS (
-      SELECT col_name, count(*) AS n_rows,
-             sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
-             ROUND(min(num), 6) AS min_num, ROUND(max(num), 6) AS max_num
-      FROM stacked GROUP BY 1
-    ),
     h AS (
-      SELECT col_name,
+      SELECT col_name, num,
              CAST(concat('0x', substr(md5(val), 1, 15)) AS BIGINT) AS hash
-      FROM stacked WHERE val IS NOT NULL
+      FROM stacked
     ),
-    reg AS (
-      SELECT col_name, hash % {_HLL_M} AS bucket,
+    g1 AS (
+      SELECT col_name,
+             coalesce(hash % {_HLL_M}, -1) AS bucket,
+             count(*) AS cnt,
+             min(num) AS mn, max(num) AS mx,
              max({_HLL_RANK_SQL}) AS m_rank
       FROM h GROUP BY 1, 2
     ),
+    base AS (
+      SELECT col_name, sum(cnt) AS n_rows,
+             sum(CASE WHEN bucket = -1 THEN cnt ELSE 0 END) AS n_null,
+             ROUND(min(mn), 6) AS min_num, ROUND(max(mx), 6) AS max_num
+      FROM g1 GROUP BY 1
+    ),
+    reg AS (SELECT col_name, bucket, m_rank FROM g1 WHERE bucket >= 0),
     est AS ({_hll_finish_sql("reg", "col_name")})
     SELECT base.col_name, CAST(n_rows AS BIGINT) AS n_rows,
            CAST(n_null AS BIGINT) AS n_null,
@@ -2865,19 +2869,45 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.*")
-    base = stacked.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
-        F.round(F.min("num"), 6).alias("min_num"),
-        F.round(F.max("num"), 6).alias("max_num"),
+    # ONE pass, ONE shuffle: nulls ride along as bucket -1, so the
+    # per-(col, bucket) aggregate simultaneously builds the HLL
+    # registers AND the partial counts/min/max that re-aggregate to
+    # the per-column scorecard (two groupBys over the fanout would
+    # scan the corpus twice — the plan test pins the single scan).
+    h = F.conv(F.substring(F.md5(F.col("val")), 1, 15), 16, 10).cast("long")
+    w = F.expr(f"__h div {_HLL_M}")
+    rk = F.when(w == 0, F.lit(_HLL_RANK_MAX)).otherwise(
+        F.lit(_HLL_RANK_MAX) - F.length(F.bin(w))
     )
-    obs = _hll_bucket_rank(
-        stacked.filter(F.col("val").isNotNull()).select("col_name", "val"),
+    obs = stacked.select(
+        "col_name", "num", h.alias("__h")
+    ).select(
+        "col_name",
+        "num",
+        F.coalesce(F.col("__h") % _HLL_M, F.lit(-1)).alias("bucket"),
+        rk.alias("rk"),
+    )
+    # cached: Catalyst does not share subtrees, so without it the two
+    # consumers below (scorecard re-aggregate + HLL finish) would each
+    # re-run the corpus scan; the cached frame is |cols| x 257 rows.
+    g1 = obs.groupBy("col_name", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("num").alias("mn"),
+        F.max("num").alias("mx"),
+        F.max("rk").alias("m_rank"),
+    ).cache()
+    base = g1.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(
+            F.when(F.col("bucket") == -1, F.col("cnt")).otherwise(0)
+        ).alias("n_null"),
+        F.round(F.min("mn"), 6).alias("min_num"),
+        F.round(F.max("mx"), 6).alias("max_num"),
+    )
+    est = _hll_finish(
+        g1.filter(F.col("bucket") >= 0).select("col_name", "bucket", "m_rank"),
         ["col_name"],
-        "val",
     )
-    reg = obs.groupBy("col_name", "bucket").agg(F.max("rk").alias("m_rank"))
-    est = _hll_finish(reg, ["col_name"])
     return base.join(est, "col_name").select(
         "col_name",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -3010,3 +3040,131 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("pagerank"),
         F.row_number().over(wr).cast("long").alias("rnk"),
     )
+
+
+# --- Jensen-Shannon drift (r5): completes the drift monitor family ----------
+# KS (binned CDF distance), PSI (log-ratio, unbounded), chi2
+# (categorical mix) exist; JS divergence adds the bounded-symmetric
+# member ([0, ln 2], defined even where one side has zero mass without
+# smoothing) that drift dashboards threshold when PSI's unboundedness
+# is awkward. Same physical shape as the PSI query: one map-side-
+# combined (type, bin) count over the 10-bin grid, densified to the
+# full grid, everything after on the aggregate-sized frame.
+
+
+@register(
+    "drift_js_binned",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(value) AS vmin, max(value) AS vmax
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT e.event_type,
+             {_grid_bin_sql(_PSI_BINS)} AS bin,
+             CASE WHEN e.ts < TIMESTAMP '{_DRIFT_PIVOT}' THEN 1 ELSE 0 END
+               AS in_a
+      FROM events e CROSS JOIN s
+      WHERE e.value IS NOT NULL
+    ),
+    g0 AS (
+      SELECT event_type, bin,
+             sum(in_a) AS a_cnt, sum(1 - in_a) AS b_cnt
+      FROM t GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grid.event_type, grid.bin,
+             coalesce(g0.a_cnt, 0) AS a_cnt, coalesce(g0.b_cnt, 0) AS b_cnt
+      FROM (SELECT et.event_type, r.range AS bin
+            FROM (SELECT DISTINCT event_type FROM t) et
+            CROSS JOIN range({_PSI_BINS}) r) grid
+      LEFT JOIN g0
+        ON grid.event_type = g0.event_type AND grid.bin = g0.bin
+    ),
+    c AS (
+      SELECT event_type, a_cnt, b_cnt,
+             sum(a_cnt) OVER p AS n_a, sum(b_cnt) OVER p AS n_b
+      FROM g
+      WINDOW p AS (PARTITION BY event_type)
+    ),
+    pq AS (
+      SELECT event_type, n_a, n_b,
+             a_cnt * 1e0 / n_a AS p,
+             b_cnt * 1e0 / n_b AS q,
+             (a_cnt * 1e0 / n_a + b_cnt * 1e0 / n_b) / 2e0 AS m
+      FROM c
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(sum(
+             (CASE WHEN p > 0e0 THEN p * ln(p / m) / 2e0 ELSE 0e0 END)
+             + (CASE WHEN q > 0e0 THEN q * ln(q / m) / 2e0 ELSE 0e0 END)
+           ), 6) AS js_div
+    FROM pq GROUP BY 1, 2, 3
+    """,
+)
+def drift_js_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence per event_type, first vs second
+    half-month, over the shared 10-bin equal-width grid: JS(P,Q) =
+    KL(P||M)/2 + KL(Q||M)/2 with M = (P+Q)/2. Bounded in [0, ln 2],
+    symmetric, and finite WITHOUT smoothing (a bin empty on one side
+    contributes only the other side's term; empty on both contributes
+    nothing) — the property that makes it the thresholdable companion
+    to PSI's unbounded log-ratio. Physical shape identical to
+    drift_psi_value: the only full-data pass is the map-side-combined
+    (type, bin) count; densify, window totals, and the divergence sum
+    all run on the <= |types| x 10-row frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    t = ev.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        _grid_bin(F.col("value"), _PSI_BINS).alias("bin"),
+        (F.col("ts") < F.lit(_DRIFT_PIVOT).cast("timestamp"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    g0 = t.groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("a_cnt"),
+        F.sum(1 - F.col("in_a")).alias("b_cnt"),
+    )
+    grid = (
+        t.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_PSI_BINS).select(F.col("id").alias("bin")))
+    )
+    g = grid.join(g0, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+        F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
+    )
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(wp).alias("n_a"),
+        F.sum("b_cnt").over(wp).alias("n_b"),
+    )
+    p = F.col("a_cnt") * F.lit(1.0) / F.col("n_a")
+    q = F.col("b_cnt") * F.lit(1.0) / F.col("n_b")
+    m = (p + q) / F.lit(2.0)
+    pq = c.select(
+        "event_type", "n_a", "n_b",
+        p.alias("p"), q.alias("q"), m.alias("m"),
+    )
+    term = (
+        F.when(
+            F.col("p") > 0.0, F.col("p") * F.log(F.col("p") / F.col("m")) / 2
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("q") > 0.0, F.col("q") * F.log(F.col("q") / F.col("m")) / 2
+        ).otherwise(F.lit(0.0))
+    )
+    return pq.groupBy(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    ).agg(F.round(F.sum(term), 6).alias("js_div"))

@@ -1337,3 +1337,206 @@ def bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in merge_rows[1:]:
         out = out.unionAll(t)
     return out.select("round", "pair", F.col("n").cast("long").alias("n"))
+
+
+# --- class-based TF-IDF (r5): corpus understanding per source ---------------
+
+_CTFIDF_TOPK = 5
+_CTFIDF_MINLEN = 3
+
+
+@register(
+    "topic_terms_ctfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.source, t.w
+      FROM documents d,
+           (SELECT unnest({_LTOKS}) AS w) AS t(w)
+      WHERE length(t.w) >= {_CTFIDF_MINLEN}
+    ),
+    tf AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+    wc AS (SELECT source, sum(tf) AS w_c FROM tf GROUP BY 1),
+    ft AS (SELECT w, sum(tf) AS f_t FROM tf GROUP BY 1),
+    a AS (SELECT avg(w_c) AS a FROM wc),
+    scored AS (
+      SELECT tf.source, tf.w AS term,
+             ROUND(tf.tf * 1e0 / wc.w_c * ln(1e0 + a.a / ft.f_t), 6)
+               AS score
+      FROM tf JOIN wc USING (source) JOIN ft USING (w) CROSS JOIN a
+    )
+    SELECT source, term, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_CTFIDF_TOPK}
+    """,
+)
+def topic_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF formulation): treat
+    each `source` bucket as one class document and score terms by
+    tf_t,c / w_c * ln(1 + A / f_t) — within-class frequency damped by
+    cross-class commonness (A = mean class token count, f_t = corpus
+    term count). Top-{_CTFIDF_TOPK} terms per class = the cheap
+    corpus-understanding pass a curation pipeline runs to label what
+    each slice of a 100 TB crawl actually contains (and to catch a
+    source gone off-topic). Physical shape: one tokenize pass feeds
+    three map-side-combined aggregates (class-term, class, term);
+    scoring joins on the VOCABULARY x classes frame (Zipf-bounded,
+    never corpus-sized); per-class top-k is a WindowGroupLimit.
+    Integer counts with a rounded score and (score desc, term)
+    tie-break — engine-deterministic."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= _CTFIDF_MINLEN)
+    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    wc = tf.groupBy("source").agg(F.sum("tf").alias("w_c"))
+    ft = tf.groupBy("w").agg(F.sum("tf").alias("f_t"))
+    a = wc.agg(F.avg("w_c").alias("a"))
+    scored = (
+        tf.join(F.broadcast(wc), "source")
+        .join(ft, "w")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.lit(1.0)
+                / F.col("w_c")
+                * F.log(F.lit(1.0) + F.col("a") / F.col("f_t")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CTFIDF_TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+# --- sparse TF-IDF doc-doc similarity (r5) ----------------------------------
+
+_TC_TOPK = 20
+_TC_MINLEN = 3
+# posting-list pruning: drop terms appearing in more than 1/_TC_DFCAP
+# of docs (df * _TC_DFCAP > N). Integer comparison — engine-exact.
+_TC_DFCAP = 10
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.source, t.w
+      FROM documents d,
+           (SELECT unnest({_LTOKS}) AS w) AS t(w)
+      WHERE length(t.w) >= {_TC_MINLEN}
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    kept AS (
+      SELECT tf.doc_id, tf.w,
+             CAST(ROUND(tf.tf * ln(n.n * 1e0 / df.df) * 1e6, 0) AS BIGINT)
+               AS u
+      FROM tf JOIN df USING (w) CROSS JOIN n
+      WHERE df.df * {_TC_DFCAP} <= n.n
+    ),
+    nrm AS (SELECT doc_id, sum(u * u) AS n2 FROM kept GROUP BY 1),
+    dot AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.u * b.u) AS dp
+      FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND(dp * 1e0 / (sqrt(na.n2 * 1e0) * sqrt(nb.n2 * 1e0)), 6)
+               AS cosine
+      FROM dot
+      JOIN nrm na ON na.doc_id = id_a
+      JOIN nrm nb ON nb.doc_id = id_b
+      WHERE dp > 0
+    )
+    SELECT id_a, id_b, cosine FROM scored
+    ORDER BY cosine DESC, id_a, id_b LIMIT {_TC_TOPK}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse doc-doc similarity — the TF-IDF analog of the dense
+    embedding near-dup pass, and the textbook sparse similarity join:
+    pairs are generated ONLY through shared posting lists (self-join
+    on term), never all-pairs, with the classic df cap (terms in more
+    than 1/{_TC_DFCAP} of docs are dropped) bounding every posting
+    list so the join's fan-out is Σ df² over RARE terms — the same
+    blocked-comparison discipline as ngram_jaccard_blocked, here with
+    real-valued weights. All arithmetic after the ln() is on INTEGER
+    micro-units (weights rounded to 1e-6 then summed as longs), so
+    dot products and norms are summation-order-exact across engines;
+    the final cosine divides two exact integers' derived doubles.
+    Returns the global top-{_TC_TOPK} pairs (TakeOrderedAndProject)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= _TC_MINLEN)
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * _TC_DFCAP <= F.col("n"))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    nrm = kept.groupBy("doc_id").agg(
+        F.sum(F.col("u") * F.col("u")).alias("n2")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.u") * F.col("b.u")).alias("dp"))
+        .filter(F.col("dp") > 0)
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    scored = (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dp")
+                * F.lit(1.0)
+                / (
+                    F.sqrt(F.col("na2") * F.lit(1.0))
+                    * F.sqrt(F.col("nb2") * F.lit(1.0))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+    ).limit(_TC_TOPK)

@@ -182,3 +182,58 @@ def test_r4_sorts_only_over_aggregates(spark, name):
     plan = _physical_plan(spark, name)
     bad = _sorts_only_over_aggregates(plan)
     assert not bad, f"{name}: sort over un-aggregated scan: {bad}\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "quantiles_binned_rollup",
+        "drift_js_binned",
+        "hll_intersection_estimate",
+        "topic_terms_ctfidf",
+        "profile_table",
+    ],
+)
+def test_r5_sorts_only_over_aggregates(spark, name):
+    """r5 queries with windows/sorts keep them over aggregated frames —
+    same contract as the r4 set."""
+    plan = _physical_plan(spark, name)
+    bad = _sorts_only_over_aggregates(plan)
+    assert not bad, f"{name}: sort over un-aggregated scan: {bad}\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["tfidf_cosine_pairs"])
+def test_r5_topk_uses_take_ordered(spark, name):
+    """Global top-k via orderBy+limit must be TakeOrderedAndProject
+    (per-partition heap + driver merge), never a full sort."""
+    plan = _physical_plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_train_selection_stays_in_plan(spark):
+    """The BPE trainer's per-round top-1 merge selection is claimed to
+    stay IN the plan (TakeOrdered limit-1 + broadcast back, no driver
+    collect): every training round contributes a TakeOrderedAndProject
+    node, and the per-round cache() materializes (InMemoryTableScan)
+    so lineage doesn't re-run 2^k times."""
+    from dataengineeringproject_spark.queries.llm_text import (
+        _BPE_TRAIN_ROUNDS,
+    )
+
+    plan = _physical_plan(spark, "bpe_train_k_merges")
+    assert plan.count("TakeOrderedAndProject") >= _BPE_TRAIN_ROUNDS, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_profile_table_single_scan(spark):
+    """profile_table claims ONE corpus pass for the whole per-column
+    scorecard (the naive profile costs |cols| scans). Catalyst does
+    not share subtrees, so the single pass is realized by caching the
+    |cols|x257 per-(col, bucket) aggregate: BOTH downstream consumers
+    (scorecard re-aggregate and HLL finish) must read it through
+    InMemoryTableScan — then the parquet scan executes once at
+    runtime, whichever consumer materializes it first. (The printed
+    plan still shows the cached child under each InMemoryTableScan,
+    so counting 'Scan parquet' lines cannot pin this.)"""
+    plan = _physical_plan(spark, "profile_table")
+    assert plan.count("InMemoryTableScan") == 2, plan
