@@ -1417,9 +1417,10 @@ _PSI_EPS_SQL = f"{_PSI_EPS!r}e0"
 _PSI_DENOM_SQL = f"{_PSI_EPS * _PSI_BINS!r}e0"
 
 
-@register(
-    "drift_psi_value",
-    oracle=f"""
+# Shared with streaming_drift_psi (streaming_q.py): the streaming
+# bin-count state must converge to the identical batch counts, so both
+# register() calls pass this same oracle SQL.
+DRIFT_PSI_ORACLE = f"""
     WITH s AS (
       SELECT min(value) AS vmin, max(value) AS vmax
       FROM events WHERE value IS NOT NULL
@@ -1461,48 +1462,39 @@ _PSI_DENOM_SQL = f"{_PSI_EPS * _PSI_BINS!r}e0"
                   / ((b_cnt + {_PSI_EPS_SQL}) * 1e0 / (n_b + {_PSI_DENOM_SQL})))
            ), 6) AS psi
     FROM c GROUP BY 1, 2, 3
-    """,
-)
-def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index per event_type, first half-month vs
-    second — the third drift monitor next to drift_ks_binned
-    (distributional distance) and drift_chi2_event_mix (categorical
-    mix): PSI is what model-risk teams actually threshold (<0.1 stable,
-    >0.25 shifted). Same scale shape as the binned KS: one map-side-
-    combined (type, bin) count over the conventional 10-bin equal-width
-    grid is the only full-data pass; per-type totals come from a
-    partition window over the <= |types| x 10-row frame. Laplace
-    smoothing (+0.5 per bin) keeps the log finite when a bin is empty
-    on one side — the standard fix, applied identically in the DuckDB
-    oracle so the statistic is engine-deterministic. The (type, bin)
-    frame is densified to the full {_PSI_BINS}-bin grid before summing
-    (a broadcast cross of distinct types x range({_PSI_BINS}), still
-    aggregate-sized), so bins empty on BOTH sides contribute their
-    textbook nonzero smoothed term when n_a != n_b — this is the
-    standard 10-bin smoothed PSI, not an only-observed-bins variant."""
+    """
+
+
+def psi_finish(spark: SparkSession, g0: DataFrame) -> DataFrame:
+    """(event_type, bin, a_cnt, b_cnt) observed-bin counts → the PSI
+    scorecard: densify to the full grid, per-type totals, smoothed
+    divergence sum. Shared by the batch query and the streaming state
+    read-back so both paths are held to the same oracle."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-    t = ev.crossJoin(F.broadcast(s)).select(
-        "event_type",
-        _grid_bin(F.col("value"), _PSI_BINS).alias("bin"),
-        (F.col("ts") < F.lit(_DRIFT_PIVOT).cast("timestamp"))
-        .cast("int")
-        .alias("in_a"),
-    )
-    g0 = t.groupBy("event_type", "bin").agg(
-        F.sum("in_a").alias("a_cnt"),
-        F.sum(1 - F.col("in_a")).alias("b_cnt"),
-    )
+    # self-join disambiguation: grid derives from g0, and a plain join
+    # back onto g0 leaves BOTH sides carrying the same attribute ids
+    # (conflicting-references analyzer error, surfaced by the
+    # streaming memory-sink read-back). Re-aliasing the observed side's
+    # key columns mints fresh attributes, making the join unambiguous.
     grid = (
-        t.select("event_type")
+        g0.select("event_type")
         .distinct()
         .crossJoin(spark.range(_PSI_BINS).select(F.col("id").alias("bin")))
     )
-    g = grid.join(g0, ["event_type", "bin"], "left").select(
-        "event_type",
-        "bin",
+    o = g0.select(
+        F.col("event_type").alias("o_event_type"),
+        F.col("bin").alias("o_bin"),
+        "a_cnt",
+        "b_cnt",
+    )
+    g = grid.join(
+        o,
+        (grid["event_type"] == o["o_event_type"]) & (grid["bin"] == o["o_bin"]),
+        "left",
+    ).select(
+        grid["event_type"].alias("event_type"),
+        grid["bin"].alias("bin"),
         F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
         F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
     )
@@ -1522,6 +1514,55 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     ).agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+
+
+def psi_observations(spark: SparkSession, sf_dir: str):
+    """(frozen-grid stats row, observation projector): the monitoring
+    grid (vmin/vmax) is computed ONCE from the reference table — a
+    production monitor freezes it at deploy time — and the returned
+    closure projects any events frame to (event_type, bin, in_a)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+
+    def project(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("value").isNotNull()).crossJoin(
+            F.broadcast(s)
+        ).select(
+            "event_type",
+            _grid_bin(F.col("value"), _PSI_BINS).alias("bin"),
+            (F.col("ts") < F.lit(_DRIFT_PIVOT).cast("timestamp"))
+            .cast("int")
+            .alias("in_a"),
+        )
+
+    return s, project
+
+
+@register("drift_psi_value", oracle=DRIFT_PSI_ORACLE)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type, first half-month vs
+    second — the third drift monitor next to drift_ks_binned
+    (distributional distance) and drift_chi2_event_mix (categorical
+    mix): PSI is what model-risk teams actually threshold (<0.1 stable,
+    >0.25 shifted). Same scale shape as the binned KS: one map-side-
+    combined (type, bin) count over the conventional 10-bin equal-width
+    grid is the only full-data pass; per-type totals come from a
+    partition window over the <= |types| x 10-row frame. Laplace
+    smoothing (+0.5 per bin) keeps the log finite when a bin is empty
+    on one side — the standard fix, applied identically in the DuckDB
+    oracle so the statistic is engine-deterministic. The (type, bin)
+    frame is densified to the full {_PSI_BINS}-bin grid before summing
+    (a broadcast cross of distinct types x range({_PSI_BINS}), still
+    aggregate-sized), so bins empty on BOTH sides contribute their
+    textbook nonzero smoothed term when n_a != n_b — this is the
+    standard 10-bin smoothed PSI, not an only-observed-bins variant."""
+    ev = load_table(spark, sf_dir, "events")
+    _, project = psi_observations(spark, sf_dir)
+    g0 = project(ev).groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("a_cnt"),
+        F.sum(1 - F.col("in_a")).alias("b_cnt"),
+    )
+    return psi_finish(spark, g0)
 
 
 # --- HyperLogLog cardinality sketch (r4) ------------------------------------

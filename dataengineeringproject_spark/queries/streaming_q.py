@@ -842,3 +842,54 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("pos").alias("bits"))
     )
     return bloom_readback(spark, sf_dir, bits)
+
+
+from dataengineeringproject_spark.queries.advanced import (  # noqa: E402
+    DRIFT_PSI_ORACLE as _PSI_SHARED_ORACLE,
+)
+
+
+@register(
+    "streaming_drift_psi",
+    # shares the BATCH drift_psi_value oracle verbatim: the streaming
+    # bin-count state must converge to the identical (type, bin)
+    # counts, so the whole PSI scorecard is held to the same hash.
+    oracle=_PSI_SHARED_ORACLE,
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring AS A STREAMING JOB — what PSI actually is in
+    production: the monitoring grid (vmin/vmax) is frozen from the
+    reference table at deploy time (psi_observations), each arriving
+    event projects to its (event_type, bin, side) observation through
+    the broadcast grid, and a non-windowed update-mode groupBy keeps
+    the running per-(type, bin, side) counts: state is AT MOST
+    |types| x 10 bins x 2 counters regardless of volume — the grid's
+    key space, not the data's, so no watermark is needed (same
+    bounded-state argument as the CMS and Bloom streaming sketches;
+    bin counts are the add-merge class, like CMS cells). Counts are
+    monotone, so the converged state is the emission log's max per
+    key; the read-back densifies and finishes through the SHARED
+    psi_finish, and the result hash-matches the batch drift_psi_value
+    exactly."""
+    from dataengineeringproject_spark.queries.advanced import (
+        psi_finish,
+        psi_observations,
+    )
+
+    d = _staged_events(spark, sf_dir)
+    name = f"psi_q_{next(_RUN_ID)}"
+    _, project = psi_observations(spark, sf_dir)
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        obs = project(src)
+        agg = obs.groupBy("event_type", "bin").agg(
+            F.sum("in_a").alias("a_cnt"),
+            F.sum(1 - F.col("in_a")).alias("b_cnt"),
+        )
+        run_to_memory(agg, name, output_mode="update")
+    g0 = (
+        spark.table(name)
+        .groupBy("event_type", "bin")
+        .agg(F.max("a_cnt").alias("a_cnt"), F.max("b_cnt").alias("b_cnt"))
+    )
+    return psi_finish(spark, g0)

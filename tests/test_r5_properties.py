@@ -185,3 +185,12 @@ def test_streaming_bloom_equals_batch(spark):
     a = _q(spark, "streaming_bloom_dedup", SF_SMOKE).collect()
     b = _q(spark, "bloom_prefilter_join", SF_SMOKE).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_streaming_psi_equals_batch(spark):
+    """The streaming drift monitor's converged state must reproduce the
+    batch PSI scorecard exactly (bin counts are add-merge, grid frozen
+    identically)."""
+    a = sorted(map(tuple, _q(spark, "streaming_drift_psi", SF_SMOKE).collect()))
+    b = sorted(map(tuple, _q(spark, "drift_psi_value", SF_SMOKE).collect()))
+    assert a == b
