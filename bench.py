@@ -93,6 +93,7 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "bpe_train_apply_e2e",
     "jaccard_prefix_filter_join",
+    "dedup_keep_best_quality",
 ]
 
 

@@ -1770,3 +1770,89 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _PPJ_T)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --- quality-aware cluster dedup (r5) ---------------------------------------
+
+
+def _quality_z_sql() -> str:
+    from dataengineeringproject_spark.queries.curation import _QLR
+
+    return f"""
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-({_QLR['b0']}
+               + {_QLR['w_logtok']} * ln(1 + len({_TOKS}))
+               + {_QLR['w_stop']} * {X.stopword_ratio_sql('text')}
+               + {_QLR['w_punct']} * {X.punct_ratio_sql('text')}
+               + {_QLR['w_cpt']} * (length(text) * 1.0
+                                    / greatest(len({_TOKS}), 1))))), 6)
+               AS quality_prob
+      FROM documents
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({_neardup_sql()}) t),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+    q AS ({{QSQL}}),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality_prob,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality_prob DESC, c.doc_id ASC)
+               AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT component, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_prob AS rep_quality
+    FROM ranked WHERE rn = 1
+    """.replace("{QSQL}", _quality_z_sql()),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-AWARE near-dup dedup — what production curation actually
+    keeps: within each MinHash-LSH connected component, the surviving
+    representative is the HIGHEST-QUALITY member (model score from
+    quality_logistic_score; doc_id breaks ties), not the arbitrary
+    min-id the plain dedup_corpus_materialize uses — when a boilerplate
+    page and its clean original collide, this keeps the clean one.
+    Composition of three existing stages in one lazy plan: LSH pair
+    generation (banded, never all-pairs) → min-label-propagation
+    components (operators/graph.py) → per-component argmax via a
+    rank-1 window (WindowGroupLimit prunes each component to its best
+    row before anything materializes). Output: one row per component
+    with its representative, member count, and the kept quality."""
+    from dataengineeringproject_spark.queries.curation import (
+        quality_logistic_score,
+    )
+
+    clusters = dedup_clusters_minhash(spark, sf_dir)
+    q = quality_logistic_score(spark, sf_dir).select("doc_id", "quality_prob")
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_prob"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality_prob").alias("rep_quality"),
+        )
+    )
