@@ -94,6 +94,7 @@ HEADLINE = [
     "bpe_train_apply_e2e",
     "jaccard_prefix_filter_join",
     "dedup_keep_best_quality",
+    "domain_centroid_topk",
 ]
 
 

@@ -1509,6 +1509,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("u"),
         )
+        # cached: norms and both self-join sides consume this frame
+        .cache()
     )
     nrm = kept.groupBy("doc_id").agg(
         F.sum(F.col("u") * F.col("u")).alias("n2")
@@ -1726,9 +1728,12 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking pass. All set arithmetic integer-exact; only the final
     ratio is floating, rounded identically in both engines."""
     d = _docs(spark, sf_dir)
+    # cached: five consumers read this frame (sizes, df ranking, and
+    # both verification sides) — uncached, the tokenize+distinct
+    # lineage re-runs per consumer
     tokset = d.select(
         "doc_id", F.explode(D.shingles(F.col("text"), _SHINGLE_K)).alias("w")
-    ).distinct()
+    ).distinct().cache()
     n = tokset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = tokset.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "w")

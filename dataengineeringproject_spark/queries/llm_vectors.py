@@ -1131,3 +1131,86 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_cos"),
         F.round(F.min("ccos"), 6).alias("min_cos"),
     )
+
+
+# --- domain centroids + prototypical documents (r5) --------------------------
+
+_DC_TOPK = 3
+
+
+@register(
+    "domain_centroid_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT e.vec_id, d.source, CAST(e.embedding AS DOUBLE[]) AS emb
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    m AS (
+      SELECT source, pos, avg(val) AS val FROM (
+        SELECT source, unnest(emb) AS val,
+               unnest(range(1, len(emb) + 1)) AS pos
+        FROM v
+      ) GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT source, list(ROUND(val, 6) ORDER BY pos) AS cv
+      FROM m GROUP BY 1
+    ),
+    scored AS (
+      SELECT v.source, v.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(v.emb, c.cv), 6) AS cosine
+      FROM v JOIN c USING (source)
+    )
+    SELECT source, doc_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY cosine DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_DC_TOPK}
+    """,
+)
+def domain_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain embedding centroids and each domain's most
+    PROTOTYPICAL documents — the curation pass that labels what a
+    corpus slice is about in embedding space (complementing
+    topic_terms_ctfidf's term-space answer) and flags drifted slices
+    when centroid cohesion falls. Mean-pooling is the same
+    (source, dim)-keyed shuffle as Lloyd's centroid step (one
+    map-side-combined avg over the exploded dims; centroids rounded to
+    6dp so engine float ulps can't move the pooled vector), centroids
+    broadcast back onto their members for the rounded cosine, and the
+    per-domain top-{_DC_TOPK} is a WindowGroupLimit. At 100 TB the
+    centroid table is |domains| rows — the broadcast never grows with
+    the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).join(docs, F.col("vec_id") == F.col("doc_id")).select(
+        "vec_id", "source", "emb"
+    )
+    m = (
+        v.select("source", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("source", "pos")
+        .agg(F.avg("val").alias("val"))
+    )
+    c = m.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+            lambda s: F.round(s["val"], 6),
+        ).alias("cv")
+    )
+    from dataengineeringproject_spark.operators.similarity import cosine
+
+    scored = v.join(F.broadcast(c), "source").select(
+        "source",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("emb"), F.col("cv")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DC_TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
