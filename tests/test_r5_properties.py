@@ -194,3 +194,28 @@ def test_streaming_psi_equals_batch(spark):
     a = sorted(map(tuple, _q(spark, "streaming_drift_psi", SF_SMOKE).collect()))
     b = sorted(map(tuple, _q(spark, "drift_psi_value", SF_SMOKE).collect()))
     assert a == b
+
+
+# --- local_df helper --------------------------------------------------------
+
+
+def test_local_df_matches_create_dataframe(spark):
+    """The pure-JVM literal-plan helper must produce exactly the rows
+    and schema of the createDataFrame call it replaces (its reason to
+    exist is the execution path, not the semantics), including floats,
+    negatives, and empty strings."""
+    from dataengineeringproject_spark.schemas import local_df
+
+    rows = [(0, "spark", 0.5), (-7, "", 2.25), (123456789, "join", -0.125)]
+    schema = "k long, name string, w double"
+    a = local_df(spark, rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    # literal plans are non-nullable where createDataFrame is nullable —
+    # strictly tighter, so compare names and types only
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and it must be a pure-JVM plan: no RDD scan node
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan, plan
