@@ -152,3 +152,78 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
+
+
+# --- image dedup clusters (r5): pHash pairs -> connected components ----------
+
+
+@register(
+    "multimodal_phash_clusters",
+    oracle="""
+    WITH RECURSIVE
+    img AS (
+      SELECT doc_id AS media_id,
+             CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS ahash
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    allsig AS (
+      SELECT media_id, ahash FROM img
+      UNION ALL
+      SELECT media_id + 100000,
+             xor(ahash, CAST(1 AS BIGINT) << CAST(media_id % 60 AS INTEGER))
+      FROM img WHERE media_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM allsig a JOIN allsig b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT media_id, media_id FROM allsig
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS media_id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(media_id) AS BIGINT) AS rep_media_id
+    FROM comp GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup CLUSTERS: the pHash near-dup pairs
+    (multimodal_phash_neardup — banded Hamming join over mapInPandas
+    aHash signatures) folded through the same min-label connected
+    components as the text MinHash clusters — one graph machinery for
+    every modality's near-dup pairs. Emits only multi-member
+    components (the actionable dedup units: the injected 1-bit
+    variants must each cluster with their original), with the min-id
+    representative. Scale posture inherits both halves: 1-long
+    signatures, banded join, label propagation rounds = cluster
+    diameter (2 here)."""
+    from dataengineeringproject_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = multimodal_phash_neardup(spark, sf_dir).select("id_a", "id_b")
+    media = _media(spark, sf_dir)
+    sig = M.extract_image_ahash(media, fake_decode=True)
+    variants = sig.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 100000).alias("media_id")
+    )
+    nodes = sig.select("media_id").union(variants)
+    comp = connected_components(nodes, pairs, id_col="media_id").select(
+        F.col("id").alias("media_id"), "component"
+    )
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("media_id").cast("long").alias("rep_media_id"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
