@@ -26,6 +26,15 @@ SPOT = [
     "dedup_minhash_lsh",
     "histogram_equidepth_approx",
     "drift_ks_binned",
+    # r5 slice: the iterative trainer (per-round cache + TakeOrdered-1
+    # selection meets AQE re-planning), the IVF-PQ composition (two
+    # cached frames + broadcast chain), the prefix-filter join
+    # (candidate-join heavy like LSH), and the one-pass profiler
+    # (cached dual-consumer aggregate)
+    "bpe_train_k_merges",
+    "ann_ivfpq_topk",
+    "jaccard_prefix_filter_join",
+    "profile_table",
 ]
 
 
