@@ -1728,12 +1728,9 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking pass. All set arithmetic integer-exact; only the final
     ratio is floating, rounded identically in both engines."""
     d = _docs(spark, sf_dir)
-    # cached: five consumers read this frame (sizes, df ranking, and
-    # both verification sides) — uncached, the tokenize+distinct
-    # lineage re-runs per consumer
     tokset = d.select(
         "doc_id", F.explode(D.shingles(F.col("text"), _SHINGLE_K)).alias("w")
-    ).distinct().cache()
+    ).distinct()
     n = tokset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = tokset.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
