@@ -15,9 +15,6 @@ from dataengineeringproject_spark.operators.relational import (
     pivot_counts,
     sessionize,
 )
-from dataengineeringproject_spark.functions.windows import (
-    tiny_ordered_window,
-)
 from dataengineeringproject_spark.registry import register
 from dataengineeringproject_spark.schemas import load_table, local_df
 
@@ -1290,7 +1287,7 @@ def histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("blo"),
         F.max("value").alias("bhi"),
     )
-    wo = tiny_ordered_window("bin")
+    wo = Window.orderBy("bin")
     c = g.select(
         "cnt",
         "blo",
@@ -1472,6 +1469,11 @@ def psi_finish(spark: SparkSession, g0: DataFrame) -> DataFrame:
     read-back so both paths are held to the same oracle."""
     from pyspark.sql import Window
 
+    # cached: the grid branch (distinct types) and the left join both
+    # consume g0; uncached, Catalyst re-runs the full corpus count for
+    # each consumer (the subtree-sharing hazard profile_table pins) —
+    # the frame is <= |types| x 10 rows
+    g0 = g0.cache()
     # self-join disambiguation: grid derives from g0, and a plain join
     # back onto g0 leaves BOTH sides carrying the same attribute ids
     # (conflicting-references analyzer error, surfaced by the
@@ -2003,7 +2005,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rnk",
             F.row_number().over(
-                tiny_ordered_window(F.desc("n_exact"), F.asc("user_id"))
+                Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
             ),
         )
     )
@@ -2374,7 +2376,7 @@ def event_path_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "event_type", "t1", "t2").alias("path")
     ).agg(F.count(F.lit(1)).alias("n"))
     top = p.orderBy(F.desc("n"), F.asc("path")).limit(_PATH_TOPK)
-    wr = tiny_ordered_window(F.desc("n"), F.asc("path"))
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
     return top.select(
         "path",
         F.col("n").cast("long").alias("n"),
@@ -2819,7 +2821,12 @@ _PROFILE_COLS = [
     ("event_id", "CAST(event_id AS STRING)", True),
     ("user_id", "CAST(user_id AS STRING)", True),
     ("event_type", "event_type", False),
-    ("value", "format_string('%.6f', value)", True),
+    # NULL-guarded: Spark's format_string renders NULL as the literal
+    # string 'null' (unlike DuckDB printf, which returns NULL), which
+    # would silently zero the null accounting for the float column
+    ("value",
+     "CASE WHEN value IS NULL THEN CAST(NULL AS STRING) "
+     "ELSE format_string('%.6f', value) END", True),
     ("props", "props", False),
 ]
 
@@ -2846,7 +2853,9 @@ def _profile_oracle() -> str:
     WITH stacked AS ({stacked}),
     h AS (
       SELECT col_name, num,
-             CAST(concat('0x', substr(md5(val), 1, 15)) AS BIGINT) AS hash
+             CASE WHEN val IS NULL THEN NULL
+                  ELSE CAST(concat('0x', substr(md5(val), 1, 15)) AS BIGINT)
+             END AS hash
       FROM stacked
     ),
     g1 AS (
@@ -3075,7 +3084,7 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    wr = tiny_ordered_window(F.desc("r"), F.asc("node"))
+    wr = Window.orderBy(F.desc("r"), F.asc("node"))
     return r.select(
         "node",
         F.col("r").alias("pagerank"),
@@ -3166,12 +3175,13 @@ def drift_js_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("in_a"),
     )
+    # cached (see psi_finish): grid branch + left join both consume it
     g0 = t.groupBy("event_type", "bin").agg(
         F.sum("in_a").alias("a_cnt"),
         F.sum(1 - F.col("in_a")).alias("b_cnt"),
-    )
+    ).cache()
     grid = (
-        t.select("event_type")
+        g0.select("event_type")
         .distinct()
         .crossJoin(spark.range(_PSI_BINS).select(F.col("id").alias("bin")))
     )

@@ -15,9 +15,6 @@ from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.functions import text as X
 from dataengineeringproject_spark.operators import dedup as D
-from dataengineeringproject_spark.functions.windows import (
-    tiny_ordered_window,
-)
 from dataengineeringproject_spark.registry import register
 from dataengineeringproject_spark.schemas import load_table
 
@@ -901,7 +898,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(score, 6).alias("score")
     )
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_TOPK)
-    w = tiny_ordered_window(F.desc("score"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
     )
@@ -962,7 +959,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = p.groupBy("pair").agg(F.sum("freq").alias("n"))
     top = g.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
-    w = tiny_ordered_window(F.desc("n"), F.asc("pair"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
     return top.select(
         "pair",
         F.col("n").cast("long").alias("n"),

@@ -26,9 +26,6 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dataengineeringproject_spark.functions.windows import (
-    tiny_ordered_window,
-)
 from dataengineeringproject_spark.registry import register
 from dataengineeringproject_spark.schemas import load_table, local_df
 from dataengineeringproject_spark.session import ensure_package_on_workers
@@ -736,7 +733,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rnk",
             F.row_number().over(
-                tiny_ordered_window(F.desc("n_exact"), F.asc("user_id"))
+                Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
             ),
         )
     )

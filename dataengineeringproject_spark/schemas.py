@@ -73,6 +73,14 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    if not rows:
+        raise ValueError("local_df requires at least one row "
+                         "(use createDataFrame for empty frames)")
+    if any(ch in schema for ch in "(<"):
+        raise ValueError(
+            "local_df's simple DDL split handles only unparameterized "
+            f"scalar types; got {schema!r} — use createDataFrame"
+        )
     fields = [tuple(s.strip().rsplit(" ", 1)) for s in schema.split(",")]
     structs = [
         F.struct(

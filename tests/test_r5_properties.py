@@ -219,3 +219,60 @@ def test_local_df_matches_create_dataframe(spark):
     # and it must be a pure-JVM plan: no RDD scan node
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" not in plan, plan
+
+
+def test_profile_table_null_accounting(spark, tmp_path):
+    """NULL regression coverage for the profiler (r5 review finding:
+    Spark format_string renders NULL as the string 'null', DuckDB's
+    concat-of-NULL crashed the oracle) on a corpus WITH nulls — the
+    shipped testdata has none, so this injects them: copy events with
+    every 7th `value` and every 11th `props` nulled, then assert both
+    engines agree AND the null counts are exactly right."""
+    import duckdb
+
+    from dataengineeringproject_spark import registry
+    from dataengineeringproject_spark.schemas import load_table
+    from tests._harness import normalize
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "sfnull")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    ).withColumn(
+        "props",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    # the other tables aren't read by profile_table, but load_table
+    # paths exist per-table, so only events is needed
+    spdf = registry.queries()["profile_table"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    ddf = con.execute(registry.oracle_sql()["profile_table"]).df()
+    assert sorted(spdf.columns) == sorted(ddf.columns)
+    assert len(spdf) == len(ddf)
+    assert normalize(spdf) == normalize(ddf)
+    rows = {r["col_name"]: r for _, r in spdf.iterrows()}
+    n = rows["event_id"]["n_rows"]
+    assert rows["value"]["n_null"] == (n + 6) // 7
+    assert rows["props"]["n_null"] == (n + 10) // 11
+    assert rows["event_id"]["n_null"] == 0
+
+
+def test_local_df_rejects_unsupported_input(spark):
+    """The literal-plan helper fails loudly (instead of mis-parsing) on
+    parameterized types and empty row lists (r5 review finding)."""
+    from dataengineeringproject_spark.schemas import local_df
+
+    with pytest.raises(ValueError):
+        local_df(spark, [(1, 1.5)], "k long, w decimal(10,2)")
+    with pytest.raises(ValueError):
+        local_df(spark, [], "k long")
