@@ -13,6 +13,7 @@ def load() -> None:
     from dataengineeringproject_spark.queries import (  # noqa: F401
         advanced,
         curation,
+        graph_q,
         llm_text,
         llm_vectors,
         multimodal_q,

@@ -1,0 +1,205 @@
+"""Graph / market-basket queries over the TPC-H order structure.
+
+The reference has no graph surface (its 924 LoC are a linear pandas
+ETL: v5_group_project_dag.py:377); this module extends the engine with
+the two classic co-occurrence analyses a 100 TB corpus warehouse runs
+on its relational side:
+
+- `copurchase_lift_pairs`: market-basket association strength (lift)
+  between suppliers co-occurring in orders — the A-priori-style pair
+  pass where the per-basket pair explosion is bounded by basket size
+  (TPC-H orders hold <= 7 lineitems, so the self-join fan-out per
+  order is <= 21 pairs regardless of corpus size).
+- `triangle_count_suppliers`: triangle participation counts in the
+  top-K-by-lift co-occurrence subgraph — the standard degree-ordered
+  (rank-orientation) triangle enumeration that bounds wedge fan-out
+  by orienting every edge from its lower-(degree, id) endpoint to the
+  higher one, so each triangle is generated exactly once at its
+  minimum vertex.
+
+Scale posture: the pair pass shuffles once on l_orderkey (bounded
+explosion), once on the (sa, sb) pair key (map-side combined counts);
+the degree table is |suppliers| rows (broadcast); the triangle stage
+runs on a top-K edge frame selected by a TakeOrderedAndProject heap
+(K = {_TRI_EDGES}), so its cost is fixed no matter how large the
+corpus grows — the knob a deployment turns is K, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.schemas import load_table
+
+_LIFT_TOPK = 50     # pairs reported by copurchase_lift_pairs
+_TRI_EDGES = 2000   # top-by-lift edge budget for the triangle subgraph
+_TRI_TOPK = 10      # suppliers reported by triangle_count_suppliers
+
+# Shared CTE prefix: distinct (order, supplier) incidence, basket
+# count, per-supplier order counts, and the lift-scored pair frame.
+# Lift = P(a,b) / (P(a)·P(b)) = w·n_orders / (c_a·c_b): all inputs are
+# exact integer aggregates, so the one double division is
+# deterministic on both engines; rounded to 6dp before any ordering
+# so an engine ulp cannot reorder the top-K boundary.
+_PAIR_CTE = """
+    s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM s),
+    deg AS (SELECT l_suppkey, count(*) AS c FROM s GROUP BY 1),
+    p AS (
+      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS w
+      FROM s a JOIN s b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT p.sa, p.sb, p.w,
+             ROUND(p.w * n.nb * 1e0 / (da.c * db.c), 6) AS lift
+      FROM p CROSS JOIN n
+      JOIN deg da ON da.l_suppkey = p.sa
+      JOIN deg db ON db.l_suppkey = p.sb
+    )"""
+
+
+def _lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift-scored supplier co-occurrence pairs (sa < sb): the shared
+    front half of both queries below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select("l_orderkey", "l_suppkey").distinct()
+    n = s.agg(F.countDistinct("l_orderkey").alias("nb"))
+    deg = s.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    a = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    p = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    da = deg.select(F.col("l_suppkey").alias("sa"), F.col("c").alias("ca"))
+    db = deg.select(F.col("l_suppkey").alias("sb"), F.col("c").alias("cb"))
+    return (
+        p.join(F.broadcast(da), "sa")
+        .join(F.broadcast(db), "sb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "sa", "sb", "w",
+            F.round(
+                F.col("w") * F.col("nb") * F.lit(1.0)
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "copurchase_lift_pairs",
+    oracle=f"""
+    WITH {_PAIR_CTE}
+    SELECT sa, sb, CAST(w AS BIGINT) AS support, lift
+    FROM l ORDER BY lift DESC, sa, sb LIMIT {_LIFT_TOPK}
+    """,
+)
+def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LIFT_TOPK} supplier pairs by co-occurrence lift: which
+    suppliers appear in the same orders MORE than their individual
+    popularity predicts. The market-basket pair pass: baskets are
+    orders, items are suppliers; the per-basket self-join explosion is
+    bounded by basket size (<= 7 lineitems in TPC-H), the pair counts
+    are map-side combined on (sa, sb), the degree/basket-count sides
+    are broadcast, and the final top-K is a TakeOrderedAndProject heap
+    — no global sort materializes. The same plan is the A-priori L2
+    candidate pass when a min-support filter precedes the lift score.
+    Reference: no counterpart (the reference is a linear weather ETL);
+    north-star extension per SURVEY.md §7.2."""
+    return (
+        _lift_pairs(spark, sf_dir)
+        .orderBy(F.desc("lift"), F.asc("sa"), F.asc("sb"))
+        .limit(_LIFT_TOPK)
+        .select("sa", "sb", F.col("w").cast("long").alias("support"), "lift")
+    )
+
+
+@register(
+    "triangle_count_suppliers",
+    oracle=f"""
+    WITH {_PAIR_CTE},
+    e AS (
+      SELECT sa, sb FROM l ORDER BY lift DESC, sa, sb LIMIT {_TRI_EDGES}
+    ),
+    tri AS (
+      SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+      FROM e e1
+      JOIN e e2 ON e2.sa = e1.sb
+      JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+    ),
+    m AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY 1
+    ORDER BY n_triangles DESC, suppkey LIMIT {_TRI_TOPK}
+    """,
+)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TRI_TOPK} suppliers by triangle participation in the
+    top-{_TRI_EDGES}-by-lift co-occurrence subgraph. The Spark side
+    runs the degree-ordered enumeration (orient each edge from its
+    lower-(degree, id) endpoint; wedges only fan out from orientation
+    sources, so each triangle is produced exactly once and wedge count
+    is bounded by sum of squared OUT-degrees — the classic bound that
+    makes triangle counting feasible on power-law graphs). The oracle
+    states the same triangles declaratively (a < b < c over the id
+    order) — identical set, simpler SQL. The edge budget (top-K heap
+    by rounded lift) is what holds the stage constant-cost at 100 TB:
+    the pair pass upstream scales like copurchase_lift_pairs, and
+    everything after the limit is a <= {_TRI_EDGES}-row broadcast."""
+    e = (
+        _lift_pairs(spark, sf_dir)
+        .orderBy(F.desc("lift"), F.asc("sa"), F.asc("sb"))
+        .limit(_TRI_EDGES)
+        .select("sa", "sb")
+        .cache()
+    )
+    # Degree inside the subgraph, then rank-orientation u -> v where
+    # (deg_u, u) < (deg_v, v): every triangle has a unique minimum
+    # vertex under this total order, and both its triangle edges leave
+    # that vertex.
+    deg = (
+        e.select(F.col("sa").alias("node"))
+        .unionAll(e.select(F.col("sb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("sa"), F.col("d").alias("dda"))
+    db = deg.select(F.col("node").alias("sb"), F.col("d").alias("ddb"))
+    ann = e.join(F.broadcast(da), "sa").join(F.broadcast(db), "sb")
+    fwd = F.col("dda") < F.col("ddb")
+    tie = (F.col("dda") == F.col("ddb")) & (F.col("sa") < F.col("sb"))
+    o = ann.select(
+        F.when(fwd | tie, F.col("sa")).otherwise(F.col("sb")).alias("u"),
+        F.when(fwd | tie, F.col("sb")).otherwise(F.col("sa")).alias("v"),
+    )
+    o1 = o.select("u", F.col("v").alias("v1"))
+    o2 = o.select("u", F.col("v").alias("v2"))
+    wedges = o1.join(F.broadcast(o2), "u").filter(F.col("v1") < F.col("v2"))
+    # Closing edge lookup: e stores undirected edges id-sorted
+    # (sa < sb), and v1 < v2 by id already, so the semi-join key is
+    # exactly (v1, v2).
+    closing = e.select(F.col("sa").alias("v1"), F.col("sb").alias("v2"))
+    tri = wedges.join(F.broadcast(closing), ["v1", "v2"], "left_semi")
+    m = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+    )
+    return (
+        m.groupBy(F.col("node").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("suppkey"))
+        .limit(_TRI_TOPK)
+    )

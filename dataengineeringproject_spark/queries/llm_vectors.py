@@ -1214,3 +1214,375 @@ def domain_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _DC_TOPK)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+# --- SemDeDup: semantic dedup inside learned clusters (r5) --------------------
+
+_SEM_T = 0.35  # same near-dup cosine bar as dedup_embedding_cosine
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {S.kmeans_sql(_TRAIN_ITERS, _CENTROID_MOD)},
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+        ) AS rn FROM v, k{_TRAIN_ITERS} c) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN v vx ON vx.vec_id = x.vec_id
+      JOIN v vy ON vy.vec_id = y.vec_id
+      WHERE ROUND(list_cosine_similarity(vx.emb, vy.emb), 6) >= {_SEM_T}e0
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           a.vec_id IN (SELECT vec_id FROM dups) AS is_dup
+    FROM a
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then mark as duplicates the documents that
+    have a SAME-CLUSTER neighbor with cosine >= {_SEM_T} and a smaller
+    id (keep-lowest-id, the paper's keep-one convention). The learned
+    clusters play the role LSH buckets play in dedup_embedding_cosine,
+    with two scale advantages: buckets are TIGHT (semantically close
+    vectors land together, so the same pairwise budget buys higher
+    near-dup recall), and cluster count is a tunable knob (init_mod /
+    trained k) rather than a fixed hash width. Physical shape: Lloyd
+    training (broadcast-join assignment + (cid, dim) shuffle per
+    iteration), one assignment pass, then a per-cluster self-join whose
+    work is sum of cluster-size^2 — never corpus^2; the duplicate-id
+    frame is a broadcast left join at the end. Output: every vector
+    with its cluster and duplicate flag (survivors = NOT is_dup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).cache()
+    cents = S.kmeans_centroids(
+        d, "vec_id", init_mod=_CENTROID_MOD, n_iters=_TRAIN_ITERS
+    )
+    assign = S.assign_nearest(d, cents, "vec_id").cache()
+    vn = S._with_norm(d, "v", "__n")
+    side = assign.join(vn, "vec_id")
+    x = side.select(
+        F.col("cid"), F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"), F.col("__n").alias("na"),
+    )
+    y = side.select(
+        F.col("cid"), F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    dups = (
+        x.join(y, "cid")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            F.round(
+                S._cosine_pre(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
+            >= _SEM_T
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assign.join(F.broadcast(dups), "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+    )
+
+
+# --- Matryoshka truncation recall (r5) ---------------------------------------
+
+_MRL_DIMS = 16  # retrieval prefix: first 16 of the 64 dims
+
+
+@register(
+    "ann_recall_matryoshka",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    t AS (SELECT vec_id, emb[1:{_MRL_DIMS}] AS emb FROM v),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
+    qt AS (SELECT vec_id AS query_id, emb AS qemb FROM t WHERE vec_id IN ({_QID_LIST})),
+    es AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    etop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM es) WHERE rank <= 3
+    ),
+    ts AS (
+      SELECT qt.query_id, t.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(qt.qemb, t.emb), 6) AS cosine
+      FROM qt JOIN t ON t.vec_id <> qt.query_id
+    ),
+    ttop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ts) WHERE rank <= 3
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM etop e JOIN ttop t USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 3.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM etop) q
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of retrieval over the TRUNCATED embedding prefix (first
+    {_MRL_DIMS} of {_N_DIMS} dims — the Matryoshka representation
+    deployment: store/scan a short prefix, rerank the shortlist with
+    full vectors) against the full-dimension exact top-3. The honesty
+    metric that prices the 4x scan/memory cut: at 100 TB the prefix
+    index is the tier that fits in cluster memory, and this query is
+    how a deployment decides which prefix length holds recall. Same
+    broadcast-query / streamed-corpus shape as cosine_topk, run at
+    both widths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = emb.select("vec_id", "embedding")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    exact = S.cosine_topk(full, "vec_id", "embedding", _QUERY_IDS, k=3)
+    approx = S.cosine_topk(trunc, "vec_id", "embedding", _QUERY_IDS, k=3)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 3.0, 6).alias("recall"),
+        )
+    )
+
+
+# --- PCA top component via in-plan power iteration (r5) -----------------------
+# Fourth member of the iterative in-plan family (Lloyd k-means, the BPE
+# trainer, PageRank): k unrolled power iterations v <- C.v / ||C.v||
+# over the embedding covariance matrix, no driver collect.
+
+_PCA_ITERS = 8
+_PCA_V0 = "[" + ", ".join(["0.125e0"] * _N_DIMS) + "]"  # 1/sqrt(64), exact
+
+
+def _pca_oracle(k: int) -> str:
+    sql = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    qz AS (SELECT vec_id,
+                  list_transform(emb, x -> CAST(round(x * 1e3) AS BIGINT)) AS q
+           FROM v),
+    t AS (SELECT vec_id, unnest(q) AS qv,
+                 unnest(range(0, {_N_DIMS})) AS i FROM qz),
+    n AS (SELECT count(*) AS nr FROM qz),
+    sm AS (SELECT i, sum(qv) AS s FROM t GROUP BY 1),
+    pr AS (
+      SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS sp
+      FROM t a JOIN t b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT pr.i, pr.j,
+             CAST(sp AS DOUBLE) / nr / 1e6
+             - (CAST(sa.s AS DOUBLE) / nr / 1e3)
+               * (CAST(sb.s AS DOUBLE) / nr / 1e3) AS c
+      FROM pr CROSS JOIN n
+      JOIN sm sa ON sa.i = pr.i
+      JOIN sm sb ON sb.i = pr.j
+    ),
+    covf AS (SELECT i, j, c FROM cov
+             UNION ALL SELECT j, i, c FROM cov WHERE i <> j),
+    crow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS arr FROM covf GROUP BY 1),
+    v0 AS (SELECT {_PCA_V0} AS arr)"""
+    for it in range(1, k + 1):
+        # MATERIALIZED: w{it} is consumed twice (norm + next vector);
+        # DuckDB re-evaluates plain CTEs per reference, which would
+        # re-run the whole chain 2^k times (measured: ~170 s at k=8
+        # vs ~1 s materialized).
+        sql += f""",
+    w{it} AS MATERIALIZED (
+      SELECT crow.i,
+             CAST(round(list_dot_product(crow.arr, v{it - 1}.arr) * 1e6)
+                  AS BIGINT) AS wu
+      FROM crow, v{it - 1}
+    ),
+    n{it} AS (SELECT sqrt(CAST(sum(wu * wu) AS DOUBLE)) / 1e6 AS nrm
+              FROM w{it})"""
+        if it < k:
+            sql += f""",
+    v{it} AS (
+      SELECT list(round((CAST(wu AS DOUBLE) / 1e6) / nrm, 6) ORDER BY i) AS arr
+      FROM w{it}, n{it}
+    )"""
+    sql += f"""
+    SELECT CAST(w{k}.i AS BIGINT) AS dim,
+           round((CAST(wu AS DOUBLE) / 1e6) / nrm, 6) AS loading,
+           round(nrm, 6) AS lambda1
+    FROM w{k}, n{k}
+    """
+    return sql
+
+
+@register("pca_power_iteration", oracle=_pca_oracle(_PCA_ITERS))
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by
+    {_PCA_ITERS} unrolled power iterations, entirely in the plan.
+
+    Exactness strategy (what makes a float eigensolver value-hash
+    reproducible across engines): the covariance is built from
+    fixed-point integer sums — q = round(x*1e3), S_ij = sum(q_i*q_j),
+    s_i = sum(q_i) are exact integer aggregates, order-independent
+    under any parallel summation, so C_ij = S_ij/n/1e6 -
+    (s_i/n/1e3)(s_j/n/1e3) is a deterministic double on both engines
+    (exact while S_ij < 2^53: holds beyond 1e9 rows at this scale).
+    Each iteration rounds the matvec to integer micro-units
+    (wu = round((C.v)*1e6)), computes the norm from the EXACT integer
+    sum of wu^2, and re-rounds the unit vector to 6dp — the same
+    round-stabilization Lloyd/PageRank use, so engine ulps cannot
+    compound across iterations.
+
+    Scale posture: the moment pass explodes each row to the
+    {_N_DIMS}*({_N_DIMS}+1)/2 upper-triangle products and map-side
+    combines to (i, j) cells — the canonical Gram-matrix outer-product
+    shuffle whose reduce side is dims^2 rows regardless of corpus
+    size; every iteration after it runs on the {_N_DIMS}-row cached
+    covariance frame (broadcast x broadcast). Sign is whatever the
+    all-ones start converges to — deterministic, both engines
+    identical. Output: per-dim loading of the unit eigenvector plus
+    the Rayleigh estimate lambda1 = ||C.v|| (variance explained along
+    the component)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e3)).cast("long"),
+        ).alias("q")
+    ).cache()
+    n = qz.agg(F.count(F.lit(1)).alias("nr"))
+    t = qz.select(F.posexplode("q").alias("i", "qv"))
+    sm = t.groupBy("i").agg(F.sum("qv").alias("s"))
+    pairs = qz.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (x, i) -> "
+                f"transform(slice(q, i + 1, {_N_DIMS}), (y, k) -> "
+                "struct(i AS i, i + k AS j, x * y AS p))))"
+            )
+        ).alias("e")
+    )
+    pr = (
+        pairs.select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+    )
+    sa = sm.select(F.col("i").alias("i"), F.col("s").alias("s_a"))
+    sb = sm.select(F.col("i").alias("j"), F.col("s").alias("s_b"))
+    cov = (
+        pr.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", "j",
+            (
+                F.col("sp").cast("double") / F.col("nr") / F.lit(1e6)
+                - (F.col("s_a").cast("double") / F.col("nr") / F.lit(1e3))
+                * (F.col("s_b").cast("double") / F.col("nr") / F.lit(1e3))
+            ).alias("c"),
+        )
+    )
+    covf = cov.unionAll(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    crow = (
+        covf.groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda s: s["c"],
+            ).alias("arr")
+        )
+        .cache()
+    )
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.operators.similarity import _dot
+
+    # Each iteration references its predecessor exactly ONCE (the norm
+    # rides the w frame as a constant-key window column, not a second
+    # aggregate consumer) — a frame consumed twice per level would give
+    # the unrolled lineage 2^k re-executions of the base plan. The
+    # partition key is i % 1 (constant 0, but column-derived so Spark
+    # doesn't constant-fold it away and log the unpartitioned-window
+    # warning 2k times per run); the single partition holds 64 rows.
+    one = Window.partitionBy(F.col("i") % 1)
+    vf = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * _N_DIMS).alias("varr")
+    )
+    w = None
+    for it in range(_PCA_ITERS):
+        w = (
+            crow.crossJoin(F.broadcast(vf))
+            .select(
+                "i",
+                F.round(_dot(F.col("arr"), F.col("varr")) * F.lit(1e6))
+                .cast("long")
+                .alias("wu"),
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(
+                    F.sum(F.col("wu") * F.col("wu")).over(one).cast("double")
+                )
+                / F.lit(1e6),
+            )
+        )
+        if it < _PCA_ITERS - 1:
+            vf = (
+                w.select(
+                    F.struct(
+                        "i",
+                        F.round(
+                            (F.col("wu").cast("double") / F.lit(1e6))
+                            / F.col("nrm"),
+                            6,
+                        ).alias("l"),
+                    ).alias("s")
+                )
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s["l"]
+                    ).alias("varr")
+                )
+            )
+    return w.select(
+        F.col("i").cast("long").alias("dim"),
+        F.round(
+            (F.col("wu").cast("double") / F.lit(1e6)) / F.col("nrm"), 6
+        ).alias("loading"),
+        F.round("nrm", 6).alias("lambda1"),
+    )
