@@ -1586,3 +1586,80 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loading"),
         F.round("nrm", 6).alias("lambda1"),
     )
+
+
+# --- hard-negative mining for contrastive training data (r5) ------------------
+
+_HNM_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT e.vec_id, d.source, CAST(e.embedding AS DOUBLE[]) AS emb
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, source AS q_source, emb AS qemb
+          FROM v WHERE vec_id IN ({_QID_LIST})),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, v.source AS neg_source,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.source <> q.q_source
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_source, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_HNM_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each anchor, the
+    top-{_HNM_K} most-similar documents from a DIFFERENT source — the
+    in-batch-negatives upgrade every embedding/reranker training
+    pipeline mines (high-cosine cross-domain neighbors are the
+    gradient-rich negatives; random negatives are too easy). Shape:
+    anchor side is a tiny broadcast (ids + sources), the corpus
+    streams through one inequality join, per-anchor top-k is a
+    WindowGroupLimit — identical scale posture to cosine_topk, and at
+    100 TB the same IVF/PQ index that serves ANN serves this mining
+    pass (swap the brute-force scan for ann_ivfpq_topk's probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    v = S._with_norm(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).join(docs, F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", "source", "v")
+    )
+    q = v.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("source").alias("q_source"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("source") != F.col("q_source")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("source").alias("neg_source"),
+        F.round(
+            S._cosine_pre(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HNM_K)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -388,3 +388,169 @@ def gap_fill_daily_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_raw_interp", 6).alias("value_interp"),
         "is_gap",
     )
+
+
+# --- in-plan OLS trend + day-of-week seasonal anomalies (r5) ------------------
+# Shared convention: the daily mean is carried as EXACT integer
+# micro-units (xu = round(round(sum(value), 2) / n * 1e6)) so every
+# downstream regression/seasonal sum is an order-independent integer
+# aggregate and the closed-form doubles derived from them are
+# bit-identical across engines.
+
+_TREND_EPOCH = "2024-01-01"  # x-origin; slope is invariant to the offset
+
+
+def _daily_xu_sql() -> str:
+    """DuckDB CTE fragment: daily mean per (event_type, day) in integer
+    micro-units."""
+    return """
+    d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(round(sum(value), 2) / count(*) * 1e6) AS BIGINT) AS xu
+      FROM events GROUP BY 1, 2
+    )"""
+
+
+def _daily_xu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)) * F.lit(1e6))
+        .cast("long")
+        .alias("xu")
+    )
+
+
+@register(
+    "trend_slope_daily",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(xu) AS sy,
+             sum(x * xu) AS sxy, sum(x * x) AS sxx
+      FROM (SELECT event_type, xu,
+                   datediff('day', DATE '{_TREND_EPOCH}', day) AS x FROM d)
+      GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 6) AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+                 / n / 1e6, 6) AS intercept
+    FROM s
+    """,
+)
+def trend_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of the daily mean — ordinary least
+    squares as a closed-form over FIVE integer aggregates (n, Σx, Σy,
+    Σxy, Σx²), the in-database regression idiom: one map-side-combined
+    pass over the daily pre-aggregate, no iteration, no driver math.
+    y rides in exact micro-units and x is days since {_TREND_EPOCH}
+    (slope is offset-invariant; the intercept is the fitted level AT
+    the epoch), so both engines derive slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) from identical integers. At 100 TB the daily frame
+    this runs on is |types| × |days| rows — the regression cost is the
+    pre-aggregate's, which is the already-proven daily_agg shuffle."""
+    d = _daily_xu(spark, sf_dir).select(
+        "event_type", "xu",
+        F.datediff("day", F.lit(_TREND_EPOCH).cast("date")).cast("long").alias("x"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("xu").alias("sy"),
+        F.sum(F.col("x") * F.col("xu")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(num / den / F.lit(1e6), 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - num / den * F.col("sx"))
+            / F.col("n")
+            / F.lit(1e6),
+            6,
+        ).alias("intercept"),
+    )
+
+
+_SEAS_Z = 2.0  # anomaly bar in residual sigmas
+
+
+@register(
+    "seasonal_dow_anomaly",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    b AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             CAST(sum(xu) AS DOUBLE) / count(*) AS bu
+      FROM d GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT d.event_type, d.day, d.xu, b.bu,
+             CAST(round(d.xu - b.bu) AS BIGINT) AS ru
+      FROM d JOIN b ON b.event_type = d.event_type
+                   AND b.dow = dayofweek(d.day)
+    ),
+    sg AS (
+      SELECT event_type,
+             sqrt(CAST(sum(ru * ru) AS DOUBLE) / count(*)
+                  - (CAST(sum(ru) AS DOUBLE) / count(*))
+                    * (CAST(sum(ru) AS DOUBLE) / count(*))) AS sigma
+      FROM r GROUP BY 1
+    )
+    SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day,
+           round(r.xu / 1e6, 6) AS daily_mean,
+           round(r.bu / 1e6, 6) AS seasonal_mean,
+           round(r.ru / sg.sigma, 6) AS z,
+           abs(r.ru / sg.sigma) >= {_SEAS_Z}e0 AS is_anomaly
+    FROM r JOIN sg USING (event_type)
+    """,
+)
+def seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline + residual z-score anomalies per
+    event_type: the seasonality-aware twin of outlier_mad_robust_zscore
+    (which assumes a flat baseline). Baseline = mean daily level per
+    (type, weekday); residuals are re-quantized to exact integer
+    micro-units so the per-type sigma comes from order-independent
+    integer sums; z = residual/sigma flags |z| >= {_SEAS_Z}. Weekday
+    convention: DuckDB dayofweek (0 = Sunday) == Spark dayofweek − 1.
+    Physical shape: two map-side-combined aggregates over the daily
+    frame (baseline keyed (type, dow) — <= |types|×7 rows, broadcast
+    back; sigma keyed type), one broadcast join each — nothing scales
+    with raw event volume past the daily pre-aggregate."""
+    d = _daily_xu(spark, sf_dir).withColumn(
+        "dow", F.dayofweek("day") - F.lit(1)
+    )
+    b = d.groupBy("event_type", "dow").agg(
+        (F.sum("xu").cast("double") / F.count(F.lit(1))).alias("bu")
+    )
+    r = d.join(F.broadcast(b), ["event_type", "dow"]).select(
+        "event_type", "day", "xu", "bu",
+        F.round(F.col("xu") - F.col("bu")).cast("long").alias("ru"),
+    )
+    mean_ru = F.sum("ru").cast("double") / F.count(F.lit(1))
+    sg = r.groupBy("event_type").agg(
+        F.sqrt(
+            F.sum(F.col("ru") * F.col("ru")).cast("double")
+            / F.count(F.lit(1))
+            - mean_ru * mean_ru
+        ).alias("sigma")
+    )
+    return r.join(F.broadcast(sg), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("xu") / F.lit(1e6), 6).alias("daily_mean"),
+        F.round(F.col("bu") / F.lit(1e6), 6).alias("seasonal_mean"),
+        F.round(F.col("ru") / F.col("sigma"), 6).alias("z"),
+        (F.abs(F.col("ru") / F.col("sigma")) >= F.lit(_SEAS_Z)).alias(
+            "is_anomaly"
+        ),
+    )
