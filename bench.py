@@ -95,6 +95,15 @@ HEADLINE = [
     "jaccard_prefix_filter_join",
     "dedup_keep_best_quality",
     "domain_centroid_topk",
+    # r5 continuation: graph, semantic dedup, spectral, time series
+    "copurchase_lift_pairs",
+    "triangle_count_suppliers",
+    "dedup_semantic",
+    "ann_recall_matryoshka",
+    "pca_power_iteration",
+    "hard_negative_mining",
+    "trend_slope_daily",
+    "seasonal_dow_anomaly",
 ]
 
 

@@ -3219,3 +3219,166 @@ def drift_js_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     ).agg(F.round(F.sum(term), 6).alias("js_div"))
+
+
+# --- snapshot diff + referential-integrity audit (r5 continuation) -----------
+
+_SNAP_CUT = "2024-01-16"  # snapshot A horizon; snapshot B = full history
+
+
+@register(
+    "snapshot_diff_users",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_b,
+             CASE WHEN ts < TIMESTAMP '{_SNAP_CUT}' THEN
+               row_number() OVER (PARTITION BY user_id,
+                                  (ts < TIMESTAMP '{_SNAP_CUT}')
+                                  ORDER BY ts DESC, event_id DESC)
+             END AS rn_a
+      FROM events
+    ),
+    a AS (SELECT user_id, event_type AS old_type, ROUND(value, 6) AS old_value
+          FROM ranked WHERE rn_a = 1 AND ts < TIMESTAMP '{_SNAP_CUT}'),
+    b AS (SELECT user_id, event_type AS new_type, ROUND(value, 6) AS new_value
+          FROM ranked WHERE rn_b = 1)
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.old_type <> b.new_type
+                     OR a.old_value <> b.new_value THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           a.old_type, a.old_value, b.new_type, b.new_value
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two snapshots of per-user latest state (the
+    data-eng regression check run between pipeline versions or before
+    a backfill ships): snapshot A = state at {_SNAP_CUT}, snapshot B =
+    current; every user classified added / removed / changed /
+    unchanged with the old and new state side by side. State is the
+    latest (event_type, value) by (ts, event_id) — one window pass
+    computes BOTH snapshot ranks (the A-rank partitioned by the
+    cutoff predicate), then a full outer join keyed user_id compares.
+    'removed' is structurally impossible here (B's history contains
+    A's) but the classifier carries it for real snapshot pairs. At
+    100 TB both snapshot states are |users| rows co-partitioned by the
+    join key — the diff never touches raw events twice."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.col("ts") < F.lit(_SNAP_CUT).cast("timestamp")
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wa = Window.partitionBy("user_id", in_a).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "user_id", "event_type", "value", "ts", "event_id",
+        F.row_number().over(wb).alias("rn_b"),
+        F.when(in_a, F.row_number().over(wa)).alias("rn_a"),
+    )
+    a = ranked.filter((F.col("rn_a") == 1) & in_a).select(
+        F.col("user_id").alias("ua"),
+        F.col("event_type").alias("old_type"),
+        F.round("value", 6).alias("old_value"),
+    )
+    b = ranked.filter(F.col("rn_b") == 1).select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("new_type"),
+        F.round("value", 6).alias("new_value"),
+    )
+    j = a.join(b, F.col("ua") == F.col("ub"), "full_outer")
+    return j.select(
+        F.coalesce("ua", "ub").alias("user_id"),
+        F.when(F.col("ua").isNull(), F.lit("added"))
+        .when(F.col("ub").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_type") != F.col("new_type"))
+            | (F.col("old_value") != F.col("new_value")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        "old_type", "old_value", "new_type", "new_value",
+    )
+
+
+_FK_RELS = [
+    # (name, child, child_key, parent, parent_key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _FK_RELS:
+        parts.append(f"""
+    SELECT '{name}' AS relationship,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{ck})) AS n_orphans,
+           (SELECT count(*) FROM {parent}) AS n_parents,
+           (SELECT count(*) FROM {parent} p
+            WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                              WHERE c.{ck} = p.{pk})) AS n_childless""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+    SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           CAST(n_parents AS BIGINT) AS n_parents,
+           CAST(n_childless AS BIGINT) AS n_childless
+    FROM ({body})
+    """
+
+
+@register("fk_integrity_audit", oracle=_fk_oracle())
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the five star-schema foreign
+    keys: per relationship, child rows without a parent (orphans — a
+    load-order or CDC-apply bug) and parents without any child
+    (childless — expected for slow dimensions, a red flag for fact
+    links). One lazy union of five audit frames; each orphan count is
+    a LEFT ANTI join on the key (broadcast when the parent side is a
+    dimension) and each childless count is the anti join reversed —
+    the same semi/anti machinery the engine's joins already prove,
+    pointed at pipeline health. At 100 TB the anti joins shuffle on
+    the key like the fact-dimension joins they audit; AQE turns the
+    small-dimension sides into broadcasts."""
+    frames = []
+    for name, child, ck, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child).select(ck)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        n_orph = (
+            c.join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        n_par = p.agg(F.count(F.lit(1)).alias("n_parents"))
+        n_less = (
+            p.join(c, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_childless"))
+        )
+        frames.append(
+            n_child.crossJoin(n_orph).crossJoin(n_par).crossJoin(n_less)
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.col("n_parents").cast("long").alias("n_parents"),
+                F.col("n_childless").cast("long").alias("n_childless"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

@@ -102,3 +102,36 @@ def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     floor (DuckDB) and truncation (Spark) division agree."""
     register_testdata_views(spark, sf_dir)
     return spark.sql(_REC_SQL.format(ev="deps_events", div="DIV"))
+
+
+@register(
+    "sql_lateral_topk_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def sql_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — each
+    customer's two most expensive orders, the per-row-subquery SQL
+    idiom users reach for before they know window functions. Catalyst
+    DECORRELATES it: the inner sort+limit becomes a per-partition
+    group limit over a join keyed o_custkey (explain shows the same
+    WindowGroupLimit shape as topk_per_group's explicit window), so
+    the SQL-comfort surface and the DataFrame API meet in one plan —
+    nothing here executes a subquery per row, at any scale. Customers
+    with no orders drop out (inner lateral semantics, matching
+    DuckDB's)."""
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM deps_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM deps_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
