@@ -1,0 +1,284 @@
+"""Oracle-INDEPENDENT invariant checks for the round-5 continuation
+operators (graph, SemDeDup, Matryoshka recall, power-iteration PCA,
+OLS trend, seasonal anomalies, snapshot diff, FK audit, lateral SQL):
+the DuckDB differential harness proves engine agreement; these prove
+the MATH via third implementations (numpy/pure Python) and closed-form
+invariants neither engine can satisfy by accident.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from dataengineeringproject_spark import registry
+
+from conftest import SF_SMOKE
+
+
+def _q(spark, name, sf=SF_SMOKE):
+    return registry.queries()[name](spark, sf)
+
+
+def _emb_matrix(sf=SF_SMOKE):
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows])
+    return ids, X
+
+
+# --- graph: closed-form on the complete sf0.001 co-occurrence graph ----------
+
+
+def test_triangle_count_complete_graph(spark):
+    """At sf0.001 every supplier pair shares an order, so the top-2000
+    edge budget keeps the COMPLETE K10: each node sits in C(9,2) = 36
+    triangles."""
+    out = _q(spark, "triangle_count_suppliers").toPandas()
+    assert len(out) == 10
+    assert set(out["n_triangles"]) == {36}
+
+
+def test_copurchase_lift_pure_python(spark):
+    """Third vote: recompute supplier pair supports and lifts from raw
+    lineitem in pure Python and compare the reported top rows."""
+    out = _q(spark, "copurchase_lift_pairs").toPandas()
+    rows = duckdb.connect().execute(
+        f"SELECT DISTINCT l_orderkey, l_suppkey FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchall()
+    baskets: dict[int, set[int]] = {}
+    for ok, sk in rows:
+        baskets.setdefault(ok, set()).add(sk)
+    nb = len(baskets)
+    deg: dict[int, int] = {}
+    pair: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for s in items:
+            deg[s] = deg.get(s, 0) + 1
+        ss = sorted(items)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    expect = {
+        (a, b): (w, round(w * nb / (deg[a] * deg[b]), 6))
+        for (a, b), w in pair.items()
+    }
+    for r in out.itertuples(index=False):
+        w, lift = expect[(r.sa, r.sb)]
+        assert r.support == w
+        assert abs(r.lift - lift) < 1e-9
+    # top-K really is the lift-descending head of the full pair set
+    kth = out["lift"].min()
+    better = sum(1 for (_, l) in expect.values() if l > kth)
+    assert better <= len(out)
+
+
+# --- SemDeDup: the keep-lowest-id rule holds against brute force -------------
+
+
+def test_dedup_semantic_flags_consistent(spark):
+    out = _q(spark, "dedup_semantic").toPandas()
+    ids, X = _emb_matrix()
+    pos = {v: i for i, v in enumerate(ids)}
+    nrm = np.linalg.norm(X, axis=1)
+    by_cid: dict[int, list[int]] = {}
+    for r in out.itertuples(index=False):
+        by_cid.setdefault(r.cid, []).append(r.vec_id)
+    flag = dict(zip(out["vec_id"], out["is_dup"]))
+    for members in by_cid.values():
+        ms = sorted(members)
+        for i, b in enumerate(ms):
+            has_smaller_neighbor = False
+            for a in ms[:i]:
+                cos = round(
+                    float(X[pos[a]] @ X[pos[b]]) / (nrm[pos[a]] * nrm[pos[b]]), 6
+                )
+                if cos >= 0.35:
+                    has_smaller_neighbor = True
+                    break
+            assert bool(flag[b]) == has_smaller_neighbor, (b, has_smaller_neighbor)
+
+
+# --- Matryoshka + hard negatives: numpy recompute ----------------------------
+
+
+def _topk_numpy(X, ids, qids, k, mask_fn):
+    nrm = np.linalg.norm(X, axis=1)
+    out = {}
+    for q in qids:
+        qi = int(np.where(ids == q)[0][0])
+        cos = np.round(X @ X[qi] / (nrm * nrm[qi]), 6)
+        cand = [
+            (-cos[i], ids[i])
+            for i in range(len(ids))
+            if ids[i] != q and mask_fn(q, ids[i])
+        ]
+        cand.sort()
+        out[q] = [int(v) for _, v in cand[:k]]
+    return out
+
+
+def test_matryoshka_recall_numpy(spark):
+    out = _q(spark, "ann_recall_matryoshka").toPandas()
+    ids, X = _emb_matrix()
+    qids = list(range(10))
+    full = _topk_numpy(X, ids, qids, 3, lambda q, i: True)
+    trunc = _topk_numpy(X[:, :16], ids, qids, 3, lambda q, i: True)
+    for r in out.itertuples(index=False):
+        hits = len(set(full[r.query_id]) & set(trunc[r.query_id]))
+        assert r.n_hits == hits
+        assert abs(r.recall - round(hits / 3.0, 6)) < 1e-9
+
+
+def test_hard_negative_mining_numpy(spark):
+    out = _q(spark, "hard_negative_mining").toPandas()
+    ids, X = _emb_matrix()
+    src = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, source FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    qids = list(range(10))
+    want = _topk_numpy(X, ids, qids, 5, lambda q, i: src[i] != src[q])
+    for q in qids:
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"]
+        assert list(got) == want[q]
+        assert all(src[n] != src[q] for n in got)
+
+
+# --- PCA: numpy replay of the identical algorithm + Rayleigh bounds ----------
+
+
+def test_pca_power_iteration_numpy_replay(spark):
+    out = _q(spark, "pca_power_iteration").toPandas().sort_values("dim")
+    _, X = _emb_matrix()
+    Q = np.round(X * 1e3)
+    n = len(Q)
+    S = Q.T @ Q          # exact integer second moments
+    s = Q.sum(axis=0)
+    C = S / n / 1e6 - np.outer(s / n / 1e3, s / n / 1e3)
+    v = np.full(64, 0.125)
+    for _ in range(8):
+        wu = np.round(C @ v * 1e6)
+        nrm = math.sqrt(float((wu * wu).sum())) / 1e6
+        v = np.round((wu / 1e6) / nrm, 6)
+    assert np.allclose(out["loading"].to_numpy(), v, atol=2e-6)
+    assert abs(out["lambda1"].iloc[0] - round(nrm, 6)) < 2e-6
+    # math sanity: unit vector; Rayleigh estimate inside the spectrum
+    lam = np.linalg.eigvalsh(C)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert lam[0] - 1e-9 <= out["lambda1"].iloc[0] <= lam[-1] + 1e-9
+
+
+# --- OLS trend: numpy polyfit third vote -------------------------------------
+
+
+def test_trend_slope_numpy(spark):
+    out = _q(spark, "trend_slope_daily").toPandas()
+    daily = duckdb.connect().execute(f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(round(round(sum(value), 2) / count(*) * 1e6) AS BIGINT) AS xu
+        FROM '{SF_SMOKE}/events.parquet' GROUP BY 1, 2
+    """).df()
+    import pandas as pd
+
+    for r in out.itertuples(index=False):
+        g = daily[daily["event_type"] == r.event_type]
+        x = (
+            (pd.to_datetime(g["day"]) - pd.Timestamp("2024-01-01"))
+            .dt.days.to_numpy(dtype=float)
+        )
+        y = g["xu"].to_numpy(dtype=float) / 1e6
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r.n_days == len(g)
+        assert abs(r.slope_per_day - slope) < 1e-5
+        assert abs(r.intercept - intercept) < 1e-4
+
+
+# --- seasonal anomalies: z-score population identities -----------------------
+
+
+def test_seasonal_zscore_identities(spark):
+    out = _q(spark, "seasonal_dow_anomaly").toPandas()
+    for et, g in out.groupby("event_type"):
+        z = g["z"].to_numpy()
+        # residuals are centered per (type, dow) so overall mean ~ 0,
+        # and population sigma normalization puts mean(z^2) at 1
+        assert abs(z.mean()) < 1e-3, et
+        assert abs((z**2).mean() - 1.0) < 1e-3, et
+        assert ((g["z"].abs() >= 2.0) == g["is_anomaly"]).all()
+
+
+# --- snapshot diff: structural invariants ------------------------------------
+
+
+def test_snapshot_diff_invariants(spark):
+    out = _q(spark, "snapshot_diff_users").toPandas()
+    con = duckdb.connect()
+    n_users, n_early = con.execute(f"""
+        SELECT count(DISTINCT user_id),
+               count(DISTINCT user_id) FILTER (ts < TIMESTAMP '2024-01-16')
+        FROM '{SF_SMOKE}/events.parquet'
+    """).fetchone()
+    assert len(out) == n_users
+    assert (out["change_type"] != "removed").all()
+    added = out[out["change_type"] == "added"]
+    assert len(added) == n_users - n_early
+    assert added["old_type"].isna().all()
+    changed = out[out["change_type"] == "changed"]
+    assert (
+        (changed["old_type"] != changed["new_type"])
+        | (changed["old_value"] != changed["new_value"])
+    ).all()
+
+
+# --- FK audit: consistency of the generated star schema ----------------------
+
+
+def test_fk_audit_no_orphans(spark):
+    out = _q(spark, "fk_integrity_audit").toPandas()
+    assert len(out) == 5
+    assert (out["n_orphans"] == 0).all(), "generated TPC-H data has no orphans"
+    con = duckdb.connect()
+    childless_orders = con.execute(f"""
+        SELECT count(*) FROM '{SF_SMOKE}/orders.parquet' o
+        WHERE NOT EXISTS (SELECT 1 FROM '{SF_SMOKE}/lineitem.parquet' l
+                          WHERE l.l_orderkey = o.o_orderkey)
+    """).fetchone()[0]
+    row = out[out["relationship"] == "lineitem->orders"].iloc[0]
+    assert row["n_childless"] == childless_orders
+
+
+# --- lateral SQL: equals the explicit window formulation ---------------------
+
+
+def test_lateral_equals_window_topk(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineeringproject_spark.schemas import load_table
+
+    out = _q(spark, "sql_lateral_topk_orders").toPandas()
+    orders = load_table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ref = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .toPandas()
+    )
+    key = ["c_custkey", "o_orderkey", "o_totalprice"]
+    a = sorted(map(tuple, out[key].itertuples(index=False)))
+    b = sorted(map(tuple, ref[key].itertuples(index=False)))
+    assert a == b
