@@ -890,3 +890,55 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("a_cnt").alias("a_cnt"), F.max("b_cnt").alias("b_cnt"))
     )
     return psi_finish(spark, g0)
+
+
+from dataengineeringproject_spark.queries.windows_q import (  # noqa: E402
+    TREND_SLOPE_ORACLE as _TREND_SHARED_ORACLE,
+)
+
+
+@register(
+    "streaming_trend_slope",
+    # shares the BATCH trend_slope_daily oracle verbatim: the streaming
+    # per-(type, day) sums must converge to the identical daily frame,
+    # so the whole OLS scorecard is held to the same value hash.
+    oracle=_TREND_SHARED_ORACLE,
+)
+def streaming_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OLS trend monitor AS A STREAMING JOB — regression over a
+    stream works because its sufficient statistics are ADD-MERGEABLE
+    aggregates (the same merge class as CMS cells and PSI bin counts):
+    the stream keeps per-(event_type, 1-day window) running
+    (sum(value), count) under a 1-day watermark — state bounded by
+    |types| x |watermarked days|, not event volume — and the batch
+    read-back quantizes the converged daily means to exact integer
+    micro-units and runs the SHARED trend_finish closed form. Both
+    emissions are monotone under positive values, so the converged
+    state is the per-key max of the update log. A production deploy
+    emits the refreshed slope per window close — the 'is the metric
+    drifting' number next to the PSI distribution monitor."""
+    from dataengineeringproject_spark.queries.windows_q import trend_finish
+
+    d = _staged_events(spark, sf_dir)
+    name = f"trend_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        agg = (
+            src.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
+        )
+        run_to_memory(agg, name, output_mode="update")
+    conv = (
+        spark.table(name)
+        .groupBy(F.col("w.start").cast("date").alias("day"), "event_type")
+        .agg(F.max("sv").alias("sv"), F.max("n").alias("n"))
+    )
+    daily = conv.select(
+        "event_type",
+        "day",
+        F.round(F.round("sv", 2) / F.col("n") * F.lit(1e6))
+        .cast("long")
+        .alias("xu"),
+    )
+    return trend_finish(daily)

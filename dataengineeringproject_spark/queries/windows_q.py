@@ -422,9 +422,9 @@ def _daily_xu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "trend_slope_daily",
-    oracle=f"""
+# Shared by trend_slope_daily and streaming_trend_slope (which holds
+# its converged per-(type, day) state to the SAME value hash).
+TREND_SLOPE_ORACLE = f"""
     WITH {_daily_xu_sql()},
     s AS (
       SELECT event_type, count(*) AS n,
@@ -442,24 +442,18 @@ def _daily_xu(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
                  / n / 1e6, 6) AS intercept
     FROM s
-    """,
-)
-def trend_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type linear trend of the daily mean — ordinary least
-    squares as a closed-form over FIVE integer aggregates (n, Σx, Σy,
-    Σxy, Σx²), the in-database regression idiom: one map-side-combined
-    pass over the daily pre-aggregate, no iteration, no driver math.
-    y rides in exact micro-units and x is days since {_TREND_EPOCH}
-    (slope is offset-invariant; the intercept is the fitted level AT
-    the epoch), so both engines derive slope = (nΣxy − ΣxΣy) /
-    (nΣx² − (Σx)²) from identical integers. At 100 TB the daily frame
-    this runs on is |types| × |days| rows — the regression cost is the
-    pre-aggregate's, which is the already-proven daily_agg shuffle."""
-    d = _daily_xu(spark, sf_dir).select(
+    """
+
+
+def trend_finish(d: DataFrame) -> DataFrame:
+    """OLS closed form over a daily frame (event_type, day DATE,
+    xu LONG micro-units) — the batch query and the streaming read-back
+    share this finisher so both hold to TREND_SLOPE_ORACLE."""
+    d2 = d.select(
         "event_type", "xu",
         F.datediff("day", F.lit(_TREND_EPOCH).cast("date")).cast("long").alias("x"),
     )
-    s = d.groupBy("event_type").agg(
+    s = d2.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("xu").alias("sy"),
@@ -479,6 +473,21 @@ def trend_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+@register("trend_slope_daily", oracle=TREND_SLOPE_ORACLE)
+def trend_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of the daily mean — ordinary least
+    squares as a closed-form over FIVE integer aggregates (n, Σx, Σy,
+    Σxy, Σx²), the in-database regression idiom: one map-side-combined
+    pass over the daily pre-aggregate, no iteration, no driver math.
+    y rides in exact micro-units and x is days since {_TREND_EPOCH}
+    (slope is offset-invariant; the intercept is the fitted level AT
+    the epoch), so both engines derive slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) from identical integers. At 100 TB the daily frame
+    this runs on is |types| × |days| rows — the regression cost is the
+    pre-aggregate's, which is the already-proven daily_agg shuffle."""
+    return trend_finish(_daily_xu(spark, sf_dir))
 
 
 _SEAS_Z = 2.0  # anomaly bar in residual sigmas
