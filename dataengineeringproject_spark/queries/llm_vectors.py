@@ -1663,3 +1663,81 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HNM_K)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+# --- per-dimension standardization (feature preprocessing, r5) ---------------
+
+
+@register(
+    "embedding_standardize",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1e3) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    t AS (SELECT vec_id, unnest(q) AS qv,
+                 unnest(range(0, {_N_DIMS})) AS i FROM qz),
+    st AS (
+      SELECT i, count(*) AS n, sum(qv) AS s, sum(qv * qv) AS ss FROM t GROUP BY 1
+    ),
+    z AS (
+      SELECT t.vec_id, t.i,
+             round((t.qv - CAST(st.s AS DOUBLE) / st.n)
+                   / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                          - (CAST(st.s AS DOUBLE) / st.n)
+                            * (CAST(st.s AS DOUBLE) / st.n)), 6) AS zv
+      FROM t JOIN st USING (i)
+    )
+    SELECT vec_id, list(zv ORDER BY i) AS z FROM z GROUP BY 1
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-preprocessing pass in front of k-means/PCA/quantization
+    when dimensions carry unequal variance (whitening's diagonal
+    half). Statistics come from the SAME exact fixed-point integer
+    sums as pca_power_iteration (q = round(x*1e3); n, Σq, Σq² per dim
+    are order-independent integer aggregates), so mean/std — and
+    therefore every standardized value — are engine-identical doubles.
+    Shape: one posexplode aggregate map-side-combines to {_N_DIMS}
+    stat rows, broadcast back onto the corpus; the rewrite itself is a
+    per-row array transform — no second shuffle. Output keeps the
+    array form so downstream consumers chain without reassembly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e3)).cast("long"),
+        ).alias("q"),
+    )
+    st = (
+        qz.select(F.posexplode("q").alias("i", "qv"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qv").alias("s"),
+            F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
+    stats = st.select(
+        F.struct("i", mean.alias("m"), sd.alias("sd")).alias("r")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list("r")), lambda r: r["m"]
+        ).alias("ms"),
+        F.transform(
+            F.array_sort(F.collect_list("r")), lambda r: r["sd"]
+        ).alias("sds"),
+    )
+    return qz.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            "transform(q, (x, i) -> "
+            "round((x - element_at(ms, i + 1)) / element_at(sds, i + 1), 6))"
+        ).alias("z"),
+    )

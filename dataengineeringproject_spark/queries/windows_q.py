@@ -563,3 +563,72 @@ def seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "trend_theil_sen",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    p AS (
+      SELECT a.event_type,
+             CAST(b.xu - a.xu AS DOUBLE)
+             / CAST(datediff('day', a.day, b.day) AS DOUBLE) / 1e6 AS sl
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    r AS (
+      SELECT event_type, sl,
+             row_number() OVER (PARTITION BY event_type ORDER BY sl) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM p
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round(sl, 6) AS slope_per_day
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event_type: the LOWER MEDIAN of all
+    pairwise day-to-day slopes of the daily mean — the estimator that
+    shrugs off the outlier days OLS chases (trend_slope_daily is the
+    parametric twin; a drift dashboard shows both and alarms when they
+    diverge, because that gap IS the outlier influence). Slopes are
+    doubles from exact integer micro-unit differences, so every pair
+    value is engine-identical; the median is rank-selected (row_number
+    = (n+1)/2 over the slope order), not interpolated, so no engine's
+    percentile convention can move it. Pair count is days-per-type
+    choose 2 — bounded by the CALENDAR, not event volume (a year is
+    ~66k pairs per type), generated by a self-join of the tiny daily
+    frame; the only shuffle past the daily pre-aggregate is the
+    per-type median sort of that bounded pair set."""
+    d = _daily_xu(spark, sf_dir)
+    a = d.select("event_type", F.col("day").alias("da"), F.col("xu").alias("xa"))
+    b = d.select("event_type", F.col("day").alias("db"), F.col("xu").alias("xb"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / F.datediff("db", "da").cast("double")
+                / F.lit(1e6)
+            ).alias("sl"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("event_type").orderBy("sl")
+    wc = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type", "sl",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") == (F.col("n") + 1) / 2
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("sl", 6).alias("slope_per_day"),
+    )
