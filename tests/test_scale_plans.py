@@ -238,3 +238,34 @@ def test_profile_table_single_scan(spark):
     so counting 'Scan parquet' lines cannot pin this.)"""
     plan = _physical_plan(spark, "profile_table")
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["copurchase_lift_pairs", "triangle_count_suppliers"]
+)
+def test_graph_topk_uses_take_ordered(spark, name):
+    """The graph queries' edge/pair budgets are claimed as top-K heaps
+    (TakeOrderedAndProject), never a global sort of the pair frame."""
+    plan = _physical_plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lateral_decorrelates_to_group_limit(spark):
+    """sql_lateral_topk_orders' docstring claims Catalyst decorrelates
+    the correlated LATERAL ORDER BY/LIMIT into the same WindowGroupLimit
+    shape as the explicit window top-k — i.e. no per-row subquery node
+    survives in the physical plan."""
+    plan = _physical_plan(spark, "sql_lateral_topk_orders")
+    assert "WindowGroupLimit" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["trend_slope_daily", "seasonal_dow_anomaly", "trend_theil_sen"]
+)
+def test_trend_family_no_raw_sort(spark, name):
+    """The regression/seasonal family runs entirely on the daily
+    pre-aggregate: any Sort/Window in the plan must sit above an
+    aggregate, never directly over the raw events scan."""
+    plan = _physical_plan(spark, name)
+    bad = _sorts_only_over_aggregates(plan)
+    assert not bad, f"sort over un-aggregated scan: {bad}\n{plan}"
