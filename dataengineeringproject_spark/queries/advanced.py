@@ -3382,3 +3382,96 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+# --- conversion latency quantiles (r5 continuation) ---------------------------
+
+
+@register(
+    "funnel_latency_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS fv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.fv
+      GROUP BY 1
+    ),
+    lat AS (
+      SELECT p.user_id, datediff('second', v.fv, p.fp) AS sec
+      FROM p JOIN v ON v.user_id = p.user_id
+    ),
+    r AS (
+      SELECT sec, row_number() OVER (ORDER BY sec, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converters,
+           CAST(max(CASE WHEN rn = (25 * n + 99) // 100 THEN sec END)
+                AS BIGINT) AS p25_sec,
+           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN sec END)
+                AS BIGINT) AS p50_sec,
+           CAST(max(CASE WHEN rn = (75 * n + 99) // 100 THEN sec END)
+                AS BIGINT) AS p75_sec
+    FROM r
+    """,
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase follows their first view, the view→purchase latency in
+    whole seconds, summarized as rank-selected p25/p50/p75 (type-1
+    quantiles: smallest value with cdf ≥ q, rn = ceil(q·n) computed in
+    INTEGER arithmetic — (q%·n + 99) div 100 — so no engine float or
+    interpolation convention is involved; ties in latency are ordered
+    by user_id for a total order). The latency frame is user-grain —
+    bounded by converters, not events — built from the same
+    monotone-shrinking user-key-co-partitioned joins as
+    conversion_funnel_3step; the quantile sort runs on that bounded
+    frame. The product-analytics companion the 3-step count funnel
+    doesn't answer: not HOW MANY convert, but HOW LONG it takes."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"), F.min("fv").alias("fv"))
+    )
+    lat = p.select(
+        "user_id",
+        (
+            F.col("fp").cast("long") - F.col("fv").cast("long")
+        ).alias("sec"),
+    )
+    w = Window.partitionBy(F.lit(1) * F.lit(1)).orderBy("sec", "user_id")
+    wc = Window.partitionBy(F.lit(1) * F.lit(1))
+    r = lat.select(
+        "sec",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    def _cut(q: int):
+        return F.expr(f"({q} * n + 99) div 100")
+
+    return r.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.max(F.when(F.col("rn") == _cut(25), F.col("sec")))
+        .cast("long")
+        .alias("p25_sec"),
+        F.max(F.when(F.col("rn") == _cut(50), F.col("sec")))
+        .cast("long")
+        .alias("p50_sec"),
+        F.max(F.when(F.col("rn") == _cut(75), F.col("sec")))
+        .cast("long")
+        .alias("p75_sec"),
+    )

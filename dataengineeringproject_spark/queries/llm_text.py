@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from dataengineeringproject_spark.functions import text as X
 from dataengineeringproject_spark.operators import dedup as D
 from dataengineeringproject_spark.registry import register
-from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.schemas import load_table, local_df
 
 _TOKS = X.tokens_sql("text")
 _N_HASHES, _BANDS, _SHINGLE_K, _NEARDUP_T = 8, 4, 3, 0.5
@@ -1853,5 +1853,93 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("rep_doc_id"),
             F.col("n_members").cast("long").alias("n_members"),
             F.col("quality_prob").alias("rep_quality"),
+        )
+    )
+
+
+# --- vocabulary coverage curve (tokenizer sizing, r5 continuation) -----------
+
+# cut points sized to the synthetic corpus's 31-token vocabulary so
+# the curve has three live points; a real corpus uses 1e3/1e4/1e5
+_VC_CUTS = [5, 10, 20]
+
+
+@register(
+    "vocab_coverage_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({X.tokens_sql('lower(text)')}) AS tok FROM documents
+    ),
+    vc AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+    tot AS (SELECT sum(freq) AS t, count(*) AS n_vocab FROM vc),
+    top AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rn
+      FROM vc ORDER BY freq DESC, tok ASC LIMIT {max(_VC_CUTS)}
+    ),
+    cum AS (
+      SELECT rn, sum(freq) OVER (ORDER BY rn
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfreq
+      FROM top
+    )
+    SELECT c.n_top, CAST(tot.n_vocab AS BIGINT) AS n_vocab,
+           round(cum.cfreq * 1e0 / tot.t, 6) AS coverage
+    FROM (SELECT unnest([{", ".join(str(c) for c in _VC_CUTS)}]) AS n_top) c
+    JOIN cum ON cum.rn = c.n_top
+    CROSS JOIN tot
+    """,
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of all corpus token
+    occurrences covered by the top-{{10,100,1000}} most frequent
+    (lowercased, whitespace) tokens — the Zipf sizing curve a
+    tokenizer/vocab decision reads ("how big must the vocab be to
+    cover 95%?") and a cheap drift alarm when coverage at fixed N
+    sags. Shape: token counts map-side-combine to the vocab grain;
+    the top-{max(_VC_CUTS)} head is a TakeOrderedAndProject heap (the
+    running total then windows over ≤{max(_VC_CUTS)} rows); the
+    denominator is a 1-row broadcast. Nothing past the count shuffle
+    scales with the corpus — only with the vocabulary head."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = vc.agg(
+        F.sum("freq").alias("t"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    top = (
+        vc.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(max(_VC_CUTS))
+        .select(
+            "freq",
+            F.row_number()
+            .over(
+                Window.partitionBy(F.lit(1) * F.lit(1))
+                .orderBy(F.desc("freq"), F.asc("tok"))
+            )
+            .alias("rn"),
+        )
+    )
+    cum = top.select(
+        "rn",
+        F.sum("freq")
+        .over(
+            Window.partitionBy(F.lit(1) * F.lit(1))
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cfreq"),
+    )
+    cuts = local_df(spark, [(c,) for c in _VC_CUTS], "n_top BIGINT")
+    return (
+        cuts.join(F.broadcast(cum), F.col("rn") == F.col("n_top"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_top",
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.round(F.col("cfreq") * F.lit(1.0) / F.col("t"), 6).alias(
+                "coverage"
+            ),
         )
     )
