@@ -1943,3 +1943,130 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- dedup observability: cluster size histogram (r5 continuation) -----------
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_neardup_sql()}) t),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the dedup-health scorecard
+    read before shipping a dedup pass: a long tail of giant clusters
+    means boilerplate/template collapse (over-merging) and predicts
+    how many docs dedup will remove (removal = Σ (size−1)·n_clusters).
+    Pure composition: the min-label components from
+    dedup_clusters_minhash aggregated twice (component → size,
+    size → count) — both keyed, map-side-combined, output bounded by
+    the distinct-size count. The at-scale guard the histogram feeds:
+    alert when max cluster_size explodes, BEFORE the connected-
+    components iteration count does."""
+    comp = dedup_clusters_minhash(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+
+
+# --- corpus language mix + entropy per source (r5 continuation) --------------
+
+
+@register(
+    "lang_mix_entropy_by_source",
+    oracle=f"""
+    WITH pl AS (
+      SELECT source, {X.predict_lang_sql('text')} AS pred_lang FROM documents
+    ),
+    c AS (SELECT source, pred_lang, count(*) AS n FROM pl GROUP BY 1, 2),
+    t AS (SELECT source, sum(n) AS tot, count(*) AS n_langs FROM c GROUP BY 1),
+    e AS (
+      SELECT c.source,
+             sum(CAST(round((c.n * 1e0 / t.tot)
+                            * ln(c.n * 1e0 / t.tot) * 1e9) AS BIGINT)) AS eu
+      FROM c JOIN t USING (source) GROUP BY 1
+    ),
+    m AS (
+      SELECT source, pred_lang AS top_lang FROM (
+        SELECT c.source, c.pred_lang, row_number() OVER (
+          PARTITION BY c.source ORDER BY c.n DESC, c.pred_lang ASC) AS rn
+        FROM c) WHERE rn = 1
+    )
+    SELECT t.source, CAST(t.tot AS BIGINT) AS n_docs,
+           CAST(t.n_langs AS BIGINT) AS n_langs, m.top_lang,
+           round(-CAST(e.eu AS DOUBLE) / 1e9, 6) AS lang_entropy
+    FROM t JOIN e USING (source) JOIN m USING (source)
+    """,
+)
+def lang_mix_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mix per corpus slice: predicted-language counts,
+    dominant language, and the Shannon entropy of the mix — the
+    monitoring number multilingual curation thresholds (entropy ~0 =
+    monolingual slice; rising entropy = contamination or a crawl
+    source changing character). Entropy terms p·ln p are quantized to
+    integer nano-units per (source, lang) cell before the per-source
+    sum, so the aggregate is order-independent and engine-exact (the
+    same micro-unit trick as the cosine/kmeans means). Shape: one
+    lang-ID projection pass, then everything aggregates on
+    (source, lang) — at most |sources|×|langs| cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    pl = docs.select("source", X.predict_lang("text").alias("pred_lang"))
+    c = pl.groupBy("source", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("tot")
+    e = (
+        c.join(F.broadcast(t), "source")
+        .select(
+            "source",
+            F.round(p * F.log(p) * F.lit(1e9)).cast("long").alias("tu"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tu").alias("eu"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("pred_lang"))
+    m = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("pred_lang").alias("top_lang"))
+    )
+    return (
+        t.join(e, "source")
+        .join(m, "source")
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            "top_lang",
+            F.round(-F.col("eu").cast("double") / F.lit(1e9), 6).alias(
+                "lang_entropy"
+            ),
+        )
+    )
