@@ -1446,34 +1446,10 @@ def _pca_oracle(k: int) -> str:
     return sql
 
 
-@register("pca_power_iteration", oracle=_pca_oracle(_PCA_ITERS))
-def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding covariance by
-    {_PCA_ITERS} unrolled power iterations, entirely in the plan.
-
-    Exactness strategy (what makes a float eigensolver value-hash
-    reproducible across engines): the covariance is built from
-    fixed-point integer sums — q = round(x*1e3), S_ij = sum(q_i*q_j),
-    s_i = sum(q_i) are exact integer aggregates, order-independent
-    under any parallel summation, so C_ij = S_ij/n/1e6 -
-    (s_i/n/1e3)(s_j/n/1e3) is a deterministic double on both engines
-    (exact while S_ij < 2^53: holds beyond 1e9 rows at this scale).
-    Each iteration rounds the matvec to integer micro-units
-    (wu = round((C.v)*1e6)), computes the norm from the EXACT integer
-    sum of wu^2, and re-rounds the unit vector to 6dp — the same
-    round-stabilization Lloyd/PageRank use, so engine ulps cannot
-    compound across iterations.
-
-    Scale posture: the moment pass explodes each row to the
-    {_N_DIMS}*({_N_DIMS}+1)/2 upper-triangle products and map-side
-    combines to (i, j) cells — the canonical Gram-matrix outer-product
-    shuffle whose reduce side is dims^2 rows regardless of corpus
-    size; every iteration after it runs on the {_N_DIMS}-row cached
-    covariance frame (broadcast x broadcast). Sign is whatever the
-    all-ones start converges to — deterministic, both engines
-    identical. Output: per-dim loading of the unit eigenvector plus
-    the Rayleigh estimate lambda1 = ||C.v|| (variance explained along
-    the component)."""
+def _pca_cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance matrix as (i, j, c) cells from exact fixed-point
+    integer sums (see pca_power_iteration docstring); cached — both the
+    row assembly and the deflation pass consume it."""
     emb = load_table(spark, sf_dir, "embeddings")
     qz = emb.select(
         F.transform(
@@ -1513,38 +1489,56 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    covf = cov.unionAll(
+    return cov.unionAll(
         cov.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
+    ).cache()
+
+
+def _pca_rows(cells: DataFrame) -> DataFrame:
+    """(i, j, c) cells -> (i, arr) ordered covariance rows."""
+    return cells.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))),
+            lambda s: s["c"],
+        ).alias("arr")
     )
-    crow = (
-        covf.groupBy("i")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "c"))),
-                lambda s: s["c"],
-            ).alias("arr")
-        )
-        .cache()
-    )
+
+
+# Constant-0-but-column-derived window key: Spark would constant-fold a
+# literal partition key and log the unpartitioned-window warning 2k
+# times per run; the single partition holds _N_DIMS rows either way.
+def _one_window():
     from pyspark.sql import Window
 
+    return Window.partitionBy(F.col("i") % 1)
+
+
+def _pca_iterate(
+    crow: DataFrame, vf: DataFrame, iters: int, checkpoint: bool = False
+) -> DataFrame:
+    """Run `iters` round-stabilized power iterations of crow against the
+    1-row start-vector frame vf(varr); returns the final matvec frame
+    (i, wu, nrm). Each iteration references its predecessor exactly
+    ONCE (norm as a window column) so the unrolled lineage stays
+    linear — a frame consumed twice per level would re-execute the
+    base plan 2^k times.
+
+    checkpoint=True eagerly localCheckpoints the 1-row vector frame
+    each iteration — the textbook lineage truncation for iterative
+    algorithms (PageRank's docstring prescribes the same at scale).
+    Without it each broadcast of v_t re-executes v_{t-1}'s broadcast
+    subplan recursively: fine when the only upstream is one cached
+    64-row frame (single-component query, O(k²) tiny stages), but a
+    chain whose base is ITSELF an iterated product (the deflated
+    matrix) multiplies those rebuilds — measured 42 s → ~4 s on the
+    two-component query."""
     from dataengineeringproject_spark.operators.similarity import _dot
 
-    # Each iteration references its predecessor exactly ONCE (the norm
-    # rides the w frame as a constant-key window column, not a second
-    # aggregate consumer) — a frame consumed twice per level would give
-    # the unrolled lineage 2^k re-executions of the base plan. The
-    # partition key is i % 1 (constant 0, but column-derived so Spark
-    # doesn't constant-fold it away and log the unpartitioned-window
-    # warning 2k times per run); the single partition holds 64 rows.
-    one = Window.partitionBy(F.col("i") % 1)
-    vf = spark.range(1).select(
-        F.array(*[F.lit(0.125)] * _N_DIMS).alias("varr")
-    )
+    one = _one_window()
     w = None
-    for it in range(_PCA_ITERS):
+    for it in range(iters):
         w = (
             crow.crossJoin(F.broadcast(vf))
             .select(
@@ -1561,24 +1555,71 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6),
             )
         )
-        if it < _PCA_ITERS - 1:
-            vf = (
-                w.select(
-                    F.struct(
-                        "i",
-                        F.round(
-                            (F.col("wu").cast("double") / F.lit(1e6))
-                            / F.col("nrm"),
-                            6,
-                        ).alias("l"),
-                    ).alias("s")
-                )
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list("s")), lambda s: s["l"]
-                    ).alias("varr")
-                )
-            )
+        if it < iters - 1:
+            vf = _pca_unit(w)
+            if checkpoint:
+                vf = vf.localCheckpoint(eager=True)
+    return w
+
+
+def _pca_unit(w: DataFrame) -> DataFrame:
+    """Final matvec frame -> 1-row unit-vector frame (varr), entries
+    rounded to 6dp (the round-stabilization step)."""
+    return (
+        w.select(
+            F.struct(
+                "i",
+                F.round(
+                    (F.col("wu").cast("double") / F.lit(1e6)) / F.col("nrm"),
+                    6,
+                ).alias("l"),
+            ).alias("s")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["l"]
+            ).alias("varr")
+        )
+    )
+
+
+def _pca_v0(spark: SparkSession) -> DataFrame:
+    return spark.range(1).select(
+        F.array(*[F.lit(0.125)] * _N_DIMS).alias("varr")
+    )
+
+
+@register("pca_power_iteration", oracle=_pca_oracle(_PCA_ITERS))
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by
+    {_PCA_ITERS} unrolled power iterations, entirely in the plan.
+
+    Exactness strategy (what makes a float eigensolver value-hash
+    reproducible across engines): the covariance is built from
+    fixed-point integer sums — q = round(x*1e3), S_ij = sum(q_i*q_j),
+    s_i = sum(q_i) are exact integer aggregates, order-independent
+    under any parallel summation, so C_ij = S_ij/n/1e6 -
+    (s_i/n/1e3)(s_j/n/1e3) is a deterministic double on both engines
+    (exact while S_ij < 2^53: holds beyond 1e9 rows at this scale).
+    Each iteration rounds the matvec to integer micro-units
+    (wu = round((C.v)*1e6)), computes the norm from the EXACT integer
+    sum of wu^2, and re-rounds the unit vector to 6dp — the same
+    round-stabilization Lloyd/PageRank use, so engine ulps cannot
+    compound across iterations.
+
+    Scale posture: the moment pass explodes each row to the
+    {_N_DIMS}*({_N_DIMS}+1)/2 upper-triangle products and map-side
+    combines to (i, j) cells — the canonical Gram-matrix outer-product
+    shuffle whose reduce side is dims^2 rows regardless of corpus
+    size; every iteration after it runs on the {_N_DIMS}-row cached
+    covariance frame (broadcast x broadcast). Sign is whatever the
+    all-ones start converges to — deterministic, both engines
+    identical. Output: per-dim loading of the unit eigenvector plus
+    the Rayleigh estimate lambda1 = ||C.v|| (variance explained along
+    the component)."""
+    cells = _pca_cov_cells(spark, sf_dir)
+    crow = _pca_rows(cells).cache()
+    w = _pca_iterate(crow, _pca_v0(spark), _PCA_ITERS, checkpoint=True)
     return w.select(
         F.col("i").cast("long").alias("dim"),
         F.round(
@@ -1741,3 +1782,141 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round((x - element_at(ms, i + 1)) / element_at(sds, i + 1), 6))"
         ).alias("z"),
     )
+
+
+# --- second principal component via Hotelling deflation (r5 continuation) ----
+
+
+def _pca2_oracle(k: int) -> str:
+    sql = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    qz AS (SELECT vec_id,
+                  list_transform(emb, x -> CAST(round(x * 1e3) AS BIGINT)) AS q
+           FROM v),
+    t AS (SELECT vec_id, unnest(q) AS qv,
+                 unnest(range(0, {_N_DIMS})) AS i FROM qz),
+    n AS (SELECT count(*) AS nr FROM qz),
+    sm AS (SELECT i, sum(qv) AS s FROM t GROUP BY 1),
+    pr AS (
+      SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS sp
+      FROM t a JOIN t b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT pr.i, pr.j,
+             CAST(sp AS DOUBLE) / nr / 1e6
+             - (CAST(sa.s AS DOUBLE) / nr / 1e3)
+               * (CAST(sb.s AS DOUBLE) / nr / 1e3) AS c
+      FROM pr CROSS JOIN n
+      JOIN sm sa ON sa.i = pr.i
+      JOIN sm sb ON sb.i = pr.j
+    ),
+    covf AS MATERIALIZED (SELECT i, j, c FROM cov
+             UNION ALL SELECT j, i, c FROM cov WHERE i <> j),
+    crow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS arr FROM covf GROUP BY 1),
+    v0 AS (SELECT {_PCA_V0} AS arr)"""
+    for it in range(1, k + 1):
+        sql += f""",
+    w{it} AS MATERIALIZED (
+      SELECT crow.i,
+             CAST(round(list_dot_product(crow.arr, v{it - 1}.arr) * 1e6)
+                  AS BIGINT) AS wu
+      FROM crow, v{it - 1}
+    ),
+    n{it} AS (SELECT sqrt(CAST(sum(wu * wu) AS DOUBLE)) / 1e6 AS nrm
+              FROM w{it}),
+    v{it} AS (
+      SELECT list(round((CAST(wu AS DOUBLE) / 1e6) / nrm, 6) ORDER BY i) AS arr
+      FROM w{it}, n{it}
+    )"""
+    sql += f""",
+    ve AS (SELECT unnest(arr) AS vv, unnest(range(0, {_N_DIMS})) AS i FROM v{k}),
+    lam AS (SELECT round(nrm, 6) AS l FROM n{k}),
+    cell2 AS (
+      SELECT f.i, f.j, f.c - lam.l * a.vv * b.vv AS c
+      FROM covf f CROSS JOIN lam
+      JOIN ve a ON a.i = f.i
+      JOIN ve b ON b.i = f.j
+    ),
+    drow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS arr FROM cell2 GROUP BY 1),
+    d0 AS (SELECT {_PCA_V0} AS arr)"""
+    for it in range(1, k + 1):
+        sql += f""",
+    dw{it} AS MATERIALIZED (
+      SELECT drow.i,
+             CAST(round(list_dot_product(drow.arr, d{it - 1}.arr) * 1e6)
+                  AS BIGINT) AS wu
+      FROM drow, d{it - 1}
+    ),
+    dn{it} AS (SELECT sqrt(CAST(sum(wu * wu) AS DOUBLE)) / 1e6 AS nrm
+               FROM dw{it})"""
+        if it < k:
+            sql += f""",
+    d{it} AS (
+      SELECT list(round((CAST(wu AS DOUBLE) / 1e6) / nrm, 6) ORDER BY i) AS arr
+      FROM dw{it}, dn{it}
+    )"""
+    sql += f"""
+    SELECT CAST(1 AS BIGINT) AS component, CAST(w{k}.i AS BIGINT) AS dim,
+           round((CAST(wu AS DOUBLE) / 1e6) / nrm, 6) AS loading,
+           round(nrm, 6) AS lam
+    FROM w{k}, n{k}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(dw{k}.i AS BIGINT),
+           round((CAST(wu AS DOUBLE) / 1e6) / nrm, 6),
+           round(nrm, 6)
+    FROM dw{k}, dn{k}
+    """
+    return sql
+
+
+@register("pca_top2_deflation", oracle=_pca2_oracle(_PCA_ITERS))
+def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal components: run pca_power_iteration's loop for
+    component 1, then Hotelling-DEFLATE the covariance with the
+    estimated pair — C' = C − λ̂1·v̂1·v̂1ᵀ, using the 6dp-ROUNDED λ̂1 and
+    v̂1 so the deflated matrix is engine-identical — and iterate again
+    from the same start vector. This is how power iteration becomes a
+    top-k eigensolver without ever leaving the plan; deflating by the
+    ESTIMATE (not the true eigenpair) is the standard sequential
+    scheme, and its bias shows up honestly as component-2's Rayleigh
+    estimate. Shape: the cell-level covariance is cached and consumed
+    twice (row assembly + the rank-1 subtraction, which is a
+    {_N_DIMS}-row broadcast join on each index); both iteration chains
+    run on cached {_N_DIMS}-row frames. Output: 2×{_N_DIMS} rows
+    (component, dim, loading, lam)."""
+    cells = _pca_cov_cells(spark, sf_dir)
+    crow = _pca_rows(cells).cache()
+    w1 = _pca_iterate(
+        crow, _pca_v0(spark), _PCA_ITERS, checkpoint=True
+    ).localCheckpoint(eager=True)
+    v1 = _pca_unit(w1)
+    lamf = w1.agg(F.round(F.max("nrm"), 6).alias("l"))
+    ve = v1.select(F.posexplode("varr").alias("i", "vv"))
+    va = ve.select("i", F.col("vv").alias("va"))
+    vb = ve.select(F.col("i").alias("j"), F.col("vv").alias("vb"))
+    cell2 = (
+        cells.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .crossJoin(F.broadcast(lamf))
+        .select(
+            "i", "j",
+            (
+                F.col("c") - F.col("l") * F.col("va") * F.col("vb")
+            ).alias("c"),
+        )
+    )
+    drow = _pca_rows(cell2).localCheckpoint(eager=True)
+    w2 = _pca_iterate(drow, _pca_v0(spark), _PCA_ITERS, checkpoint=True)
+
+    def _out(w: DataFrame, comp: int) -> DataFrame:
+        return w.select(
+            F.lit(comp).cast("long").alias("component"),
+            F.col("i").cast("long").alias("dim"),
+            F.round(
+                (F.col("wu").cast("double") / F.lit(1e6)) / F.col("nrm"), 6
+            ).alias("loading"),
+            F.round("nrm", 6).alias("lam"),
+        )
+
+    return _out(w1, 1).unionAll(_out(w2, 2))
