@@ -1726,9 +1726,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT t.vec_id, t.i,
              round((t.qv - CAST(st.s AS DOUBLE) / st.n)
-                   / sqrt(CAST(st.ss AS DOUBLE) / st.n
-                          - (CAST(st.s AS DOUBLE) / st.n)
-                            * (CAST(st.s AS DOUBLE) / st.n)), 6) AS zv
+                   / NULLIF(sqrt(CAST(st.ss AS DOUBLE) / st.n
+                                 - (CAST(st.s AS DOUBLE) / st.n)
+                                   * (CAST(st.s AS DOUBLE) / st.n)), 0), 6)
+               AS zv
       FROM t JOIN st USING (i)
     )
     SELECT vec_id, list(zv ORDER BY i) AS z FROM z GROUP BY 1
@@ -1775,11 +1776,13 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("r")), lambda r: r["sd"]
         ).alias("sds"),
     )
+    # try_divide: a CONSTANT dimension (real corpora: padding dims) has
+    # sd = 0 — its z is NULL instead of an ANSI DIVIDE_BY_ZERO abort.
     return qz.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         F.expr(
-            "transform(q, (x, i) -> "
-            "round((x - element_at(ms, i + 1)) / element_at(sds, i + 1), 6))"
+            "transform(q, (x, i) -> round(try_divide("
+            "x - element_at(ms, i + 1), element_at(sds, i + 1)), 6))"
         ).alias("z"),
     )
 

