@@ -59,7 +59,14 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO abort) when
+    either vector has zero norm — zero vectors DO occur in real corpora
+    (empty documents embed to zeros), and Spark 4 runs ANSI by default.
+    try_divide equals plain division wherever the denominator is
+    nonzero, so every oracle pairing is value-identical on real data;
+    on a zero vector DuckDB's list_cosine_similarity yields NaN, which
+    the differential harness normalizes identically to NULL."""
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def _with_norm(df: DataFrame, vec_col: str = "v", out: str = "nrm") -> DataFrame:
@@ -73,8 +80,9 @@ def _with_norm(df: DataFrame, vec_col: str = "v", out: str = "nrm") -> DataFrame
 
 
 def _cosine_pre(a: Column, b: Column, nrm_a: Column, nrm_b: Column) -> Column:
-    """cosine(a, b) with both norms precomputed (see _with_norm)."""
-    return _dot(a, b) / (nrm_a * nrm_b)
+    """cosine(a, b) with both norms precomputed (see _with_norm).
+    NULL on zero-norm inputs, matching `cosine` (see its docstring)."""
+    return F.try_divide(_dot(a, b), nrm_a * nrm_b)
 
 
 def cosine_topk(

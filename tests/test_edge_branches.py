@@ -118,3 +118,22 @@ def test_theil_sen_two_days_single_pair(spark):
     rows = p.collect()
     assert len(rows) == 1
     assert abs(rows[0]["sl"] - 2.0) < 1e-12  # (5-1)/2 days = 2 units/day
+
+
+def test_cosine_zero_vector_null_not_abort(spark):
+    """Zero-norm vectors (empty documents embed to zeros) must yield
+    NULL cosine, not an ANSI DIVIDE_BY_ZERO abort (Spark 4 default).
+    NULLs sort last under the desc ranking, so zero vectors can never
+    displace a real neighbor from the top-k."""
+    from dataengineeringproject_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = S.cosine_topk(df, "vec_id", "embedding", [0], k=2).collect()
+    got = {r.neighbor_id: r.cosine for r in out}
+    assert got[1] is not None
+    assert got[2] is None
+    ranks = {r.neighbor_id: r.rank for r in out}
+    assert ranks[1] == 1 and ranks[2] == 2
