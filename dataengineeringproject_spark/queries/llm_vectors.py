@@ -1923,3 +1923,79 @@ def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _out(w1, 1).unionAll(_out(w2, 2))
+
+
+# --- recall metric for the LSH index (completes the honesty family) ----------
+
+
+@register(
+    "ann_recall_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', S.hyperplanes(_N_PLANES, _N_DIMS))} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+          FROM v WHERE vec_id IN ({_QID_LIST})),
+    ascored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
+    ),
+    atop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ascored) WHERE rank <= 3
+    ),
+    es AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    etop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM es) WHERE rank <= 3
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM etop e JOIN atop a USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 3.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM etop) q
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the hyperplane-LSH index against the exact cosine
+    top-3 — completes the honesty-metric family (trained-IVF, IVF-PQ
+    and Matryoshka recall already measured): single-table LSH probes
+    1/2^{_N_PLANES} of the corpus in expectation, and THIS number is
+    what that probe saving costs. Same broadcast-query shapes as the
+    underlying indexes; the comparison join is on ≤ |Q|·k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=3)
+    approx = S.lsh_cosine_topk(
+        emb, "vec_id", "embedding", _QUERY_IDS, n_planes=_N_PLANES, k=3,
+        n_dims=_N_DIMS,
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 3.0, 6).alias("recall"),
+        )
+    )
