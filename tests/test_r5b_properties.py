@@ -325,3 +325,92 @@ def test_lateral_equals_window_topk(spark):
     a = sorted(map(tuple, out[key].itertuples(index=False)))
     b = sorted(map(tuple, ref[key].itertuples(index=False)))
     assert a == b
+
+
+# --- batch 6-8 additions ------------------------------------------------------
+
+
+def test_vocab_coverage_pure_python(spark):
+    out = _q(spark, "vocab_coverage_topk").toPandas()
+    toks = duckdb.connect().execute(f"""
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM '{SF_SMOKE}/documents.parquet' WHERE length(trim(text)) > 0
+    """).fetchall()
+    from collections import Counter
+
+    c = Counter(t for (t,) in toks)
+    total = sum(c.values())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r in out.itertuples(index=False):
+        cov = sum(f for _, f in ranked[: r.n_top]) / total
+        assert abs(r.coverage - round(cov, 6)) < 1e-9
+        assert r.n_vocab == len(c)
+    # monotone in n_top
+    s = out.sort_values("n_top")["coverage"].to_numpy()
+    assert (np.diff(s) >= 0).all()
+
+
+def test_funnel_latency_pure_python(spark):
+    out = _q(spark, "funnel_latency_quantiles").toPandas().iloc[0]
+    # keep full microsecond precision for the >= filter and the argmins
+    # (the engine compares raw timestamps there); floor each SIDE to
+    # whole epoch seconds only at the final subtraction, matching the
+    # engine's per-timestamp long cast — fractional parts never cancel
+    # across the two events
+    rows = duckdb.connect().execute(f"""
+        SELECT user_id, event_type, epoch(ts) AS sec
+        FROM '{SF_SMOKE}/events.parquet'
+        WHERE event_type IN ('view', 'purchase')
+    """).fetchall()
+    fv, purch = {}, {}
+    for u, t, s in rows:
+        if t == "view":
+            fv[u] = min(fv.get(u, s), s)
+    for u, t, s in rows:
+        if t == "purchase" and u in fv and s >= fv[u]:
+            purch[u] = min(purch.get(u, s), s)
+    lats = sorted(
+        (math.floor(purch[u]) - math.floor(fv[u]), u) for u in purch
+    )
+    n = len(lats)
+    assert out["n_converters"] == n
+
+    def cut(q):
+        return lats[(q * n + 99) // 100 - 1][0]
+
+    assert out["p25_sec"] == cut(25)
+    assert out["p50_sec"] == cut(50)
+    assert out["p75_sec"] == cut(75)
+    assert out["p25_sec"] <= out["p50_sec"] <= out["p75_sec"]
+
+
+def test_lang_entropy_bounds(spark):
+    import math as m
+
+    out = _q(spark, "lang_mix_entropy_by_source").toPandas()
+    for r in out.itertuples(index=False):
+        assert -1e-9 <= r.lang_entropy <= m.log(r.n_langs) + 1e-6
+        if r.n_langs == 1:
+            assert abs(r.lang_entropy) < 1e-9
+
+
+def test_cluster_histogram_accounts_every_doc(spark):
+    out = _q(spark, "dedup_cluster_size_histogram").toPandas()
+    n_docs = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert out["n_docs"].sum() == n_docs
+    assert (out["cluster_size"] >= 1).all()
+    assert (out["n_clusters"] >= 1).all()
+
+
+def test_lsh_recall_consistent_with_index(spark):
+    rec = _q(spark, "ann_recall_lsh").toPandas()
+    approx = _q(spark, "ann_lsh_topk").toPandas()
+    exact = _q(spark, "cosine_topk").toPandas()
+    exact3 = exact[exact["rank"] <= 3]
+    for r in rec.itertuples(index=False):
+        a = set(approx[approx["query_id"] == r.query_id]["neighbor_id"])
+        e = set(exact3[exact3["query_id"] == r.query_id]["neighbor_id"])
+        assert r.n_hits == len(a & e)
+        assert 0.0 <= r.recall <= 1.0
