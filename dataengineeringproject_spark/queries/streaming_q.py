@@ -942,3 +942,53 @@ def streaming_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xu"),
     )
     return trend_finish(daily)
+
+
+from dataengineeringproject_spark.queries.windows_q import (  # noqa: E402
+    SEASONAL_DOW_ORACLE as _SEASONAL_SHARED_ORACLE,
+)
+
+
+@register(
+    "streaming_seasonal_dow",
+    # shares the BATCH seasonal_dow_anomaly oracle verbatim — and the
+    # SAME streaming state as streaming_trend_slope: one converged
+    # per-(type, day) sum/count table feeds both monitors.
+    oracle=_SEASONAL_SHARED_ORACLE,
+)
+def streaming_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday-seasonal anomaly monitor fed from the SAME streaming
+    state as the trend monitor — the operational point of mergeable
+    sufficient statistics: one watermarked per-(type, 1-day window)
+    (sum, count) aggregation serves every monitor whose math reduces
+    to the daily frame (trend slope, seasonal z-scores, and any future
+    one), so adding a monitor adds a read-back finisher, NOT a second
+    stream or a second state store. The read-back quantizes converged
+    daily means to exact micro-units and runs the SHARED
+    seasonal_finish; the result hash-matches batch
+    seasonal_dow_anomaly verbatim."""
+    from dataengineeringproject_spark.queries.windows_q import seasonal_finish
+
+    d = _staged_events(spark, sf_dir)
+    name = f"seas_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        agg = (
+            src.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
+        )
+        run_to_memory(agg, name, output_mode="update")
+    conv = (
+        spark.table(name)
+        .groupBy(F.col("w.start").cast("date").alias("day"), "event_type")
+        .agg(F.max("sv").alias("sv"), F.max("n").alias("n"))
+    )
+    daily = conv.select(
+        "event_type",
+        "day",
+        F.round(F.round("sv", 2) / F.col("n") * F.lit(1e6))
+        .cast("long")
+        .alias("xu"),
+    )
+    return seasonal_finish(daily)

@@ -501,10 +501,9 @@ def trend_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEAS_Z = 2.0  # anomaly bar in residual sigmas
 
-
-@register(
-    "seasonal_dow_anomaly",
-    oracle=f"""
+# Shared by seasonal_dow_anomaly and streaming_seasonal_dow (the
+# streaming twin converges the same per-(type, day) state).
+SEASONAL_DOW_ORACLE = f"""
     WITH {_daily_xu_sql()},
     b AS (
       SELECT event_type, dayofweek(day) AS dow,
@@ -531,8 +530,63 @@ _SEAS_Z = 2.0  # anomaly bar in residual sigmas
            COALESCE(abs(r.ru / NULLIF(sg.sigma, 0)) >= {_SEAS_Z}e0,
                     FALSE) AS is_anomaly
     FROM r JOIN sg USING (event_type)
-    """,
-)
+    """
+
+
+def seasonal_finish(d: DataFrame) -> DataFrame:
+    """Weekday-baseline residual z-scores over a daily frame
+    (event_type, day DATE, xu LONG micro-units) — shared by the batch
+    query and the streaming read-back, both held to
+    SEASONAL_DOW_ORACLE."""
+    d = d.withColumn("dow", F.dayofweek("day") - F.lit(1))
+    # The baseline/sigma sides re-aggregate the SAME frame they join
+    # back onto; re-aliasing their key columns mints fresh attributes
+    # so the self-join resolves even when `d` reads from a streaming
+    # memory-sink view (same fix as psi_finish — batch parquet lineage
+    # dedups automatically, MemoryPlan lineage does not).
+    b = (
+        d.groupBy("event_type", "dow")
+        .agg((F.sum("xu").cast("double") / F.count(F.lit(1))).alias("bu"))
+        .select(
+            F.col("event_type").alias("b_et"),
+            F.col("dow").alias("b_dow"),
+            "bu",
+        )
+    )
+    r = d.join(
+        F.broadcast(b),
+        (F.col("event_type") == F.col("b_et")) & (F.col("dow") == F.col("b_dow")),
+    ).select(
+        "event_type", "day", "xu", "bu",
+        F.round(F.col("xu") - F.col("bu")).cast("long").alias("ru"),
+    )
+    mean_ru = F.sum("ru").cast("double") / F.count(F.lit(1))
+    sg = r.groupBy("event_type").agg(
+        F.sqrt(
+            F.sum(F.col("ru") * F.col("ru")).cast("double")
+            / F.count(F.lit(1))
+            - mean_ru * mean_ru
+        ).alias("sigma")
+    ).select(F.col("event_type").alias("s_et"), "sigma")
+    # try_divide: sigma is 0 when every residual in a type is identical
+    # (constant series) — z is then NULL, is_anomaly false, instead of
+    # an ANSI DIVIDE_BY_ZERO abort (Spark 4 default; see trend_finish).
+    z = F.try_divide(F.col("ru"), F.col("sigma"))
+    return r.join(
+        F.broadcast(sg), F.col("event_type") == F.col("s_et")
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("xu") / F.lit(1e6), 6).alias("daily_mean"),
+        F.round(F.col("bu") / F.lit(1e6), 6).alias("seasonal_mean"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(_SEAS_Z), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@register("seasonal_dow_anomaly", oracle=SEASONAL_DOW_ORACLE)
 def seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal baseline + residual z-score anomalies per
     event_type: the seasonality-aware twin of outlier_mad_robust_zscore
@@ -545,38 +599,7 @@ def seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (baseline keyed (type, dow) — <= |types|×7 rows, broadcast
     back; sigma keyed type), one broadcast join each — nothing scales
     with raw event volume past the daily pre-aggregate."""
-    d = _daily_xu(spark, sf_dir).withColumn(
-        "dow", F.dayofweek("day") - F.lit(1)
-    )
-    b = d.groupBy("event_type", "dow").agg(
-        (F.sum("xu").cast("double") / F.count(F.lit(1))).alias("bu")
-    )
-    r = d.join(F.broadcast(b), ["event_type", "dow"]).select(
-        "event_type", "day", "xu", "bu",
-        F.round(F.col("xu") - F.col("bu")).cast("long").alias("ru"),
-    )
-    mean_ru = F.sum("ru").cast("double") / F.count(F.lit(1))
-    sg = r.groupBy("event_type").agg(
-        F.sqrt(
-            F.sum(F.col("ru") * F.col("ru")).cast("double")
-            / F.count(F.lit(1))
-            - mean_ru * mean_ru
-        ).alias("sigma")
-    )
-    # try_divide: sigma is 0 when every residual in a type is identical
-    # (constant series) — z is then NULL, is_anomaly false, instead of
-    # an ANSI DIVIDE_BY_ZERO abort (Spark 4 default; see trend_finish).
-    z = F.try_divide(F.col("ru"), F.col("sigma"))
-    return r.join(F.broadcast(sg), "event_type").select(
-        "event_type",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round(F.col("xu") / F.lit(1e6), 6).alias("daily_mean"),
-        F.round(F.col("bu") / F.lit(1e6), 6).alias("seasonal_mean"),
-        F.round(z, 6).alias("z"),
-        F.coalesce(F.abs(z) >= F.lit(_SEAS_Z), F.lit(False)).alias(
-            "is_anomaly"
-        ),
-    )
+    return seasonal_finish(_daily_xu(spark, sf_dir))
 
 
 @register(
