@@ -2070,3 +2070,100 @@ def lang_mix_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- bigram-LM quality scoring (r5 continuation) -----------------------------
+
+
+@register(
+    "quality_bigram_nll",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_LTOKS} AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM tokd
+    ),
+    uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+    v AS (SELECT count(*) AS vs FROM uni),
+    bg AS (
+      SELECT a.doc_id, a.w AS w1, c.w AS w2
+      FROM tok a JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+    ),
+    lm AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT bg.doc_id,
+             CAST(round(ln((uni.c1 + 0.5e0 * v.vs) * 1e0 / (lm.c12 + 0.5e0))
+                        * 1e9) AS BIGINT) AS tu
+      FROM bg JOIN lm USING (w1, w2)
+      JOIN uni ON uni.w = bg.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(sum(tu) AS DOUBLE) / count(*) / 1e9, 6) AS nll
+    FROM terms GROUP BY 1
+    """,
+)
+def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy filter — the context-aware upgrade of
+    quality_unigram_nll (which scores tokens independently): each doc's
+    mean negative log P(w2 | w1) under an add-half-smoothed bigram
+    model trained on the corpus itself, P = (c12 + 0.5)/(c1 + 0.5·V).
+    High NLL = improbable token SEQUENCES — word salad that unigram
+    frequency can't see. Per-bigram terms are quantized to integer
+    nano-units so the per-doc sum is order-exact. Shape: the LM is the
+    (w1, w2) count table — bounded by vocab², not corpus (961 cells
+    here; a real corpus caps it with a min-count prune) — broadcast
+    onto the docs' exploded bigram stream; unigram counts and V ride
+    the same broadcast. Docs with < 2 tokens have no bigrams and drop
+    out (n_bigrams >= 1 on every output row)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", X.tokens(F.lower(F.col("text"))).alias("t"))
+    # size(t) < 2 must short-circuit BEFORE sequence(): Spark's
+    # sequence(1, -1) steps DOWNWARD ([1, 0, -1]) and element_at(t, 0)
+    # is an ANSI error — an empty document would abort the whole job.
+    bg = tokd.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    tok = tokd.select(F.explode("t").alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    v = uni.agg(F.count(F.lit(1)).alias("vs"))
+    lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u1 = uni.select(F.col("w").alias("w1"), "c1")
+    terms = (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c1") + F.lit(0.5) * F.col("vs"))
+                    * F.lit(1.0)
+                    / (F.col("c12") + F.lit(0.5))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("tu"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("tu").cast("double") / F.count(F.lit(1)) / F.lit(1e9), 6
+        ).alias("nll"),
+    )

@@ -669,3 +669,111 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round("sl", 6).alias("slope_per_day"),
     )
+
+
+@register(
+    "session_peak_concurrency",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM t
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS st,
+             max(ts) + INTERVAL {_GAP_MIN} MINUTE AS en
+      FROM s GROUP BY user_id, session_no
+    ),
+    b AS (
+      SELECT CAST(date_trunc('day', st) AS DATE) AS day,
+             unnest([st, en]) AS ts, unnest([1, -1]) AS d
+      FROM sess
+    ),
+    run AS (
+      SELECT day, ts, d,
+             sum(d) OVER (PARTITION BY day ORDER BY ts, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM b
+    ),
+    pk AS (SELECT day, max(c) AS peak FROM run GROUP BY 1),
+    ns AS (SELECT CAST(date_trunc('day', st) AS DATE) AS day,
+                  count(*) AS n_sessions FROM sess GROUP BY 1)
+    SELECT strftime(ns.day, '%Y-%m-%d') AS day,
+           CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+           CAST(pk.peak AS BIGINT) AS peak_concurrent,
+           strftime(min(run.ts), '%Y-%m-%d %H:%M:%S') AS peak_at
+    FROM pk JOIN run ON run.day = pk.day AND run.c = pk.peak
+    JOIN ns ON ns.day = pk.day
+    GROUP BY 1, 2, 3
+    """,
+)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line pattern: each
+    session (built by the same {_GAP_MIN}-min session_window as
+    session_window_agg) emits a +1 boundary at its start and a −1 at
+    its end; the running sum over (ts, d)-ordered boundaries IS the
+    live concurrency curve, its per-day max the capacity-planning
+    number. End boundaries sort BEFORE starts at the same instant
+    (d = −1 < +1), making session ends exclusive — back-to-back
+    sessions never double-count. Both boundaries ride the session's
+    START-day partition, so the sort is per-day bounded (sessions per
+    day, not corpus): the same calendar-partitioned shape that lets a
+    100 TB event history compute the curve day-parallel. peak_at is
+    the earliest instant the peak is reached (min over tie rows —
+    order within identical (ts, d) keys cannot change the max or the
+    min). The interval-overlap analysis family's aggregate form: the
+    pairwise overlap join materializes O(pairs), the sweep line is
+    O(boundaries log boundaries) and answers the question dashboards
+    actually ask."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", f"{_GAP_MIN} minutes").alias("win")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sess = sess.select(
+        F.date_trunc("day", "win.start").cast("date").alias("day"),
+        F.col("win.start").alias("st"),
+        F.col("win.end").alias("en"),
+    )
+    b = sess.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("st").alias("ts"), F.lit(1).alias("d")),
+                F.struct(F.col("en").alias("ts"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select("day", "e.ts", "e.d")
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = b.withColumn("c", F.sum("d").over(w))
+    pk = run.groupBy("day").agg(F.max("c").alias("peak"))
+    ns = sess.groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions"))
+    pk2 = pk.select(F.col("day").alias("p_day"), "peak")
+    at = (
+        run.join(
+            F.broadcast(pk2),
+            (F.col("day") == F.col("p_day")) & (F.col("c") == F.col("peak")),
+        )
+        .groupBy("day", "peak")
+        .agg(F.min("ts").alias("peak_at"))
+    )
+    return ns.join(at, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("peak").cast("long").alias("peak_concurrent"),
+        F.date_format("peak_at", "yyyy-MM-dd HH:mm:ss").alias("peak_at"),
+    )

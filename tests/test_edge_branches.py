@@ -137,3 +137,28 @@ def test_cosine_zero_vector_null_not_abort(spark):
     assert got[2] is None
     ranks = {r.neighbor_id: r.rank for r in out}
     assert ranks[1] == 1 and ranks[2] == 2
+
+
+def test_bigram_nll_short_docs_drop_not_abort(spark):
+    """Empty and 1-token docs have no bigrams: they must DROP from
+    quality_bigram_nll's output, not abort the job — Spark's
+    sequence(1, -1) steps DOWNWARD, so an unguarded transform would
+    call element_at(t, 0), an ANSI error."""
+    df = spark.createDataFrame(
+        [("", ), ("one",), ("one two three",)], ["text"]
+    )
+    from dataengineeringproject_spark.functions import text as X
+
+    tokd = df.select(X.tokens(F.lower(F.col("text"))).alias("t"))
+    bg = tokd.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    ).collect()
+    assert len(bg) == 2  # only the 3-token doc contributes (two bigrams)
