@@ -104,6 +104,10 @@ HEADLINE = [
     "hard_negative_mining",
     "trend_slope_daily",
     "seasonal_dow_anomaly",
+    "pca_top2_deflation",
+    "quality_bigram_nll",
+    "session_peak_concurrency",
+    "csv_roundtrip_daily",
 ]
 
 

@@ -1999,3 +1999,103 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("n_hits", F.lit(0)) / 3.0, 6).alias("recall"),
         )
     )
+
+
+# --- robust (median/IQR) scaler: rank-selected per-dim quantiles -------------
+
+
+@register(
+    "embedding_robust_scale",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1e3) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    t AS (SELECT vec_id, unnest(q) AS qv,
+                 unnest(range(0, {_N_DIMS})) AS i FROM qz),
+    r AS (
+      SELECT i, qv,
+             row_number() OVER (PARTITION BY i ORDER BY qv, vec_id) AS rn,
+             count(*) OVER (PARTITION BY i) AS n
+      FROM t
+    ),
+    st AS (
+      SELECT i,
+             max(CASE WHEN rn = (25 * n + 99) // 100 THEN qv END) AS q25,
+             max(CASE WHEN rn = (50 * n + 99) // 100 THEN qv END) AS med,
+             max(CASE WHEN rn = (75 * n + 99) // 100 THEN qv END) AS q75
+      FROM r GROUP BY 1
+    ),
+    z AS (
+      SELECT t.vec_id, t.i,
+             round((t.qv - st.med) * 1e0 / NULLIF(st.q75 - st.q25, 0), 6) AS rv
+      FROM t JOIN st USING (i)
+    )
+    SELECT vec_id, list(rv ORDER BY i) AS r FROM z GROUP BY 1
+    """,
+)
+def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) per-dimension scaling — the outlier-immune
+    twin of embedding_standardize's z-scores: center on the rank-
+    selected median, scale by the interquartile range, both type-1
+    quantiles picked with INTEGER rank arithmetic ((q·n+99) div 100,
+    tie-broken by vec_id) over the fixed-point values, so the selected
+    statistics are exact integers and the scaled outputs are
+    engine-identical doubles. A zero IQR (constant-to-the-quartiles
+    dim) yields NULL, not an ANSI abort. Shape: the quantile windows
+    partition BY DIMENSION — {_N_DIMS} independent sorts of n rows
+    each, embarrassingly parallel and bounded per partition; stats
+    broadcast back as ordered arrays; the rewrite is a per-row
+    transform. (At extreme n swap the exact rank-select for the binned
+    approx quantiles — value_quantiles_binned's machinery.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e3)).cast("long"),
+        ).alias("q"),
+    )
+    from pyspark.sql import Window
+
+    t = qz.select("vec_id", F.posexplode("q").alias("i", "qv"))
+    wo = Window.partitionBy("i").orderBy("qv", "vec_id")
+    wc = Window.partitionBy("i")
+    r = t.select(
+        "i", "qv",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def _cut(q: int):
+        return F.expr(f"({q} * n + 99) div 100")
+
+    st = r.groupBy("i").agg(
+        F.max(F.when(F.col("rn") == _cut(25), F.col("qv"))).alias("q25"),
+        F.max(F.when(F.col("rn") == _cut(50), F.col("qv"))).alias("med"),
+        F.max(F.when(F.col("rn") == _cut(75), F.col("qv"))).alias("q75"),
+    )
+    stats = st.select(
+        F.struct(
+            "i",
+            F.col("med").alias("m"),
+            (F.col("q75") - F.col("q25")).alias("iqr"),
+        ).alias("s")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["m"]
+        ).alias("ms"),
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["iqr"]
+        ).alias("iqrs"),
+    )
+    return qz.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            "transform(q, (x, i) -> round(try_divide("
+            "(x - element_at(ms, i + 1)) * 1.0e0, element_at(iqrs, i + 1)"
+            "), 6))"
+        ).alias("r"),
+    )

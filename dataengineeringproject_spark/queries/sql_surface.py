@@ -135,3 +135,38 @@ def sql_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@register(
+    "sql_pivot_event_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def sql_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT syntax on the engine's SQL surface — the same daily
+    event-type matrix as pivot_daily_event_counts (DataFrame .pivot),
+    written the way SQL users write it. Catalyst compiles PIVOT to the
+    identical conditional-aggregation plan the oracle states
+    explicitly (count FILTER per pinned column) — one map-side-
+    combined aggregate keyed on day, columns fixed by the explicit IN
+    list (never inferred by a distinct scan, which is the
+    at-scale requirement: an unpinned pivot is a schema decided by a
+    full pass over the data)."""
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                 event_type
+          FROM deps_events
+        ) PIVOT (count(*) FOR event_type
+                 IN ('view', 'click', 'purchase', 'signup', 'error'))
+        """
+    )
