@@ -1619,7 +1619,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component)."""
     cells = _pca_cov_cells(spark, sf_dir)
     crow = _pca_rows(cells).cache()
-    w = _pca_iterate(crow, _pca_v0(spark), _PCA_ITERS, checkpoint=True)
+    # checkpoint=False here: with the base matrix already cached, the
+    # O(k²) broadcast rebuilds are tiny-stage cheap, while 2(k-1) eager
+    # checkpoint jobs cost ~5 s on a cold first run (measured 8.0 s vs
+    # 3.0 s first-execution at sf0.1; warm equal). The deflation query
+    # checkpoints because its second chain's base is itself iterated.
+    w = _pca_iterate(crow, _pca_v0(spark), _PCA_ITERS)
     return w.select(
         F.col("i").cast("long").alias("dim"),
         F.round(
