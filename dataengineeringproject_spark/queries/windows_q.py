@@ -777,3 +777,113 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").cast("long").alias("peak_concurrent"),
         F.date_format("peak_at", "yyyy-MM-dd HH:mm:ss").alias("peak_at"),
     )
+
+
+_OVL_TOPK = 50
+
+
+@register(
+    "session_overlap_top_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM t
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS st,
+             max(ts) + INTERVAL {_GAP_MIN} MINUTE AS en,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS day
+      FROM s GROUP BY user_id, session_no
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             a.st AS sa_st, b.st AS sb_st,
+             CAST(floor(epoch(least(a.en, b.en)))
+                  - floor(epoch(greatest(a.st, b.st))) AS BIGINT) AS overlap_sec
+      FROM sess a JOIN sess b
+        ON a.day = b.day AND a.user_id < b.user_id
+       AND a.st < b.en AND b.st < a.en
+    )
+    SELECT ua, ub, strftime(sa_st, '%Y-%m-%d %H:%M:%S') AS sa_start,
+           strftime(sb_st, '%Y-%m-%d %H:%M:%S') AS sb_start, overlap_sec
+    FROM p
+    ORDER BY overlap_sec DESC, ua, ub, sa_st, sb_st LIMIT {_OVL_TOPK}
+    """,
+)
+def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_OVL_TOPK} longest co-present session pairs between
+    DIFFERENT users — the co-presence signal abuse/fraud teams rank
+    (account pairs that are always online together): the pairwise form
+    of the interval-overlap family whose aggregate form is
+    session_peak_concurrency's sweep line. The self-join is BLOCKED on
+    the session's start-day (pairs per block bounded by that day's
+    session count squared, the same Σblock² discipline as every
+    blocked join here; same-day-start is the deliberate convention —
+    a pair's overlap is attributed to the day both sessions began,
+    cross-midnight tails under the {_GAP_MIN}-min gap are negligible
+    and documented). Overlap is floor-epoch-second arithmetic
+    (engine-exact integers) and the top-K is a TakeOrderedAndProject
+    heap under the total order (sec, users, starts)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{_GAP_MIN} minutes").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("st"),
+            F.col("win.end").alias("en"),
+            F.date_trunc("day", "win.start").cast("date").alias("day"),
+        )
+    )
+    a = sess.select(
+        F.col("day"), F.col("user_id").alias("ua"),
+        F.col("st").alias("a_st"), F.col("en").alias("a_en"),
+    )
+    b = sess.select(
+        F.col("day"), F.col("user_id").alias("ub"),
+        F.col("st").alias("b_st"), F.col("en").alias("b_en"),
+    )
+    p = (
+        a.join(b, "day")
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (F.col("a_st") < F.col("b_en"))
+            & (F.col("b_st") < F.col("a_en"))
+        )
+        .select(
+            "ua", "ub",
+            F.col("a_st").alias("sa_st"),
+            F.col("b_st").alias("sb_st"),
+            (
+                F.least("a_en", "b_en").cast("long")
+                - F.greatest("a_st", "b_st").cast("long")
+            ).alias("overlap_sec"),
+        )
+    )
+    return (
+        p.orderBy(
+            F.desc("overlap_sec"), F.asc("ua"), F.asc("ub"),
+            F.asc("sa_st"), F.asc("sb_st"),
+        )
+        .limit(_OVL_TOPK)
+        .select(
+            "ua", "ub",
+            F.date_format("sa_st", "yyyy-MM-dd HH:mm:ss").alias("sa_start"),
+            F.date_format("sb_st", "yyyy-MM-dd HH:mm:ss").alias("sb_start"),
+            "overlap_sec",
+        )
+    )
