@@ -2167,3 +2167,50 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tu").cast("double") / F.count(F.lit(1)) / F.lit(1e9), 6
         ).alias("nll"),
     )
+
+
+# --- label-quality audit: metadata lang vs predicted lang --------------------
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH pl AS (
+      SELECT lang AS meta_lang, {X.predict_lang_sql('text')} AS pred_lang
+      FROM documents
+    ),
+    c AS (
+      SELECT meta_lang, pred_lang, count(*) AS n FROM pl GROUP BY 1, 2
+    ),
+    t AS (SELECT meta_lang, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.meta_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1e0 / t.tot, 6) AS frac_of_meta,
+           c.meta_lang = c.pred_lang AS agree
+    FROM c JOIN t USING (meta_lang)
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's CLAIMED language metadata
+    and the content-derived language ID — the label-quality audit run
+    before trusting upstream metadata for mixture weights or filters
+    (disagreement cells are either detector misses or, more often at
+    scale, mislabeled upstream shards). Cell counts map-side-combine
+    to |langs|² rows; frac_of_meta normalizes within each claimed
+    label so a dashboard reads row-wise recall directly."""
+    d = load_table(spark, sf_dir, "documents")
+    pl = d.select(
+        F.col("lang").alias("meta_lang"),
+        X.predict_lang("text").alias("pred_lang"),
+    )
+    c = pl.groupBy("meta_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("meta_lang").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "meta_lang").select(
+        "meta_lang", "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias(
+            "frac_of_meta"
+        ),
+        (F.col("meta_lang") == F.col("pred_lang")).alias("agree"),
+    )

@@ -146,3 +146,58 @@ def csv_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- JSONL round-trip parity (the LLM-corpus interchange lane) ---------------
+
+_JSONL_STAGED: dict[str, str] = {}
+
+
+@_atexit.register
+def _cleanup_jsonl_staged() -> None:
+    for d in _JSONL_STAGED.values():
+        _shutil.rmtree(d, ignore_errors=True)
+    _JSONL_STAGED.clear()
+
+
+def _staged_jsonl_docs(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _JSONL_STAGED:
+        return _JSONL_STAGED[sf_dir]
+    from dataengineeringproject_spark.schemas import load_table
+
+    d = _tempfile.mkdtemp(prefix="deps_jsonl_docs_")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").json(d)
+    _JSONL_STAGED[sf_dir] = d
+    return d
+
+
+@register(
+    "jsonl_roundtrip_docs",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY 1
+    """,
+)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document scorecard computed from a JSONL-STAGED copy
+    of the corpus, hash-held to DuckDB over the original parquet —
+    JSON-lines is THE interchange format LLM corpora arrive in, and
+    this puts the engine's JSON write→read lane (string escaping,
+    unicode, schema-on-read) under the same value-hash gate as the CSV
+    lane (csv_roundtrip_daily). The distinct-md5 count makes the check
+    content-sensitive: a single mangled character in any document
+    changes a hash and breaks the row. Explicit schema on read — at
+    100 TB, schema inference is a full extra pass."""
+    d = _staged_jsonl_docs(spark, sf_dir)
+    docs = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(d)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+    )
