@@ -2214,3 +2214,141 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("meta_lang") == F.col("pred_lang")).alias("agree"),
     )
+
+
+# --- character-entropy quality + doc-level PMI collocations ------------------
+
+
+@register(
+    "char_entropy_quality",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(split(text, '')) AS c FROM documents
+      WHERE length(text) > 0
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+    t AS (SELECT doc_id, sum(n) AS tot, count(*) AS n_distinct
+          FROM cc GROUP BY 1),
+    e AS (
+      SELECT cc.doc_id,
+             sum(CAST(round((cc.n * 1e0 / t.tot)
+                            * ln(cc.n * 1e0 / t.tot) * 1e9) AS BIGINT)) AS eu
+      FROM cc JOIN t USING (doc_id) GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(t.tot AS BIGINT) AS n_chars_counted,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+           round(-CAST(e.eu AS DOUBLE) / 1e9, 6) AS char_entropy
+    FROM t JOIN e USING (doc_id)
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the gibberish /
+    binary-spill detector quality pipelines threshold from BOTH sides
+    (too low = repeated-character padding, too high = random bytes or
+    base64 blobs; natural language sits in a narrow band). The same
+    nano-unit-quantized entropy sum as lang_mix_entropy_by_source, at
+    character grain: the (doc, char) counts map-side-combine (bounded
+    by doc length, the same explode discipline as every token path)
+    and everything after is per-doc arithmetic on exact integers.
+    Empty documents drop (no characters, entropy undefined)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    t = cc.groupBy("doc_id").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("tot")
+    e = (
+        cc.join(t.select(F.col("doc_id"), "tot"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(p * F.log(p) * F.lit(1e9)).cast("long").alias("tu"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("tu").alias("eu"))
+    )
+    return t.join(e, "doc_id").select(
+        "doc_id",
+        F.col("tot").cast("long").alias("n_chars_counted"),
+        F.col("n_distinct").cast("long").alias("n_distinct_chars"),
+        F.round(-F.col("eu").cast("double") / F.lit(1e9), 6).alias(
+            "char_entropy"
+        ),
+    )
+
+
+_PMI_MIN_SUPPORT = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({_LTOKS})) AS w
+      FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    uni AS (SELECT w, count(*) AS c1 FROM dt GROUP BY 1),
+    pr AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS support,
+           round(ln(c12 * 1e0 * n.nd / (ua.c1 * 1e0 * ub.c1)), 6) AS pmi
+    FROM pr CROSS JOIN n
+    JOIN uni ua ON ua.w = pr.w1
+    JOIN uni ub ON ub.w = pr.w2
+    WHERE c12 >= {_PMI_MIN_SUPPORT}
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} token collocations by document-level pointwise
+    mutual information — PMI = ln(P(w1,w2)/(P(w1)P(w2))) over
+    PRESENCE-in-document (the topic/collocation signal; the bigram LM
+    is the adjacency signal) with a min-support floor so rare-pair
+    noise can't top the list. The per-doc pair explosion is bounded by
+    distinct-tokens-per-doc squared — the market-basket bound, with
+    docs as baskets and the vocab as the item domain — and the
+    document frequencies broadcast. Top-K is a TakeOrdered heap under
+    the rounded-PMI total order."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.tokens(F.lower(F.col("text"))))).alias("w"),
+    ).distinct()
+    nd = d.agg(F.countDistinct("doc_id").alias("nd"))
+    uni = dt.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    a = dt.select(F.col("doc_id"), F.col("w").alias("w1"))
+    b = dt.select(F.col("doc_id"), F.col("w").alias("w2"))
+    pr = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_SUPPORT)
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    return (
+        pr.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("support"),
+            F.round(
+                F.log(
+                    F.col("c12") * F.lit(1.0) * F.col("nd")
+                    / (F.col("ca") * F.lit(1.0) * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOPK)
+    )
