@@ -3475,3 +3475,172 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p75_sec"),
     )
+
+
+# --- marketing attribution + fulfillment lead time (r5 continuation) ---------
+
+
+@register(
+    "attribution_first_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    np AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    last_touch AS (
+      SELECT p.event_id, np.event_type AS channel
+      FROM p JOIN np ON np.user_id = p.user_id
+        AND (np.ts < p.ts OR (np.ts = p.ts AND np.event_id < p.event_id))
+      QUALIFY row_number() OVER (
+        PARTITION BY p.event_id
+        ORDER BY np.ts DESC, np.event_id DESC) = 1
+    ),
+    first_touch AS (
+      SELECT p.event_id, np.event_type AS channel
+      FROM p JOIN np ON np.user_id = p.user_id
+        AND (np.ts < p.ts OR (np.ts = p.ts AND np.event_id < p.event_id))
+      QUALIFY row_number() OVER (
+        PARTITION BY p.event_id
+        ORDER BY np.ts ASC, np.event_id ASC) = 1
+    ),
+    u AS (
+      SELECT 'first_touch' AS model, f.channel, p.value
+      FROM p JOIN first_touch f USING (event_id)
+      UNION ALL
+      SELECT 'last_touch', l.channel, p.value
+      FROM p JOIN last_touch l USING (event_id)
+    )
+    SELECT model, channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           ROUND(sum(value), 2) AS attributed_value
+    FROM u GROUP BY 1, 2
+    """,
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution under the two bookend models: every
+    purchase's value credited to the user's FIRST preceding
+    non-purchase event (first-touch: what acquired them) and to the
+    LAST one before the purchase (last-touch: what converted them),
+    side by side per channel — the report whose first/last gap IS the
+    argument for multi-touch models. One per-user window pass ranks
+    candidate touches from both ends ((ts, event_id) total order, so
+    same-instant ties are deterministic); purchases with no prior
+    touch drop from both models identically. All joins are
+    user-key-co-partitioned; output is models × channels rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"), "value",
+    )
+    np_ = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"), F.col("event_type").alias("channel"),
+    )
+    j = p.join(np_, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        | ((F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id")))
+    )
+    wl = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    wf = Window.partitionBy("p_id").orderBy(F.asc("t_ts"), F.asc("t_id"))
+    last = (
+        j.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "channel", "value")
+        .withColumn("model", F.lit("last_touch"))
+    )
+    first = (
+        j.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "channel", "value")
+        .withColumn("model", F.lit("first_touch"))
+    )
+    return (
+        first.unionAll(last)
+        .groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "ship_lead_time_quantiles",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority AS priority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT priority, days,
+             row_number() OVER (PARTITION BY priority
+               ORDER BY days, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM lt
+    )
+    SELECT priority, CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = (25 * n + 99) // 100 THEN days END)
+                AS BIGINT) AS p25_days,
+           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN days END)
+                AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (95 * n + 99) // 100 THEN days END)
+                AS BIGINT) AS p95_days
+    FROM r GROUP BY 1
+    """,
+)
+def ship_lead_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time p25/p50/p95 per order priority — the
+    fulfillment SLA report (does 1-URGENT actually ship faster, and
+    what does the p95 tail look like?). Lead times are exact integer
+    day differences; quantiles are rank-selected with the same integer
+    (q·n+99) div 100 arithmetic as funnel_latency_quantiles, ordered
+    by (days, orderkey, linenumber) for a total order. The window
+    partitions by priority (5 bounded partitions of the joined frame;
+    at extreme scale swap in the binned approx machinery). The join is
+    the standard fact-to-orders key shuffle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+        "l_orderkey", "l_linenumber",
+    )
+    wo = Window.partitionBy("priority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("priority")
+    r = lt.select(
+        "priority", "days",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def _cut(q: int):
+        return F.expr(f"({q} * n + 99) div 100")
+
+    return r.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.max(F.when(F.col("rn") == _cut(25), F.col("days")))
+        .cast("long")
+        .alias("p25_days"),
+        F.max(F.when(F.col("rn") == _cut(50), F.col("days")))
+        .cast("long")
+        .alias("p50_days"),
+        F.max(F.when(F.col("rn") == _cut(95), F.col("days")))
+        .cast("long")
+        .alias("p95_days"),
+    )
