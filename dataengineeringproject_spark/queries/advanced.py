@@ -3644,3 +3644,90 @@ def ship_lead_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_days"),
     )
+
+
+@register(
+    "revenue_gini_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             COALESCE(CAST(round(sum(o.o_totalprice * 100)) AS BIGINT), 0)
+               AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY cents, c_custkey) AS i,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM rev
+    ),
+    g AS (
+      SELECT c_nationkey, max(n) AS n,
+             sum(i * cents) AS swx, sum(cents) AS sx
+      FROM r GROUP BY 1
+    )
+    SELECT nn.n_name AS nation, CAST(g.n AS BIGINT) AS n_customers,
+           round(2e0 * g.swx / (g.n * CAST(g.sx AS DOUBLE))
+                 - (g.n + 1e0) / g.n, 6) AS gini
+    FROM g JOIN nation nn ON nn.n_nationkey = g.c_nationkey
+    """,
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the
+    concentration number next to the top-k reports: the closed form
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted revenues
+    needs ONE rank window and two integer sums (revenue carried in
+    exact cents; rank i tie-broken by custkey so equal-revenue
+    customers order deterministically — the formula's value is
+    invariant under tie order, the determinism is for the engines'
+    sake). Zero-order customers enter at 0 cents via the left join —
+    a Gini that ignored them would understate concentration. Windows
+    partition by nation (25 bounded partitions of the customer-grain
+    frame); the revenue pre-aggregate is the standard fact-to-customer
+    key shuffle."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    rev = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.coalesce(
+                F.round(F.sum(F.col("o_totalprice") * 100)).cast("long"),
+                F.lit(0),
+            ).alias("cents")
+        )
+    )
+    wo = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    wc = Window.partitionBy("c_nationkey")
+    r = rev.select(
+        "c_nationkey", "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    g = r.groupBy("c_nationkey").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("i") * F.col("cents")).alias("swx"),
+        F.sum("cents").alias("sx"),
+    )
+    nn = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return g.join(
+        F.broadcast(nn), F.col("n_nationkey") == F.col("c_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.col("swx") / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
