@@ -3605,7 +3605,10 @@ def ship_lead_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (days, orderkey, linenumber) for a total order. The window
     partitions by priority (5 bounded partitions of the joined frame;
     at extreme scale swap in the binned approx machinery). The join is
-    the standard fact-to-orders key shuffle."""
+    the standard fact-to-orders key shuffle. NOTE the synthetic
+    generator draws shipdates independently of order dates, so lead
+    times here are frequently negative — the operator reports what
+    the data says (tests pin only the quantile ordering)."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -414,3 +414,80 @@ def test_lsh_recall_consistent_with_index(spark):
         e = set(exact3[exact3["query_id"] == r.query_id]["neighbor_id"])
         assert r.n_hits == len(a & e)
         assert 0.0 <= r.recall <= 1.0
+
+
+# --- batch 9-13 additions -----------------------------------------------------
+
+
+def test_attribution_models_conserve_value(spark):
+    """Both bookend models attribute the SAME purchase set, so totals
+    must match exactly across models — the conservation law any
+    attribution report must satisfy."""
+    out = _q(spark, "attribution_first_last_touch").toPandas()
+    by_model = out.groupby("model")[["n_purchases", "attributed_value"]].sum()
+    assert len(by_model) == 2
+    a, b = by_model.iloc[0], by_model.iloc[1]
+    assert a["n_purchases"] == b["n_purchases"]
+    assert abs(a["attributed_value"] - b["attributed_value"]) < 1e-6
+
+
+def test_lead_time_quantiles_ordered(spark):
+    """Quantile ordering only — the SYNTHETIC generator draws shipdates
+    independently of order dates, so lead times are frequently negative
+    here (the operator reports what the data says; on real fulfilment
+    data the p25 >= 0 invariant would also hold)."""
+    out = _q(spark, "ship_lead_time_quantiles").toPandas()
+    assert len(out) == 5
+    assert (out["p25_days"] <= out["p50_days"]).all()
+    assert (out["p50_days"] <= out["p95_days"]).all()
+
+
+def test_gini_numpy_and_bounds(spark):
+    out = _q(spark, "revenue_gini_by_nation").toPandas()
+    assert ((out["gini"] >= 0) & (out["gini"] < 1)).all()
+    rows = duckdb.connect().execute(f"""
+        SELECT c.c_nationkey,
+               COALESCE(CAST(round(sum(o.o_totalprice * 100)) AS BIGINT), 0)
+        FROM '{SF_SMOKE}/customer.parquet' c
+        LEFT JOIN '{SF_SMOKE}/orders.parquet' o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey
+    """).fetchall()
+    nations = duckdb.connect().execute(
+        f"SELECT n_nationkey, n_name FROM '{SF_SMOKE}/nation.parquet'"
+    ).fetchall()
+    name = dict(nations)
+    by_nation: dict[int, list[int]] = {}
+    for nk, cents in rows:
+        by_nation.setdefault(nk, []).append(cents)
+    for nk, xs in by_nation.items():
+        xs = np.sort(np.array(xs, dtype=float))
+        n = len(xs)
+        g = 2 * ((np.arange(1, n + 1) * xs).sum()) / (n * xs.sum()) - (n + 1) / n
+        got = out[out["nation"] == name[nk]]["gini"].iloc[0]
+        assert abs(got - g) < 1e-6, name[nk]
+
+
+def test_session_overlap_pairs_valid(spark):
+    out = _q(spark, "session_overlap_top_pairs").toPandas()
+    assert (out["ua"] < out["ub"]).all()
+    assert (out["overlap_sec"] > 0).all()
+    # sorted head: descending overlap
+    s = out["overlap_sec"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+
+
+def test_char_entropy_bounds(spark):
+    import math as m
+
+    out = _q(spark, "char_entropy_quality").toPandas()
+    assert (out["char_entropy"] >= -1e-9).all()
+    ub = np.log(out["n_distinct_chars"].to_numpy())
+    assert (out["char_entropy"].to_numpy() <= ub + 1e-6).all()
+
+
+def test_pmi_pairs_support_floor(spark):
+    out = _q(spark, "token_pmi_pairs").toPandas()
+    assert (out["support"] >= 5).all()
+    assert (out["w1"] < out["w2"]).all()
+    s = out["pmi"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all()
