@@ -2352,3 +2352,96 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(_PMI_TOPK)
     )
+
+
+# --- Zipf exponent of the vocabulary (r5 continuation) -----------------------
+
+_ZIPF_HEAD = 1000  # fit over the top-N head (entire vocab here: 31)
+
+
+@register(
+    "zipf_slope_vocab",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({X.tokens_sql('lower(text)')}) AS tok FROM documents
+    ),
+    vc AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+    top AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+      FROM vc ORDER BY freq DESC, tok ASC LIMIT {_ZIPF_HEAD}
+    ),
+    xy AS (
+      SELECT CAST(round(ln(rnk) * 1e6) AS BIGINT) AS xu,
+             CAST(round(ln(freq) * 1e6) AS BIGINT) AS yu
+      FROM top
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(xu) AS sx, sum(yu) AS sy,
+             sum(xu * yu) AS sxy, sum(xu * xu) AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab_fit,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus vocabulary: OLS slope of ln(freq)
+    against ln(rank) over the top-{_ZIPF_HEAD} head — natural text
+    sits near −1, and a corpus whose exponent wanders is changing
+    character (template spam flattens the head, vocabulary collapse
+    steepens it). Reuses the trend family's exact-sufficient-statistic
+    recipe on a new domain: ln terms are quantized to integer
+    MICRO-units per vocab row (nano would overflow int64 in the cross
+    products), the five sums are exact integers, and the closed form
+    runs on their deterministic double casts (units cancel in the
+    slope ratio). The head is a TakeOrderedAndProject heap like
+    vocab_coverage_topk — nothing past the count shuffle scales with
+    the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        vc.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(_ZIPF_HEAD)
+        .select(
+            "freq",
+            F.row_number()
+            .over(
+                Window.partitionBy(F.lit(1) * F.lit(1))
+                .orderBy(F.desc("freq"), F.asc("tok"))
+            )
+            .alias("rnk"),
+        )
+    )
+    xy = top.select(
+        F.round(F.log("rnk") * F.lit(1e6)).cast("long").alias("xu"),
+        F.round(F.log("freq") * F.lit(1e6)).cast("long").alias("yu"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("xu") * F.col("xu")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_vocab_fit"),
+        F.round(
+            (n_d * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (n_d * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -887,3 +887,93 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_sec",
         )
     )
+
+
+_CUSUM_BASE_CUT = "2024-01-11"  # baseline window: days strictly before
+_CUSUM_H_SIGMA = 3.0            # alarm threshold in baseline sigmas
+
+
+@register(
+    "cusum_level_shift",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    base AS (
+      SELECT event_type,
+             CAST(sum(xu) AS DOUBLE) / count(*) AS mu,
+             sqrt(CAST(sum(xu * xu) AS DOUBLE) / count(*)
+                  - (CAST(sum(xu) AS DOUBLE) / count(*))
+                    * (CAST(sum(xu) AS DOUBLE) / count(*))) AS sigma
+      FROM d WHERE day < DATE '{_CUSUM_BASE_CUT}' GROUP BY 1
+    ),
+    c AS (
+      SELECT d.event_type, d.day, d.xu, base.mu, base.sigma,
+             sum(CAST(round(d.xu - base.mu) AS BIGINT)) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+      FROM d JOIN base USING (event_type)
+      WHERE d.day >= DATE '{_CUSUM_BASE_CUT}'
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(xu / 1e6, 6) AS daily_mean,
+           round(cu / 1e6, 6) AS cusum,
+           abs(cu) > {_CUSUM_H_SIGMA}e0 * sigma AS alarm
+    FROM c
+    """,
+)
+def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector — the statistical-process-control
+    member of the monitoring family (drift_* compare distributions,
+    seasonal_dow_anomaly flags single days; CUSUM accumulates SMALL
+    persistent shifts a per-day z-score never trips): baseline mean μ
+    and σ are frozen from the pre-{_CUSUM_BASE_CUT} window (exact
+    integer sums), and the monitored window accumulates round(x − μ)
+    as an EXACT INTEGER running sum per type — the cumulative sum is
+    order-exact by construction, no float drift across the
+    accumulation. Alarm when |CUSUM| exceeds {_CUSUM_H_SIGMA}σ of the
+    baseline. At 100 TB this runs on the daily pre-aggregate like the
+    whole trend family; the running window partitions per type over
+    calendar-bounded rows."""
+    from pyspark.sql import Window
+
+    d = _daily_xu(spark, sf_dir)
+    cut = F.lit(_CUSUM_BASE_CUT).cast("date")
+    base = (
+        d.filter(F.col("day") < cut)
+        .groupBy("event_type")
+        .agg(
+            (F.sum("xu").cast("double") / F.count(F.lit(1))).alias("mu"),
+            F.sqrt(
+                F.sum(F.col("xu") * F.col("xu")).cast("double")
+                / F.count(F.lit(1))
+                - (F.sum("xu").cast("double") / F.count(F.lit(1)))
+                * (F.sum("xu").cast("double") / F.count(F.lit(1)))
+            ).alias("sigma"),
+        )
+        .select(
+            F.col("event_type").alias("b_et"), "mu", "sigma"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.filter(F.col("day") >= cut)
+        .join(F.broadcast(base), F.col("event_type") == F.col("b_et"))
+        .withColumn(
+            "cu",
+            F.sum(
+                F.round(F.col("xu") - F.col("mu")).cast("long")
+            ).over(w),
+        )
+    )
+    return c.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("xu") / F.lit(1e6), 6).alias("daily_mean"),
+        F.round(F.col("cu") / F.lit(1e6), 6).alias("cusum"),
+        (F.abs(F.col("cu")) > F.lit(_CUSUM_H_SIGMA) * F.col("sigma")).alias(
+            "alarm"
+        ),
+    )
