@@ -3734,3 +3734,99 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "audience_overlap_daily",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id
+      FROM events
+    ),
+    sz AS (SELECT event_type, day, count(*) AS n FROM du GROUP BY 1, 2),
+    ov AS (
+      SELECT a.event_type, a.day,
+             count(*) AS n_common
+      FROM du a JOIN du b
+        ON b.event_type = a.event_type AND b.user_id = a.user_id
+       AND b.day = a.day + INTERVAL 1 DAY
+      GROUP BY 1, 2
+    )
+    SELECT s1.event_type, strftime(s1.day, '%Y-%m-%d') AS day,
+           CAST(s1.n AS BIGINT) AS n_today,
+           CAST(s2.n AS BIGINT) AS n_tomorrow,
+           CAST(COALESCE(ov.n_common, 0) AS BIGINT) AS n_common,
+           round(COALESCE(ov.n_common, 0) * 1e0
+                 / (s1.n + s2.n - COALESCE(ov.n_common, 0)), 6) AS jaccard,
+           round(1e0 - COALESCE(ov.n_common, 0) * 1e0 / s1.n, 6) AS churn_rate
+    FROM sz s1
+    JOIN sz s2 ON s2.event_type = s1.event_type
+              AND s2.day = s1.day + INTERVAL 1 DAY
+    LEFT JOIN ov ON ov.event_type = s1.event_type AND ov.day = s1.day
+    """,
+)
+def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience set similarity per event_type: the exact
+    Jaccard between today's and tomorrow's active-user sets, plus the
+    churn rate (share of today's users absent tomorrow) — the retention
+    signal at SET grain, complementing hll_rolling_7d_distinct's
+    count grain (two audiences can hold their size while completely
+    swapping members; this query is what catches that). All three
+    counts come from one distinct (type, day, user) frame: sizes are a
+    keyed aggregate, the intersection is a self-join shifted one day on
+    the (type, user) key — co-partitioned, bounded by daily actives.
+    The union size is derived by inclusion-exclusion, not a third
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    sz = du.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    a = du
+    b = du.select(
+        F.col("event_type").alias("b_et"),
+        F.col("day").alias("b_day"),
+        F.col("user_id").alias("b_uid"),
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("b_et") == F.col("event_type"))
+            & (F.col("b_uid") == F.col("user_id"))
+            & (F.col("b_day") == F.date_add("day", 1)),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s2 = sz.select(
+        F.col("event_type").alias("s2_et"),
+        F.col("day").alias("s2_day"),
+        F.col("n").alias("n_tomorrow"),
+    )
+    j = (
+        sz.join(
+            s2,
+            (F.col("s2_et") == F.col("event_type"))
+            & (F.col("s2_day") == F.date_add("day", 1)),
+        )
+        .join(ov, ["event_type", "day"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+    )
+    return j.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_today"),
+        F.col("n_tomorrow").cast("long").alias("n_tomorrow"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(
+            F.col("n_common") * F.lit(1.0)
+            / (F.col("n") + F.col("n_tomorrow") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.lit(1.0) - F.col("n_common") * F.lit(1.0) / F.col("n"), 6
+        ).alias("churn_rate"),
+    )
