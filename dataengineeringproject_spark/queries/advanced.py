@@ -3830,3 +3830,226 @@ def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_common") * F.lit(1.0) / F.col("n"), 6
         ).alias("churn_rate"),
     )
+
+
+# --- RFM segmentation + Kaplan-Meier churn survival (r5 continuation) --------
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH t AS (SELECT max(ts) AS t_end FROM events),
+    u AS (
+      SELECT user_id,
+             datediff('day', max(ts), (SELECT t_end FROM t)) AS recency_days,
+             count(*) AS frequency,
+             CAST(round(sum(value) * 100) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    r AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY recency_days DESC, user_id) AS r_rn,
+             row_number() OVER (ORDER BY frequency ASC, user_id) AS f_rn,
+             row_number() OVER (ORDER BY monetary_cents ASC, user_id) AS m_rn,
+             count(*) OVER () AS n
+      FROM u
+    ),
+    s AS (
+      SELECT user_id,
+             least(4, (r_rn - 1) * 4 // n + 1) AS r_score,
+             least(4, (f_rn - 1) * 4 // n + 1) AS f_score,
+             least(4, (m_rn - 1) * 4 // n + 1) AS m_score
+      FROM r
+    )
+    SELECT concat(r_score, f_score, m_score) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s GROUP BY 1
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per
+    purchasing user, Recency (days since last purchase at the corpus
+    horizon), Frequency (purchase count) and Monetary (exact cents),
+    each scored into quartiles 1-4 by INTEGER rank arithmetic
+    ((rank-1)·4 div n + 1, ranks totally ordered with user_id
+    tie-break so both engines cut identically — quartile EDGES never
+    depend on float percentile conventions), concatenated into the
+    '444'-style segment label and counted. Recency ranks DESCENDING
+    (most-recent = highest score) while F and M rank ascending. The
+    user-grain frame is one purchase-filtered aggregate; the three
+    rank windows run over it (bounded by purchasers; at extreme scale
+    the quartile edges come from the binned-quantile machinery
+    instead)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_end = ev.agg(F.max("ts").alias("t_end"))
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_p"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value") * 100).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(t_end))
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("t_end").cast("date"), F.col("last_p").cast("date")
+            ).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    one = Window.partitionBy(F.lit(1) * F.lit(1))
+    wr = one.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    wf = one.orderBy(F.asc("frequency"), F.asc("user_id"))
+    wm = one.orderBy(F.asc("monetary_cents"), F.asc("user_id"))
+    r = u.select(
+        "user_id",
+        F.row_number().over(wr).alias("r_rn"),
+        F.row_number().over(wf).alias("f_rn"),
+        F.row_number().over(wm).alias("m_rn"),
+        F.count(F.lit(1)).over(one).alias("n"),
+    )
+
+    def score(rn: str):
+        return F.least(
+            F.lit(4), F.expr(f"({rn} - 1) * 4 div n + 1")
+        )
+
+    s = r.select(
+        F.concat(
+            score("r_rn").cast("string"),
+            score("f_rn").cast("string"),
+            score("m_rn").cast("string"),
+        ).alias("segment")
+    )
+    return s.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS horizon FROM p),
+    u AS (
+      SELECT user_id, CAST(date_trunc('day', max(ts)) AS DATE) AS last_day
+      FROM p GROUP BY 1
+    ),
+    d AS (
+      SELECT u.last_day AS day,
+             count(*) FILTER (u.last_day < mx.horizon) AS n_churned,
+             count(*) FILTER (u.last_day >= mx.horizon) AS n_censored
+      FROM u CROSS JOIN mx GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS total FROM u),
+    risk AS (
+      SELECT day, n_churned, n_censored,
+             n.total
+             - COALESCE(sum(n_churned + n_censored) OVER (
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS n_at_risk
+      FROM d CROSS JOIN n
+    ),
+    km AS (
+      SELECT day, n_at_risk, n_churned, n_censored,
+             sum(CAST(round(ln(1e0 - n_churned * 1e0 / n_at_risk) * 1e9)
+                      AS BIGINT)) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS lsu
+      FROM risk
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           round(exp(CAST(lsu AS DOUBLE) / 1e9), 6) AS survival
+    FROM km
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier PURCHASE-churn survival curve — the estimator
+    S(t) = Π(1 − d_i/n_i) over churn days, with users still active on
+    the horizon day right-CENSORED (they haven't churned, they ran out
+    of observation — the distinction every naive 'retention curve'
+    gets wrong). Churn day = the user's last active day; at-risk at t
+    = total minus everyone who exited before t (one running-sum
+    window); the product telescopes as exp of a running sum of ln
+    survival factors, each factor quantized to integer nano-units so
+    the accumulation is order-exact (the same trick as the entropy
+    sums — multiplicative chains become exact additive ones).
+    d_i < n_i is structural on every day before the horizon (later
+    exits are still at risk), and the horizon day's exits are all
+    censored, so ln(0) is unreachable. Churn is defined on the
+    PURCHASE series (stopped buying), which gives the curve real exit
+    days — all-activity churn is degenerate on this corpus (everyone
+    logs events to the horizon). One user-grain aggregate, one
+    day-grain frame, two windows — at 100 TB the curve costs what
+    daily_agg costs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = ev.agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("horizon")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("last_day")
+    )
+    d = (
+        u.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("last_day").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("last_day") < F.col("horizon"), 1).otherwise(0)
+            ).alias("n_churned"),
+            F.sum(
+                F.when(F.col("last_day") >= F.col("horizon"), 1).otherwise(0)
+            ).alias("n_censored"),
+        )
+    )
+    n = u.agg(F.count(F.lit(1)).alias("total"))
+    wprev = (
+        Window.partitionBy(F.lit(1) * F.lit(1))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcur = (
+        Window.partitionBy(F.lit(1) * F.lit(1))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = d.crossJoin(F.broadcast(n)).withColumn(
+        "n_at_risk",
+        F.col("total")
+        - F.coalesce(
+            F.sum(F.col("n_churned") + F.col("n_censored")).over(wprev),
+            F.lit(0),
+        ),
+    )
+    km = risk.withColumn(
+        "lsu",
+        F.sum(
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_churned") * F.lit(1.0) / F.col("n_at_risk")
+                )
+                * F.lit(1e9)
+            ).cast("long")
+        ).over(wcur),
+    )
+    return km.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.round(F.exp(F.col("lsu").cast("double") / F.lit(1e9)), 6).alias(
+            "survival"
+        ),
+    )
