@@ -491,3 +491,45 @@ def test_pmi_pairs_support_floor(spark):
     assert (out["w1"] < out["w2"]).all()
     s = out["pmi"].to_numpy()
     assert (np.diff(s) <= 1e-12).all()
+
+
+def test_kaplan_meier_pure_python(spark):
+    """Third vote: replay the KM estimator (purchase churn, horizon
+    censoring) in pure Python and check survival is a non-increasing
+    step curve in (0, 1]."""
+    out = _q(spark, "survival_kaplan_meier").toPandas().sort_values("day")
+    rows = duckdb.connect().execute(f"""
+        SELECT user_id, CAST(date_trunc('day', max(ts)) AS DATE)
+        FROM '{SF_SMOKE}/events.parquet' WHERE event_type = 'purchase'
+        GROUP BY 1
+    """).fetchall()
+    horizon = max(d for _, d in rows)
+    from collections import Counter
+
+    exits = Counter(d for _, d in rows)
+    total = len(rows)
+    s, seen = 1.0, 0
+    for day in sorted(exits):
+        n_at_risk = total - seen
+        churned = exits[day] if day < horizon else 0
+        censored = exits[day] - churned
+        s *= 1.0 - churned / n_at_risk
+        got = out[out["day"] == str(day)].iloc[0]
+        assert got["n_at_risk"] == n_at_risk
+        assert got["n_churned"] == churned
+        assert got["n_censored"] == censored
+        assert abs(got["survival"] - s) < 1e-5, day
+        seen += exits[day]
+    surv = out["survival"].to_numpy()
+    assert (np.diff(surv) <= 1e-12).all()
+    assert (surv > 0).all() and (surv <= 1.0 + 1e-12).all()
+
+
+def test_rfm_segments_account_for_every_purchaser(spark):
+    out = _q(spark, "rfm_segments").toPandas()
+    n_purchasers = duckdb.connect().execute(f"""
+        SELECT count(DISTINCT user_id) FROM '{SF_SMOKE}/events.parquet'
+        WHERE event_type = 'purchase'
+    """).fetchone()[0]
+    assert out["n_users"].sum() == n_purchasers
+    assert out["segment"].str.fullmatch(r"[1-4][1-4][1-4]").all()
