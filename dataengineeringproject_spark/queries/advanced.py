@@ -4053,3 +4053,91 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+_GTEST_TOPK = 20
+
+
+@register(
+    "user_behavior_outliers",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS o FROM events GROUP BY 1, 2
+    ),
+    ut AS (SELECT user_id, sum(o) AS n_u FROM c GROUP BY 1),
+    tt AS (SELECT event_type, sum(o) AS n_t FROM c GROUP BY 1),
+    g AS (SELECT sum(o) AS n FROM c),
+    terms AS (
+      SELECT c.user_id,
+             CAST(round(2e0 * c.o
+                        * ln(c.o * 1e0
+                             / (ut.n_u * 1e0 * tt.n_t / g.n)) * 1e9)
+                  AS BIGINT) AS tu
+      FROM c JOIN ut USING (user_id) JOIN tt USING (event_type)
+      CROSS JOIN g
+    ),
+    s AS (
+      SELECT t.user_id, ut.n_u,
+             round(CAST(sum(t.tu) AS DOUBLE) / 1e9, 6) AS g_stat
+      FROM terms t JOIN ut ON ut.user_id = t.user_id
+      GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(n_u AS BIGINT) AS n_events, g_stat
+    FROM s ORDER BY g_stat DESC, user_id LIMIT {_GTEST_TOPK}
+    """,
+)
+def user_behavior_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_GTEST_TOPK} behavioral outlier users by the G-test
+    statistic of their event-type mix against the population mix —
+    the BEHAVIOR-space outlier detector next to the VALUE-space ones
+    (MAD z-scores, seasonal residuals): bots and abusers have normal
+    values but skewed type distributions (all clicks, no views), and
+    G = 2·Σ O·ln(O/E) is the likelihood-ratio test that scores exactly
+    that, with E = row-total × col-total / N under independence. Every
+    input is an exact integer count; each user-type term is quantized
+    to nano-units before the per-user sum (order-exact, the entropy
+    trick); zero-count cells contribute nothing by construction
+    (absent rows, not ln(0)). Two keyed aggregates + two broadcast
+    marginals + a TakeOrdered head — cost of a groupBy, works at any
+    user cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    ut = c.groupBy("user_id").agg(F.sum("o").alias("n_u"))
+    tt = c.groupBy("event_type").agg(F.sum("o").alias("n_t"))
+    g = c.agg(F.sum("o").alias("n"))
+    terms = (
+        c.join(ut, "user_id")
+        .join(F.broadcast(tt), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "user_id", "n_u",
+            F.round(
+                F.lit(2.0)
+                * F.col("o")
+                * F.log(
+                    F.col("o") * F.lit(1.0)
+                    / (
+                        F.col("n_u") * F.lit(1.0) * F.col("n_t")
+                        / F.col("n")
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("tu"),
+        )
+    )
+    s = terms.groupBy("user_id", "n_u").agg(
+        F.round(F.sum("tu").cast("double") / F.lit(1e9), 6).alias("g_stat")
+    )
+    return (
+        s.orderBy(F.desc("g_stat"), F.asc("user_id"))
+        .limit(_GTEST_TOPK)
+        .select(
+            "user_id",
+            F.col("n_u").cast("long").alias("n_events"),
+            "g_stat",
+        )
+    )
