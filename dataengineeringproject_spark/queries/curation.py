@@ -1213,3 +1213,138 @@ def fuzzy_recall_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit") * F.lit(1.0) / F.nullif(F.col("n_true"), F.lit(0)), 6
         ).alias("recall"),
     )
+
+
+# --- model-eval lift table: logistic score vs rule label (r5 continuation) ---
+
+
+@register(
+    "score_decile_lift",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({X.tokens_sql('text')}) AS n_tokens,
+             {X.stopword_ratio_sql('text')} AS stop_r,
+             {X.punct_ratio_sql('text')} AS punct_r,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-({_QLR['b0']}
+               + {_QLR['w_logtok']} * ln(1 + n_tokens)
+               + {_QLR['w_stop']} * stop_r
+               + {_QLR['w_punct']} * punct_r
+               + {_QLR['w_cpt']} * (n_chars * 1.0 / greatest(n_tokens, 1))))),
+               6) AS prob
+      FROM f
+    ),
+    b AS (SELECT doc_id, {_GQ_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+             list_sum(list_transform(toks, t -> length(t))) AS chars,
+             len(list_distinct(toks)) AS nd
+      FROM b
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i + 1])))
+               AS gram
+      FROM b WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1),
+    lbl AS (
+      SELECT m.doc_id,
+             (n BETWEEN {_GQ_MIN_TOK} AND {_GQ_MAX_TOK}
+              AND ROUND(chars * 1.0 / n, 6)
+                  BETWEEN {_GQ_MIN_MWL} AND {_GQ_MAX_MWL}
+              AND ROUND(nd * 1.0 / n, 6) > {_GQ_MIN_UNIQ}
+              AND ROUND(COALESCE(top_cnt, 1) * 1.0 / greatest(n - 1, 1), 6)
+                  < {_GQ_MAX_TOP2}) AS pos
+      FROM m LEFT JOIN t2 ON m.doc_id = t2.doc_id
+    ),
+    rk AS (
+      SELECT z.doc_id, z.prob, lbl.pos,
+             row_number() OVER (ORDER BY z.prob DESC, z.doc_id) AS rn,
+             count(*) OVER () AS nn
+      FROM z JOIN lbl USING (doc_id)
+    ),
+    dec AS (
+      SELECT least(10, (rn - 1) * 10 // nn + 1) AS decile,
+             CAST(round(prob * 1e6) AS BIGINT) AS pu,
+             CASE WHEN pos THEN 1 ELSE 0 END AS y
+      FROM rk
+    ),
+    base AS (SELECT sum(y) * 1e0 / count(*) AS rate FROM dec)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(pu) AS DOUBLE) / count(*) / 1e6, 6) AS avg_score,
+           round(sum(y) * 1e0 / count(*), 6) AS positive_rate,
+           round(sum(y) * 1e0 / count(*) / base.rate, 6) AS lift
+    FROM dec CROSS JOIN base
+    GROUP BY decile, base.rate
+    """,
+)
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the model-evaluation report for the
+    logistic quality scorer against the INDEPENDENT Gopher rule label
+    (the two quality signals share no thresholds, so lift here is a
+    genuine agreement measure): documents ranked by score, cut into
+    10 equal-count deciles with integer rank arithmetic, and each
+    decile's positive rate compared to the base rate. A healthy
+    scorer is monotone in the table; lift@1 is the 'what do I gain
+    screening by model' number. Scores enter the per-decile mean as
+    exact micro-units; the base rate is a 1-row broadcast. Decile
+    edges never depend on float percentile conventions (same
+    (rn−1)·10 div n rule as RFM)."""
+    from pyspark.sql import Window
+
+    scored = quality_logistic_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_prob").alias("prob")
+    )
+    label = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pos")
+    )
+    one = Window.partitionBy(F.lit(1) * F.lit(1))
+    rk = (
+        scored.join(label, "doc_id")
+        .select(
+            "prob", "pos",
+            F.row_number()
+            .over(one.orderBy(F.desc("prob"), F.asc("doc_id")))
+            .alias("rn"),
+            F.count(F.lit(1)).over(one).alias("nn"),
+        )
+    )
+    dec = rk.select(
+        F.least(F.lit(10), F.expr("(rn - 1) * 10 div nn + 1")).alias("decile"),
+        F.round(F.col("prob") * F.lit(1e6)).cast("long").alias("pu"),
+        F.when(F.col("pos"), 1).otherwise(0).alias("y"),
+    )
+    base = dec.agg(
+        (F.sum("y") * F.lit(1.0) / F.count(F.lit(1))).alias("rate")
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pu").alias("spu"),
+            F.sum("y").alias("sy"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("spu").cast("double") / F.col("n_docs") / F.lit(1e6), 6
+            ).alias("avg_score"),
+            F.round(F.col("sy") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+                "positive_rate"
+            ),
+            F.round(
+                F.col("sy") * F.lit(1.0) / F.col("n_docs") / F.col("rate"), 6
+            ).alias("lift"),
+        )
+    )
