@@ -1348,3 +1348,96 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "score_calibration_bins",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({X.tokens_sql('text')}) AS n_tokens,
+             {X.stopword_ratio_sql('text')} AS stop_r,
+             {X.punct_ratio_sql('text')} AS punct_r,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-({_QLR['b0']}
+               + {_QLR['w_logtok']} * ln(1 + n_tokens)
+               + {_QLR['w_stop']} * stop_r
+               + {_QLR['w_punct']} * punct_r
+               + {_QLR['w_cpt']} * (n_chars * 1.0 / greatest(n_tokens, 1))))),
+               6) AS prob
+      FROM f
+    ),
+    b AS (SELECT doc_id, {_GQ_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+             list_sum(list_transform(toks, t -> length(t))) AS chars,
+             len(list_distinct(toks)) AS nd
+      FROM b
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i + 1])))
+               AS gram
+      FROM b WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1),
+    lbl AS (
+      SELECT m.doc_id,
+             (n BETWEEN {_GQ_MIN_TOK} AND {_GQ_MAX_TOK}
+              AND ROUND(chars * 1.0 / n, 6)
+                  BETWEEN {_GQ_MIN_MWL} AND {_GQ_MAX_MWL}
+              AND ROUND(nd * 1.0 / n, 6) > {_GQ_MIN_UNIQ}
+              AND ROUND(COALESCE(top_cnt, 1) * 1.0 / greatest(n - 1, 1), 6)
+                  < {_GQ_MAX_TOP2}) AS pos
+      FROM m LEFT JOIN t2 ON m.doc_id = t2.doc_id
+    ),
+    d AS (
+      SELECT least(9, CAST(floor(z.prob * 10) AS BIGINT)) AS bin,
+             CAST(round(z.prob * 1e6) AS BIGINT) AS pu,
+             CASE WHEN lbl.pos THEN 1 ELSE 0 END AS y
+      FROM z JOIN lbl USING (doc_id)
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(pu) AS DOUBLE) / count(*) / 1e6, 6) AS mean_pred,
+           round(sum(y) * 1e0 / count(*), 6) AS observed_rate
+    FROM d GROUP BY 1
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality scorer: equal-WIDTH 0.1
+    probability bins (floor(p·10), top bin closed), mean predicted
+    probability vs the observed Gopher-label rate per bin — the
+    calibration view the decile LIFT table doesn't give (lift says the
+    ranking works; calibration says whether 0.8 MEANS 80%, which is
+    what a probability-thresholded keep/drop pipeline actually relies
+    on). Bin ids are exact integer floors of the 6dp-rounded score,
+    predicted means ride micro-units — one keyed aggregate, output
+    ≤ 10 rows."""
+    scored = quality_logistic_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_prob").alias("prob")
+    )
+    label = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pos")
+    )
+    d = scored.join(label, "doc_id").select(
+        F.least(
+            F.lit(9), F.floor(F.col("prob") * 10).cast("long")
+        ).alias("bin"),
+        F.round(F.col("prob") * F.lit(1e6)).cast("long").alias("pu"),
+        F.when(F.col("pos"), 1).otherwise(0).alias("y"),
+    )
+    return d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("pu").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 6
+        ).alias("mean_pred"),
+        F.round(F.sum("y") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "observed_rate"
+        ),
+    )
