@@ -4141,3 +4141,82 @@ def user_behavior_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_stat",
         )
     )
+
+
+@register(
+    "cohort_ltv_triangle",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM p GROUP BY 1),
+    cs AS (SELECT cohort_wk, count(*) AS n_users FROM c GROUP BY 1),
+    r AS (
+      SELECT c.cohort_wk, datediff('week', c.cohort_wk, p.wk) AS wk_idx,
+             sum(p.cents) AS rev
+      FROM p JOIN c USING (user_id) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_wk, wk_idx, rev,
+             sum(rev) OVER (PARTITION BY cohort_wk ORDER BY wk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM r
+    )
+    SELECT strftime(cum.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(cum.wk_idx AS BIGINT) AS weeks_since,
+           CAST(cs.n_users AS BIGINT) AS cohort_size,
+           round(cum.rev / 1e2, 2) AS week_revenue,
+           round(cum.cum_rev / 1e2, 2) AS cum_revenue,
+           round(cum.cum_rev * 1e0 / cs.n_users / 1e2, 6) AS ltv_per_user
+    FROM cum JOIN cs USING (cohort_wk)
+    """,
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LTV triangle: cohorts keyed by FIRST-purchase week, columns
+    by weeks-since-cohort, cells holding that week's revenue, the
+    running cumulative, and cumulative LTV per cohort user — the
+    finance-facing growth artifact (younger cohorts' curves stacked
+    under older ones; payback = where ltv_per_user crosses CAC).
+    Revenue rides exact integer cents end to end — the weekly sums and
+    the per-cohort running cumulative are order-exact integer
+    aggregates, divided back to currency only at the edge. Shape: one
+    purchase-grain pass to user cohorts (min week), one keyed
+    aggregate to (cohort, week-index) cells — calendar² cells at most
+    — and a per-cohort running window over those cells. The count
+    grain of this is cohort_retention; this is the REVENUE grain."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+    )
+    c = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cs = c.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
+    r = (
+        p.join(c, "user_id")
+        .groupBy(
+            "cohort_wk",
+            ((F.datediff("wk", "cohort_wk")) / 7).cast("long").alias("wk_idx"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("wk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = r.withColumn("cum_rev", F.sum("rev").over(w))
+    return cum.join(F.broadcast(cs), "cohort_wk").select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("wk_idx").cast("long").alias("weeks_since"),
+        F.col("n_users").cast("long").alias("cohort_size"),
+        F.round(F.col("rev") / F.lit(1e2), 2).alias("week_revenue"),
+        F.round(F.col("cum_rev") / F.lit(1e2), 2).alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev") * F.lit(1.0) / F.col("n_users") / F.lit(1e2), 6
+        ).alias("ltv_per_user"),
+    )

@@ -2104,3 +2104,65 @@ def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "), 6))"
         ).alias("r"),
     )
+
+
+# --- dedup threshold sensitivity curve (r5 continuation) ---------------------
+
+_SENS_THRESHOLDS = [0.30, 0.35, 0.40, 0.45]
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', S.hyperplanes(_N_PLANES, _N_DIMS))} AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    t AS (SELECT unnest([{", ".join(repr(t) + "e0" for t in _SENS_THRESHOLDS)}])
+                 AS threshold)
+    SELECT t.threshold,
+           CAST(count(p.id_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.id_b)
+                FILTER (p.cosine >= t.threshold) AS BIGINT) AS n_docs_removed
+    FROM t LEFT JOIN p ON p.cosine >= t.threshold
+    GROUP BY 1
+    """,
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness curve: candidate near-dup pair counts and
+    keep-lowest-id removal counts at each candidate cosine threshold —
+    computed from ONE bucketed pairwise pass (the expensive part) with
+    the thresholds applied as filters against a tiny unnested
+    threshold frame. This is the tuning report run BEFORE committing a
+    dedup bar: the elbow in n_docs_removed vs threshold is where
+    near-dup structure ends and the similarity background begins.
+    Removal uses the same keep-lowest-id convention as dedup_semantic
+    (a doc is removed if ANY higher-similarity partner precedes it).
+    Scale: identical Σ bucket² posture as dedup_embedding_cosine; the
+    threshold join multiplies surviving PAIRS (bounded) by |thresholds|
+    — never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup(
+        emb, "vec_id", "embedding", n_planes=_N_PLANES,
+        threshold=min(_SENS_THRESHOLDS), n_dims=_N_DIMS,
+    ).cache()
+    ts = local_df(
+        spark, [(t,) for t in _SENS_THRESHOLDS], "threshold DOUBLE"
+    )
+    j = ts.join(
+        pairs, F.col("cosine") >= F.col("threshold"), "left"
+    )
+    return j.groupBy("threshold").agg(
+        F.count("id_a").cast("long").alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("cosine") >= F.col("threshold"), F.col("id_b"))
+        )
+        .cast("long")
+        .alias("n_docs_removed"),
+    )
