@@ -201,3 +201,65 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum(F.length("text")).cast("long").alias("sum_len"),
     )
+
+
+# --- partitioned-layout read-back (partition pruning under the gate) ---------
+
+_PART_STAGED: dict[str, str] = {}
+
+
+@_atexit.register
+def _cleanup_part_staged() -> None:
+    for d in _PART_STAGED.values():
+        _shutil.rmtree(d, ignore_errors=True)
+    _PART_STAGED.clear()
+
+
+def _staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _PART_STAGED:
+        return _PART_STAGED[sf_dir]
+    from dataengineeringproject_spark.schemas import load_table
+
+    d = _tempfile.mkdtemp(prefix="deps_part_events_")
+    (
+        load_table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    _PART_STAGED[sf_dir] = d
+    return d
+
+
+@register(
+    "partition_prune_readback",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           ROUND(ROUND(sum(value), 2) / count(*), 6) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def partition_prune_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase means computed from a HIVE-PARTITIONED copy of
+    events (partitionBy event_type on write), hash-held to DuckDB over
+    the original parquet — the third member of the I/O gate family
+    (CSV, JSONL, partitioned parquet): the event_type predicate now
+    prunes PARTITION DIRECTORIES at planning time instead of filtering
+    rows at scan time, which at 100 TB is the difference between
+    reading 1/5th of the files and reading everything (the layout
+    toolkit's pytest checks assert the pruned-scan plan shape; this
+    query pins the VALUES through the partitioned round trip — the
+    partition column round-trips through directory names, including
+    its string encoding)."""
+    d = _staged_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(d).filter(F.col("event_type") == "purchase")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(
+            F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6
+        ).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
