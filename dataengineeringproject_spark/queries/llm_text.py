@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.functions import text as X
 from dataengineeringproject_spark.operators import dedup as D
+from dataengineeringproject_spark.operators import similarity as SIM
 from dataengineeringproject_spark.registry import register
 from dataengineeringproject_spark.schemas import load_table, local_df
 
@@ -2444,4 +2445,86 @@ def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                - F.col("sx").cast("double") * F.col("sx").cast("double")),
             6,
         ).alias("zipf_slope"),
+    )
+
+
+# --- cross-signal dedup agreement (text MinHash vs embedding cosine) ---------
+
+
+@register(
+    "dedup_signal_agreement",
+    oracle=f"""
+    WITH tp AS (SELECT id_a, id_b FROM ({_neardup_sql()}) t),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {SIM.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', SIM.hyperplanes(4, 64))} AS bucket
+      FROM embeddings
+    ),
+    ep AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35e0
+    ),
+    m AS (
+      SELECT COALESCE(tp.id_a, ep.id_a) AS id_a,
+             tp.id_a IS NOT NULL AS in_text,
+             ep.id_a IS NOT NULL AS in_emb
+      FROM tp FULL OUTER JOIN ep
+        ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
+    )
+    SELECT CAST(count(*) FILTER (in_text AND in_emb) AS BIGINT) AS n_both,
+           CAST(count(*) FILTER (in_text AND NOT in_emb) AS BIGINT)
+             AS n_text_only,
+           CAST(count(*) FILTER (in_emb AND NOT in_text) AS BIGINT)
+             AS n_emb_only,
+           round(count(*) FILTER (in_text AND in_emb) * 1e0
+                 / count(*), 6) AS pair_jaccard
+    FROM m
+    """,
+)
+def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between the TWO independent near-dup signals — text
+    MinHash-LSH pairs (shingle grain) vs embedding-cosine pairs
+    (semantic grain) — as a pair-set confusion row: pairs both signals
+    flag, pairs only one flags, and the Jaccard of the two pair sets.
+    This is the audit a multi-signal dedup deployment runs before
+    choosing union vs intersection policy: text-only pairs are
+    near-verbatim copies whose embeddings drifted (translation,
+    truncation), embedding-only pairs are paraphrases shingles can't
+    see. Both pair generators keep their own bucketed/banded posture;
+    the comparison is a full outer join on the (id_a, id_b) pair key —
+    bounded by the flagged pairs, never the corpus."""
+    tp = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ep = SIM.embedding_neardup(
+        emb, "vec_id", "embedding", n_planes=4, threshold=0.35, n_dims=64
+    ).select(
+        F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b")
+    )
+    m = tp.join(
+        ep,
+        (F.col("id_a") == F.col("e_a")) & (F.col("id_b") == F.col("e_b")),
+        "full_outer",
+    ).select(
+        F.col("id_a").isNotNull().alias("in_text"),
+        F.col("e_a").isNotNull().alias("in_emb"),
+    )
+    return m.agg(
+        F.sum(F.when(F.col("in_text") & F.col("in_emb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(F.col("in_text") & ~F.col("in_emb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_text_only"),
+        F.sum(F.when(F.col("in_emb") & ~F.col("in_text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_emb_only"),
+        F.round(
+            F.sum(
+                F.when(F.col("in_text") & F.col("in_emb"), 1).otherwise(0)
+            )
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pair_jaccard"),
     )
