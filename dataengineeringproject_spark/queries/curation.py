@@ -1441,3 +1441,134 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_rate"
         ),
     )
+
+
+# --- Neyman-allocation stratified sampling (r5 continuation) -----------------
+
+_NEY_K = 500  # total sample budget
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type, count(*) AS n_pop,
+             sqrt(CAST(sum(vu * vu) AS DOUBLE) / count(*)
+                  - (CAST(sum(vu) AS DOUBLE) / count(*))
+                    * (CAST(sum(vu) AS DOUBLE) / count(*))) / 1e3 AS sigma,
+             CAST(sum(vu) AS DOUBLE) / count(*) / 1e3 AS pop_mean
+      FROM (SELECT event_type,
+                   CAST(round(value * 1e3) AS BIGINT) AS vu FROM events)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_pop * sigma) AS w FROM st),
+    alloc AS (
+      SELECT st.*, CAST(round({_NEY_K} * st.n_pop * st.sigma / tot.w)
+                        AS BIGINT) AS k_alloc
+      FROM st CROSS JOIN tot
+    ),
+    h AS (
+      SELECT event_type,
+             CAST(round(value * 1e3) AS BIGINT) AS vu,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                                                 1, 15)) AS BIGINT),
+                        event_id) AS rn
+      FROM events
+    ),
+    smp AS (
+      SELECT h.event_type, count(*) AS n_sampled,
+             CAST(sum(h.vu) AS DOUBLE) / count(*) / 1e3 AS sample_mean
+      FROM h JOIN alloc USING (event_type)
+      WHERE h.rn <= alloc.k_alloc
+      GROUP BY 1
+    )
+    SELECT alloc.event_type, CAST(alloc.n_pop AS BIGINT) AS n_pop,
+           round(alloc.sigma, 6) AS sigma, alloc.k_alloc,
+           CAST(smp.n_sampled AS BIGINT) AS n_sampled,
+           round(alloc.pop_mean, 6) AS pop_mean,
+           round(smp.sample_mean, 6) AS sample_mean
+    FROM alloc JOIN smp USING (event_type)
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the {_NEY_K}-row budget
+    split across strata proportionally to N_h·σ_h — the allocation
+    that minimizes the stratified estimator's variance (equal or
+    proportional allocation wastes budget on low-variance strata; this
+    is the 'optimal' textbook rule). Stratum σ comes from exact
+    integer MILLI-unit sums (micro-units overflow int64 in the
+    squared sums past a few thousand rows per stratum — measured at
+    sf0.01; milli holds to ~3e7 rows/stratum, past which the binned
+    variance machinery takes over); the per-stratum draw is the repo's
+    standard deterministic hash order (md5-prefix integer of event_id,
+    rank ≤ k_h via WindowGroupLimit — both engines pick the identical
+    sample, making the sample mean itself hash-checkable). Output per
+    stratum: population size, σ, allocated k, realized sample size and
+    the sample-vs-population mean. Rounding the allocations
+    independently means Σk can differ from {_NEY_K} by a row or two —
+    deterministic on both engines, noted rather than papered over
+    (largest-remainder apportionment is the refinement)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * F.lit(1e3)).cast("long").alias("vu"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        (
+            F.sqrt(
+                F.sum(F.col("vu") * F.col("vu")).cast("double")
+                / F.count(F.lit(1))
+                - (F.sum("vu").cast("double") / F.count(F.lit(1)))
+                * (F.sum("vu").cast("double") / F.count(F.lit(1)))
+            )
+            / F.lit(1e3)
+        ).alias("sigma"),
+        (F.sum("vu").cast("double") / F.count(F.lit(1)) / F.lit(1e3)).alias(
+            "pop_mean"
+        ),
+    )
+    tot = st.agg(F.sum(F.col("n_pop") * F.col("sigma")).alias("w"))
+    alloc = st.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_pop", "sigma", "pop_mean",
+        F.round(
+            F.lit(_NEY_K) * F.col("n_pop") * F.col("sigma") / F.col("w")
+        )
+        .cast("long")
+        .alias("k_alloc"),
+    )
+    hsh = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy(hsh, F.col("event_id"))
+    h = ev.withColumn("rn", F.row_number().over(w))
+    smp = (
+        h.join(
+            F.broadcast(
+                alloc.select(
+                    F.col("event_type").alias("a_et"), "k_alloc"
+                )
+            ),
+            F.col("event_type") == F.col("a_et"),
+        )
+        .filter(F.col("rn") <= F.col("k_alloc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (
+                F.sum("vu").cast("double") / F.count(F.lit(1)) / F.lit(1e3)
+            ).alias("sample_mean"),
+        )
+    )
+    return alloc.join(smp, "event_type").select(
+        "event_type",
+        F.col("n_pop").cast("long").alias("n_pop"),
+        F.round("sigma", 6).alias("sigma"),
+        "k_alloc",
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.round("pop_mean", 6).alias("pop_mean"),
+        F.round("sample_mean", 6).alias("sample_mean"),
+    )
