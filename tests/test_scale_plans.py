@@ -269,3 +269,19 @@ def test_trend_family_no_raw_sort(spark, name):
     plan = _physical_plan(spark, name)
     bad = _sorts_only_over_aggregates(plan)
     assert not bad, f"sort over un-aggregated scan: {bad}\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "session_overlap_top_pairs",
+        "user_behavior_outliers",
+        "token_pmi_pairs",
+        "copurchase_lift_pairs",
+    ],
+)
+def test_continuation_topk_uses_take_ordered(spark, name):
+    """The continuation queries' top-K heads are claimed as
+    TakeOrderedAndProject heaps — pin it."""
+    plan = _physical_plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, plan
