@@ -4220,3 +4220,155 @@ def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev") * F.lit(1.0) / F.col("n_users") / F.lit(1e2), 6
         ).alias("ltv_per_user"),
     )
+
+
+# --- deterministic Poisson-bootstrap CI (r5 continuation) --------------------
+
+_BOOT_B = 50
+# Poisson(1) CDF thresholds for multiplicities 0..6 (repr round-trip)
+_BOOT_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712,
+]
+_BOOT_SCALE = 2 ** 60  # md5-prefix hash range (60 bits)
+
+
+def _boot_mult_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+@register(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    d AS (
+      SELECT e.event_type, e.vu, b.b,
+             {_boot_mult_sql(
+                 "CAST(concat('0x', substr(md5(concat(b.b, ':', e.event_id)), 1, 15)) AS BIGINT) * 1e0 / " + str(_BOOT_SCALE)
+             )} AS mult
+      FROM e CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    m AS (
+      SELECT event_type, b,
+             CAST(sum(mult * vu) AS DOUBLE) / sum(mult) / 1e3 AS bmean
+      FROM d GROUP BY 1, 2 HAVING sum(mult) > 0
+    ),
+    r AS (
+      SELECT event_type, bmean,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bmean, b) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nb
+      FROM m
+    ),
+    pop AS (
+      SELECT event_type, CAST(sum(vu) AS DOUBLE) / count(*) / 1e3 AS mean
+      FROM e GROUP BY 1
+    )
+    SELECT pop.event_type, round(pop.mean, 6) AS mean,
+           round(max(CASE WHEN rn = (25 * nb + 999) // 1000 THEN bmean END),
+                 6) AS ci_lo,
+           round(max(CASE WHEN rn = (975 * nb + 999) // 1000 THEN bmean END),
+                 6) AS ci_hi,
+           CAST(max(nb) AS BIGINT) AS n_boot
+    FROM r JOIN pop USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the per-type mean via the
+    DETERMINISTIC Poisson bootstrap — the bootstrap that works at
+    100 TB: instead of resampling n rows with replacement (a global
+    shuffle per replicate), each row enters replicate b with
+    multiplicity ~ Poisson(1), and here the multiplicity is derived
+    from the seeded md5 hash of (b, event_id) through the Poisson CDF
+    thresholds — so both engines draw the IDENTICAL {_BOOT_B}
+    replicates and the interval itself value-hashes. One fan-out of
+    {_BOOT_B}× map-side-combines straight back to (type, b) cells;
+    replicate means use exact integer milli-unit sums; CI bounds are
+    rank-selected order statistics (integer rank arithmetic) over the
+    {_BOOT_B} replicate means. The uncertainty number every mean in a
+    report should carry, priced at one aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * F.lit(1e3)).cast("long").alias("vu"),
+    )
+    d = ev.select(
+        "event_type", "vu", "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("b"), F.col("event_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(1.0)
+        / F.lit(float(_BOOT_SCALE))
+    )
+    mult = F.lit(7)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        mult = F.when(u < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(mult)
+    m = (
+        d.withColumn("mult", mult)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("mult") * F.col("vu")).alias("s"),
+            F.sum("mult").alias("c"),
+        )
+        .filter(F.col("c") > 0)
+        .select(
+            "event_type", "b",
+            (F.col("s").cast("double") / F.col("c") / F.lit(1e3)).alias(
+                "bmean"
+            ),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("bmean", "b")
+    wc = Window.partitionBy("event_type")
+    r = m.select(
+        "event_type", "bmean",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("nb"),
+    )
+    pop = ev.groupBy("event_type").agg(
+        (F.sum("vu").cast("double") / F.count(F.lit(1)) / F.lit(1e3)).alias(
+            "mean"
+        )
+    )
+    ci = r.groupBy("event_type").agg(
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(25 * nb + 999) div 1000"),
+                    F.col("bmean"),
+                )
+            ),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(975 * nb + 999) div 1000"),
+                    F.col("bmean"),
+                )
+            ),
+            6,
+        ).alias("ci_hi"),
+        F.max("nb").cast("long").alias("n_boot"),
+    )
+    return pop.join(ci, "event_type").select(
+        "event_type", F.round("mean", 6).alias("mean"),
+        "ci_lo", "ci_hi", "n_boot",
+    )

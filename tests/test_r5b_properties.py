@@ -533,3 +533,52 @@ def test_rfm_segments_account_for_every_purchaser(spark):
     """).fetchone()[0]
     assert out["n_users"].sum() == n_purchasers
     assert out["segment"].str.fullmatch(r"[1-4][1-4][1-4]").all()
+
+
+def test_bootstrap_ci_pure_python(spark):
+    """Third vote: replay the deterministic Poisson bootstrap (same
+    md5-derived multiplicities, same rank-selected CI) in pure
+    Python."""
+    import hashlib
+
+    from dataengineeringproject_spark.queries.advanced import (
+        _BOOT_B,
+        _BOOT_CDF,
+        _BOOT_SCALE,
+    )
+
+    out = _q(spark, "bootstrap_ci_mean").toPandas()
+    rows = duckdb.connect().execute(f"""
+        SELECT event_type, event_id, CAST(round(value * 1e3) AS BIGINT)
+        FROM '{SF_SMOKE}/events.parquet'
+    """).fetchall()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for et, eid, vu in rows:
+        by_type.setdefault(et, []).append((eid, vu))
+
+    def mult(b, eid):
+        u = int(hashlib.md5(f"{b}:{eid}".encode()).hexdigest()[:15], 16) / _BOOT_SCALE
+        for k, t in enumerate(_BOOT_CDF):
+            if u < t:
+                return k
+        return 7
+
+    for et, evs in by_type.items():
+        means = []
+        for b in range(_BOOT_B):
+            s = c = 0
+            for eid, vu in evs:
+                m = mult(b, eid)
+                s += m * vu
+                c += m
+            if c > 0:
+                means.append((s / c / 1e3, b))
+        means.sort()
+        nb = len(means)
+        lo = means[(25 * nb + 999) // 1000 - 1][0]
+        hi = means[(975 * nb + 999) // 1000 - 1][0]
+        got = out[out["event_type"] == et].iloc[0]
+        assert got["n_boot"] == nb
+        assert abs(got["ci_lo"] - lo) < 1e-5, et
+        assert abs(got["ci_hi"] - hi) < 1e-5, et
+        assert got["ci_lo"] <= got["mean"] <= got["ci_hi"], et
