@@ -4372,3 +4372,126 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round("mean", 6).alias("mean"),
         "ci_lo", "ci_hi", "n_boot",
     )
+
+
+# --- binned Mann-Whitney U drift (r5 continuation) ---------------------------
+
+_MWU_CUT = "2024-01-16"  # sample A strictly before; B on/after
+
+
+@register(
+    "drift_mannwhitney_binned",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT e.event_type, {_FINE_BIN_SQL} AS bin,
+             CASE WHEN e.ts < TIMESTAMP '{_MWU_CUT}' THEN 1 ELSE 0 END AS in_a
+      FROM events e JOIN s ON s.event_type = e.event_type
+      WHERE e.value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, bin,
+             sum(in_a) AS na, sum(1 - in_a) AS nb
+      FROM b GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, na, nb,
+             sum(nb) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb
+               AS nb_below
+      FROM g
+    ),
+    u AS (
+      SELECT event_type,
+             sum(na * (2 * nb_below) + na * nb) AS u2,
+             sum(na) AS na_t, sum(nb) AS nb_t,
+             sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS tie_t
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, CAST(na_t AS BIGINT) AS n_a, CAST(nb_t AS BIGINT) AS n_b,
+           round(CAST(u2 AS DOUBLE) / 2e0, 1) AS u_stat,
+           round((CAST(u2 AS DOUBLE) / 2e0
+                  - CAST(na_t AS DOUBLE) * nb_t / 2e0)
+                 / sqrt(CAST(na_t AS DOUBLE) * nb_t / 12e0
+                        * ((na_t + nb_t + 1e0)
+                           - CAST(tie_t AS DOUBLE)
+                             / (CAST(na_t + nb_t AS DOUBLE)
+                                * (na_t + nb_t - 1e0)))), 6) AS z
+    FROM u
+    """,
+)
+def drift_mannwhitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U location-shift test between the pre/post-cutoff
+    value samples per event_type — the NONPARAMETRIC member completing
+    the drift family (KS = shape distance, PSI/JS = mass divergence,
+    chi2 = categorical mix; MW-U asks specifically 'did the
+    distribution SHIFT, ignoring shape'). Binned on the shared
+    per-type fine grid so no raw sort ever runs: within a bin values
+    tie at the midrank, giving the exact binned U as pure INTEGER
+    arithmetic — 2U = Σ na·(2·nb_below) + na·nb — and the classic
+    tie-corrected normal z from the same integer tallies (tie term
+    t³−t per bin is exact int64 up to ~2M rows per bin; past that,
+    coarsen the grid). The only full-data pass is the binning
+    aggregate; everything downstream is ≤ types × {_FINE_BINS}
+    rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    ).select(F.col("event_type").alias("s_et"), "vmin", "vmax")
+    b = ev.join(
+        F.broadcast(s), F.col("event_type") == F.col("s_et")
+    ).select(
+        "event_type",
+        _fine_bin(F.col("value")).alias("bin"),
+        F.when(
+            F.col("ts") < F.lit(_MWU_CUT).cast("timestamp"), 1
+        ).otherwise(0).alias("in_a"),
+    )
+    g = b.groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("na"),
+        F.sum(1 - F.col("in_a")).alias("nb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("nb_below", F.sum("nb").over(w) - F.col("nb"))
+    t = F.col("na") + F.col("nb")
+    u = c.groupBy("event_type").agg(
+        F.sum(
+            F.col("na") * (2 * F.col("nb_below")) + F.col("na") * F.col("nb")
+        ).alias("u2"),
+        F.sum("na").alias("na_t"),
+        F.sum("nb").alias("nb_t"),
+        F.sum(t * t * t - t).alias("tie_t"),
+    )
+    n = F.col("na_t").cast("double") + F.col("nb_t")
+    mu = F.col("na_t").cast("double") * F.col("nb_t") / F.lit(2.0)
+    sig = F.sqrt(
+        F.col("na_t").cast("double") * F.col("nb_t") / F.lit(12.0)
+        * (
+            (F.col("na_t") + F.col("nb_t") + F.lit(1.0))
+            - F.col("tie_t").cast("double")
+            / (
+                (F.col("na_t") + F.col("nb_t")).cast("double")
+                * (F.col("na_t") + F.col("nb_t") - F.lit(1.0))
+            )
+        )
+    )
+    return u.select(
+        "event_type",
+        F.col("na_t").cast("long").alias("n_a"),
+        F.col("nb_t").cast("long").alias("n_b"),
+        F.round(F.col("u2").cast("double") / F.lit(2.0), 1).alias("u_stat"),
+        F.round(
+            (F.col("u2").cast("double") / F.lit(2.0) - mu) / sig, 6
+        ).alias("z"),
+    )

@@ -582,3 +582,44 @@ def test_bootstrap_ci_pure_python(spark):
         assert abs(got["ci_lo"] - lo) < 1e-5, et
         assert abs(got["ci_hi"] - hi) < 1e-5, et
         assert got["ci_lo"] <= got["mean"] <= got["ci_hi"], et
+
+
+def test_mannwhitney_u_brute_force(spark):
+    """Third vote: recompute the binned U by brute-force pair counting
+    (a>b pairs + half-ties) — independent of the cumulative-count
+    formulation the engines use."""
+    out = _q(spark, "drift_mannwhitney_binned").toPandas()
+    rows = duckdb.connect().execute(f"""
+        WITH s AS (
+          SELECT event_type, min(value) AS vmin, max(value) AS vmax
+          FROM '{SF_SMOKE}/events.parquet' WHERE value IS NOT NULL GROUP BY 1
+        )
+        SELECT e.event_type,
+               CASE WHEN s.vmax = s.vmin THEN 0
+                    ELSE CAST(least(floor((e.value - s.vmin) * 256
+                                          / (s.vmax - s.vmin)), 255) AS BIGINT)
+               END AS bin,
+               e.ts < TIMESTAMP '2024-01-16' AS in_a
+        FROM '{SF_SMOKE}/events.parquet' e
+        JOIN s ON s.event_type = e.event_type
+        WHERE e.value IS NOT NULL
+    """).fetchall()
+    from collections import defaultdict
+
+    a_bins, b_bins = defaultdict(list), defaultdict(list)
+    for et, bin_, in_a in rows:
+        (a_bins if in_a else b_bins)[et].append(bin_)
+    for r in out.itertuples(index=False):
+        A, B = a_bins[r.event_type], b_bins[r.event_type]
+        assert r.n_a == len(A) and r.n_b == len(B)
+        u2 = 0
+        from collections import Counter
+
+        ca, cb = Counter(A), Counter(B)
+        for av, an in ca.items():
+            for bv, bn in cb.items():
+                if av > bv:
+                    u2 += 2 * an * bn
+                elif av == bv:
+                    u2 += an * bn
+        assert abs(r.u_stat - u2 / 2) < 0.51, r.event_type
