@@ -596,8 +596,8 @@ def test_mannwhitney_u_brute_force(spark):
         )
         SELECT e.event_type,
                CASE WHEN s.vmax = s.vmin THEN 0
-                    ELSE CAST(least(floor((e.value - s.vmin) * 256
-                                          / (s.vmax - s.vmin)), 255) AS BIGINT)
+                    ELSE CAST(least(floor((e.value - s.vmin) * 1024
+                                          / (s.vmax - s.vmin)), 1023) AS BIGINT)
                END AS bin,
                e.ts < TIMESTAMP '2024-01-16' AS in_a
         FROM '{SF_SMOKE}/events.parquet' e
