@@ -992,3 +992,51 @@ def streaming_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xu"),
     )
     return seasonal_finish(daily)
+
+
+from dataengineeringproject_spark.queries.windows_q import (  # noqa: E402
+    CUSUM_ORACLE as _CUSUM_SHARED_ORACLE,
+)
+
+
+@register(
+    "streaming_cusum_level_shift",
+    # shares the BATCH cusum_level_shift oracle verbatim — the THIRD
+    # consumer of the same per-(type, day) streaming state after the
+    # trend and seasonal monitors.
+    oracle=_CUSUM_SHARED_ORACLE,
+)
+def streaming_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM from the SAME streaming state as the trend and seasonal
+    monitors — three monitors, one watermarked per-(type, 1-day
+    window) (sum, count) aggregation: the concrete payoff of keeping
+    monitors as READ-BACK FINISHERS over shared mergeable state
+    instead of separate streams (state store cost and ingest pressure
+    are paid once; a fourth monitor is a fourth finisher). Converged
+    daily means quantize to exact micro-units and run the SHARED
+    cusum_finish; hash-held to the batch oracle verbatim."""
+    from dataengineeringproject_spark.queries.windows_q import cusum_finish
+
+    d = _staged_events(spark, sf_dir)
+    name = f"cusum_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = read_events_stream(spark, d, max_files_per_trigger=1)
+        agg = (
+            src.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
+        )
+        run_to_memory(agg, name, output_mode="update")
+    conv = (
+        spark.table(name)
+        .groupBy(F.col("w.start").cast("date").alias("day"), "event_type")
+        .agg(F.max("sv").alias("sv"), F.max("n").alias("n"))
+    )
+    daily = conv.select(
+        "event_type",
+        "day",
+        F.round(F.round("sv", 2) / F.col("n") * F.lit(1e6))
+        .cast("long")
+        .alias("xu"),
+    )
+    return cusum_finish(daily)

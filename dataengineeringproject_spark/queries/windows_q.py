@@ -893,9 +893,9 @@ _CUSUM_BASE_CUT = "2024-01-11"  # baseline window: days strictly before
 _CUSUM_H_SIGMA = 3.0            # alarm threshold in baseline sigmas
 
 
-@register(
-    "cusum_level_shift",
-    oracle=f"""
+# Shared by cusum_level_shift and streaming_cusum_level_shift (third
+# consumer of the per-(type, day) streaming state).
+CUSUM_ORACLE = f"""
     WITH {_daily_xu_sql()},
     base AS (
       SELECT event_type,
@@ -918,24 +918,15 @@ _CUSUM_H_SIGMA = 3.0            # alarm threshold in baseline sigmas
            round(cu / 1e6, 6) AS cusum,
            abs(cu) > {_CUSUM_H_SIGMA}e0 * sigma AS alarm
     FROM c
-    """,
-)
-def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM level-shift detector — the statistical-process-control
-    member of the monitoring family (drift_* compare distributions,
-    seasonal_dow_anomaly flags single days; CUSUM accumulates SMALL
-    persistent shifts a per-day z-score never trips): baseline mean μ
-    and σ are frozen from the pre-{_CUSUM_BASE_CUT} window (exact
-    integer sums), and the monitored window accumulates round(x − μ)
-    as an EXACT INTEGER running sum per type — the cumulative sum is
-    order-exact by construction, no float drift across the
-    accumulation. Alarm when |CUSUM| exceeds {_CUSUM_H_SIGMA}σ of the
-    baseline. At 100 TB this runs on the daily pre-aggregate like the
-    whole trend family; the running window partitions per type over
-    calendar-bounded rows."""
+    """
+
+
+def cusum_finish(d: DataFrame) -> DataFrame:
+    """CUSUM over a daily frame (event_type, day DATE, xu LONG) —
+    shared by the batch query and the streaming read-back, both held
+    to CUSUM_ORACLE."""
     from pyspark.sql import Window
 
-    d = _daily_xu(spark, sf_dir)
     cut = F.lit(_CUSUM_BASE_CUT).cast("date")
     base = (
         d.filter(F.col("day") < cut)
@@ -949,9 +940,7 @@ def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.sum("xu").cast("double") / F.count(F.lit(1)))
             ).alias("sigma"),
         )
-        .select(
-            F.col("event_type").alias("b_et"), "mu", "sigma"
-        )
+        .select(F.col("event_type").alias("b_et"), "mu", "sigma")
     )
     w = (
         Window.partitionBy("event_type")
@@ -963,9 +952,7 @@ def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(base), F.col("event_type") == F.col("b_et"))
         .withColumn(
             "cu",
-            F.sum(
-                F.round(F.col("xu") - F.col("mu")).cast("long")
-            ).over(w),
+            F.sum(F.round(F.col("xu") - F.col("mu")).cast("long")).over(w),
         )
     )
     return c.select(
@@ -977,3 +964,20 @@ def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alarm"
         ),
     )
+
+
+@register("cusum_level_shift", oracle=CUSUM_ORACLE)
+def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector — the statistical-process-control
+    member of the monitoring family (drift_* compare distributions,
+    seasonal_dow_anomaly flags single days; CUSUM accumulates SMALL
+    persistent shifts a per-day z-score never trips): baseline mean μ
+    and σ are frozen from the pre-{_CUSUM_BASE_CUT} window (exact
+    integer sums), and the monitored window accumulates round(x − μ)
+    as an EXACT INTEGER running sum per type — the cumulative sum is
+    order-exact by construction, no float drift across the
+    accumulation. Alarm when |CUSUM| exceeds {_CUSUM_H_SIGMA}σ of the
+    baseline. At 100 TB this runs on the daily pre-aggregate like the
+    whole trend family; the running window partitions per type over
+    calendar-bounded rows."""
+    return cusum_finish(_daily_xu(spark, sf_dir))
