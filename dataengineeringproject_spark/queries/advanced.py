@@ -4495,3 +4495,99 @@ def drift_mannwhitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("u2").cast("double") / F.lit(2.0) - mu) / sig, 6
         ).alias("z"),
     )
+
+
+@register(
+    "revenue_lorenz_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey,
+             COALESCE(CAST(round(sum(o.o_totalprice * 100)) AS BIGINT), 0)
+               AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, c_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM rev
+    ),
+    d AS (
+      SELECT least(10, (rn - 1) * 10 // n + 1) AS decile, cents FROM r
+    ),
+    g AS (
+      SELECT decile, count(*) AS n_customers, sum(cents) AS dec_cents
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT sum(dec_cents) AS tot FROM g)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(dec_cents / 1e2, 2) AS decile_revenue,
+           round(sum(dec_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1e0 / t.tot, 6) AS cum_share
+    FROM g CROSS JOIN t
+    """,
+)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind revenue_gini_by_nation's scalar, at
+    customer-decile grain: customers ranked ascending by exact-cents
+    revenue (zero-order customers included at 0 via the left join),
+    cut into ten equal-count deciles by integer rank arithmetic, with
+    each decile's revenue and the cumulative share — the '90% of
+    revenue from the top decile' chart. cum_share is monotone and
+    ends at exactly 1; the gap between the curve and the diagonal IS
+    the Gini. Everything integer until the final share division; the
+    rank window is customer-grain (at extreme scale, cut deciles with
+    the binned-quantile machinery instead)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    rev = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.round(F.sum(F.col("o_totalprice") * 100)).cast("long"),
+                F.lit(0),
+            ).alias("cents")
+        )
+    )
+    one = Window.partitionBy(F.lit(1) * F.lit(1))
+    r = rev.select(
+        "cents",
+        F.row_number().over(one.orderBy("cents", "c_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(one).alias("n"),
+    )
+    d = r.select(
+        F.least(F.lit(10), F.expr("(rn - 1) * 10 div n + 1")).alias("decile"),
+        "cents",
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("dec_cents"),
+    )
+    t = g.agg(F.sum("dec_cents").alias("tot"))
+    wcum = (
+        Window.partitionBy(F.lit(1) * F.lit(1))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("cum", F.sum("dec_cents").over(wcum))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(F.col("dec_cents") / F.lit(1e2), 2).alias(
+                "decile_revenue"
+            ),
+            F.round(
+                F.col("cum") * F.lit(1.0) / F.col("tot"), 6
+            ).alias("cum_share"),
+        )
+    )
