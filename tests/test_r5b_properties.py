@@ -623,3 +623,16 @@ def test_mannwhitney_u_brute_force(spark):
                 elif av == bv:
                     u2 += an * bn
         assert abs(r.u_stat - u2 / 2) < 0.51, r.event_type
+
+
+def test_lorenz_curve_shape(spark):
+    out = _q(spark, "revenue_lorenz_deciles").toPandas().sort_values("decile")
+    s = out["cum_share"].to_numpy()
+    assert (np.diff(s) >= -1e-12).all()
+    assert abs(s[-1] - 1.0) < 1e-9
+    # Lorenz sits under the diagonal (concentration >= equality)
+    frac = out["n_customers"].cumsum() / out["n_customers"].sum()
+    assert (s <= frac.to_numpy() + 1e-9).all()
+    assert out["n_customers"].sum() == duckdb.connect().execute(
+        f"SELECT count(*) FROM '{SF_SMOKE}/customer.parquet'"
+    ).fetchone()[0]
