@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.registry import register
-from dataengineeringproject_spark.schemas import load_table
+from dataengineeringproject_spark.schemas import load_table, local_df
 
 _GAP_MIN = 30
 
@@ -981,3 +981,94 @@ def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole trend family; the running window partitions per type over
     calendar-bounded rows."""
     return cusum_finish(_daily_xu(spark, sf_dir))
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_by_type",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    mu AS (
+      SELECT event_type, CAST(sum(xu) AS DOUBLE) / count(*) AS mu
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT d.event_type, d.day,
+             CAST(round(d.xu - mu.mu) AS BIGINT) AS ru
+      FROM d JOIN mu USING (event_type)
+    ),
+    den AS (
+      SELECT event_type, sum(ru * ru) AS ss FROM r GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    num AS (
+      SELECT a.event_type, lags.lag,
+             count(*) AS n_pairs, sum(a.ru * b.ru) AS sp
+      FROM r a
+      CROSS JOIN lags
+      JOIN r b ON b.event_type = a.event_type
+              AND b.day = a.day + lags.lag * INTERVAL 1 DAY
+      GROUP BY 1, 2
+    )
+    SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag,
+           CAST(num.n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(num.sp AS DOUBLE) / den.ss, 6) AS acf
+    FROM num JOIN den USING (event_type)
+    """,
+)
+def acf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily mean at lags 1..{_ACF_MAX_LAG} per
+    event_type — the diagnostic that PICKS the right monitor from this
+    family (significant lag-7 → use the weekday baseline; slow decay →
+    trend/CUSUM; white → per-day z-scores suffice). Residuals are the
+    same rounded integer micro-unit deviations the seasonal/CUSUM
+    queries use, so numerator and denominator are exact integer sums
+    (calendar-bounded — the day frame caps the products well inside
+    int64); the lag pairing is a calendar self-join on day + lag, so
+    missing days drop pairs instead of misaligning them (the classic
+    off-by-one of positional shifts on gappy series). Output is
+    types × lags rows off the daily pre-aggregate."""
+    d = _daily_xu(spark, sf_dir)
+    mu = d.groupBy("event_type").agg(
+        (F.sum("xu").cast("double") / F.count(F.lit(1))).alias("mu")
+    ).select(F.col("event_type").alias("m_et"), "mu")
+    r = d.join(F.broadcast(mu), F.col("event_type") == F.col("m_et")).select(
+        "event_type", "day",
+        F.round(F.col("xu") - F.col("mu")).cast("long").alias("ru"),
+    )
+    den = r.groupBy("event_type").agg(
+        F.sum(F.col("ru") * F.col("ru")).alias("ss")
+    )
+    lags = local_df(
+        spark, [(k,) for k in range(1, _ACF_MAX_LAG + 1)], "lag BIGINT"
+    )
+    a = r.select("event_type", "day", F.col("ru").alias("ra"))
+    b = r.select(
+        F.col("event_type").alias("b_et"),
+        F.col("day").alias("b_day"),
+        F.col("ru").alias("rb"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b_et") == F.col("event_type"))
+            & (
+                F.col("b_day")
+                == F.expr("date_add(day, CAST(lag AS INT))")
+            ),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sp"),
+        )
+    )
+    return num.join(den, "event_type").select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("sp").cast("double") / F.col("ss"), 6).alias("acf"),
+    )
