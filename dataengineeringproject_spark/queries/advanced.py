@@ -4591,3 +4591,82 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+_BURST_MIN_EVENTS = 6  # >= 5 gaps for a stable CV
+_BURST_TOPK = 20
+
+
+@register(
+    "burstiness_by_user_topk",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)))
+                    AS BIGINT) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n_gaps,
+             sum(gap) AS sg, sum(gap * gap) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+      HAVING count(*) >= {_BURST_MIN_EVENTS - 1}
+    ),
+    cv AS (
+      SELECT user_id, n_gaps,
+             round(CAST(sg AS DOUBLE) / n_gaps, 1) AS mean_gap_sec,
+             round(sqrt(CAST(sgg AS DOUBLE) / n_gaps
+                        - (CAST(sg AS DOUBLE) / n_gaps)
+                          * (CAST(sg AS DOUBLE) / n_gaps))
+                   / NULLIF(CAST(sg AS DOUBLE) / n_gaps, 0), 6) AS cv
+      FROM s
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, mean_gap_sec, cv
+    FROM cv ORDER BY cv DESC, user_id LIMIT {_BURST_TOPK}
+    """,
+)
+def burstiness_by_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BURST_TOPK} burstiest users by the coefficient of
+    variation of their inter-event gaps — the TEMPORAL bot/abuse
+    signal next to the type-mix one (user_behavior_outliers): humans
+    are bursty (CV ≈ 1 for Poisson, > 1 for sessions), schedulers and
+    scripts are metronomic (CV → 0) or pathologically spiky. Gaps are
+    exact floor-epoch-second integers from a per-user lag window
+    ((ts, event_id) total order); per-user Σ, Σ² are exact integer
+    sums so the CV is engine-deterministic; users need ≥
+    {_BURST_MIN_EVENTS - 1} gaps to rank (small-n CVs are noise). The
+    lag window partitions per user — the embarrassingly parallel
+    shape — and the head is a TakeOrdered heap."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= _BURST_MIN_EVENTS - 1)
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(
+        F.col("sgg").cast("double") / F.col("n_gaps") - mean * mean
+    )
+    cv = s.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.round(mean, 1).alias("mean_gap_sec"),
+        F.round(F.try_divide(sd, mean), 6).alias("cv"),
+    )
+    return cv.orderBy(F.desc("cv"), F.asc("user_id")).limit(_BURST_TOPK)
