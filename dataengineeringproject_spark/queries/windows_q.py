@@ -1072,3 +1072,136 @@ def acf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.round(F.col("sp").cast("double") / F.col("ss"), 6).alias("acf"),
     )
+
+
+@register(
+    "pacf_daily_by_type",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    mu AS (
+      SELECT event_type, CAST(sum(xu) AS DOUBLE) / count(*) AS mu
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT d.event_type, d.day,
+             CAST(round(d.xu - mu.mu) AS BIGINT) AS ru
+      FROM d JOIN mu USING (event_type)
+    ),
+    den AS (SELECT event_type, sum(ru * ru) AS ss FROM r GROUP BY 1),
+    num AS (
+      SELECT a.event_type, k.lag, sum(a.ru * b.ru) AS sp
+      FROM r a
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS lag) k
+      JOIN r b ON b.event_type = a.event_type
+              AND b.day = a.day + k.lag * INTERVAL 1 DAY
+      GROUP BY 1, 2
+    ),
+    rr AS (
+      SELECT den.event_type,
+             max(CASE WHEN lag = 1 THEN CAST(sp AS DOUBLE) / ss END) AS r1,
+             max(CASE WHEN lag = 2 THEN CAST(sp AS DOUBLE) / ss END) AS r2,
+             max(CASE WHEN lag = 3 THEN CAST(sp AS DOUBLE) / ss END) AS r3
+      FROM num JOIN den USING (event_type) GROUP BY 1
+    ),
+    dl AS (
+      SELECT event_type, r1, r2, r3,
+             r1 AS a11,
+             (r2 - r1 * r1) / NULLIF(1e0 - r1 * r1, 0) AS a22
+      FROM rr
+    ),
+    dl2 AS (
+      SELECT *, a11 - a22 * a11 AS a21 FROM dl
+    ),
+    p AS (
+      SELECT event_type, 1 AS lag, a11 AS pacf FROM dl2
+      UNION ALL SELECT event_type, 2, a22 FROM dl2
+      UNION ALL
+      SELECT event_type, 3,
+             (r3 - a21 * r2 - a22 * r1)
+             / NULLIF(1e0 - a21 * r1 - a22 * r2, 0)
+      FROM dl2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, round(pacf, 6) AS pacf
+    FROM p
+    """,
+)
+def pacf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    closed forms over the SAME integer-exact autocorrelations as
+    acf_daily_by_type — the other half of the Box–Jenkins diagnostic
+    pair (ACF tails + PACF cutoff at p ⇒ AR(p); the reverse ⇒ MA):
+    φ11 = r1, φ22 = (r2 − r1²)/(1 − r1²), φ33 from the k = 3
+    recursion. Every r_k is a ratio of exact integer sums, and the
+    recursion is scalar per-row arithmetic mirrored operation-for-
+    operation in both engines (NULL on the degenerate unit-root
+    denominators via NULLIF/try_divide). Output is types × 3 rows off
+    the daily pre-aggregate."""
+    d = _daily_xu(spark, sf_dir)
+    mu = d.groupBy("event_type").agg(
+        (F.sum("xu").cast("double") / F.count(F.lit(1))).alias("mu")
+    ).select(F.col("event_type").alias("m_et"), "mu")
+    r = d.join(F.broadcast(mu), F.col("event_type") == F.col("m_et")).select(
+        "event_type", "day",
+        F.round(F.col("xu") - F.col("mu")).cast("long").alias("ru"),
+    )
+    den = r.groupBy("event_type").agg(
+        F.sum(F.col("ru") * F.col("ru")).alias("ss")
+    )
+    lags = local_df(spark, [(1,), (2,), (3,)], "lag BIGINT")
+    a = r.select("event_type", "day", F.col("ru").alias("ra"))
+    b = r.select(
+        F.col("event_type").alias("b_et"),
+        F.col("day").alias("b_day"),
+        F.col("ru").alias("rb"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b_et") == F.col("event_type"))
+            & (F.col("b_day") == F.expr("date_add(day, CAST(lag AS INT))")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("ra") * F.col("rb")).alias("sp"))
+    )
+    def rk(k: int):
+        return F.max(
+            F.when(
+                F.col("lag") == k, F.col("sp").cast("double") / F.col("ss")
+            )
+        )
+
+    rr = (
+        num.join(den, "event_type")
+        .groupBy("event_type")
+        .agg(rk(1).alias("r1"), rk(2).alias("r2"), rk(3).alias("r3"))
+    )
+    a11 = F.col("r1")
+    a22 = F.try_divide(
+        F.col("r2") - F.col("r1") * F.col("r1"),
+        F.lit(1.0) - F.col("r1") * F.col("r1"),
+    )
+    dl2 = rr.select(
+        "event_type", "r1", "r2", "r3",
+        a11.alias("a11"), a22.alias("a22"),
+    ).withColumn("a21", F.col("a11") - F.col("a22") * F.col("a11"))
+    p1 = dl2.select(
+        "event_type", F.lit(1).cast("long").alias("lag"),
+        F.col("a11").alias("pacf"),
+    )
+    p2 = dl2.select(
+        "event_type", F.lit(2).cast("long").alias("lag"),
+        F.col("a22").alias("pacf"),
+    )
+    p3 = dl2.select(
+        "event_type", F.lit(3).cast("long").alias("lag"),
+        F.try_divide(
+            F.col("r3") - F.col("a21") * F.col("r2")
+            - F.col("a22") * F.col("r1"),
+            F.lit(1.0) - F.col("a21") * F.col("r1")
+            - F.col("a22") * F.col("r2"),
+        ).alias("pacf"),
+    )
+    return p1.unionAll(p2).unionAll(p3).select(
+        "event_type", "lag", F.round("pacf", 6).alias("pacf")
+    )
