@@ -636,3 +636,37 @@ def test_lorenz_curve_shape(spark):
     assert out["n_customers"].sum() == duckdb.connect().execute(
         f"SELECT count(*) FROM '{SF_SMOKE}/customer.parquet'"
     ).fetchone()[0]
+
+
+def test_acf_pacf_numpy(spark):
+    """Third vote: recompute the integer-residual ACF by direct
+    products in numpy and the PACF by the Durbin-Levinson closed
+    forms from those same r values."""
+    acf = _q(spark, "acf_daily_by_type").toPandas()
+    pacf = _q(spark, "pacf_daily_by_type").toPandas()
+    daily = duckdb.connect().execute(f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(round(round(sum(value), 2) / count(*) * 1e6) AS BIGINT) AS xu
+        FROM '{SF_SMOKE}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    for et, g in daily.groupby("event_type"):
+        xu = g["xu"].to_numpy()
+        ru = np.round(xu - xu.mean()).astype(np.int64)
+        ss = int((ru * ru).sum())
+        rs = {}
+        for k in range(1, 8):
+            sp = int((ru[:-k] * ru[k:]).sum())  # contiguous days
+            rs[k] = sp / ss
+            got = acf[(acf["event_type"] == et) & (acf["lag"] == k)]
+            assert abs(got["acf"].iloc[0] - round(rs[k], 6)) < 2e-6, (et, k)
+            assert got["n_pairs"].iloc[0] == len(ru) - k
+        r1, r2, r3 = rs[1], rs[2], rs[3]
+        a11 = r1
+        a22 = (r2 - r1 * r1) / (1 - r1 * r1)
+        a21 = a11 - a22 * a11
+        a33 = (r3 - a21 * r2 - a22 * r1) / (1 - a21 * r1 - a22 * r2)
+        for k, want in ((1, a11), (2, a22), (3, a33)):
+            got = pacf[(pacf["event_type"] == et) & (pacf["lag"] == k)]
+            assert abs(got["pacf"].iloc[0] - round(want, 6)) < 2e-6, (et, k)
+        # bounded like correlations
+        assert all(abs(v) <= 1 + 1e-9 for v in rs.values())
