@@ -1205,3 +1205,132 @@ def pacf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionAll(p2).unionAll(p3).select(
         "event_type", "lag", F.round("pacf", 6).alias("pacf")
     )
+
+
+_EWC_ALPHA = 0.3
+_EWC_L = 3.0
+
+
+@register(
+    "ewma_control_chart",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    base AS (
+      SELECT event_type,
+             CAST(sum(xu) AS DOUBLE) / count(*) / 1e6 AS mu,
+             sqrt(CAST(sum(xu * xu) AS DOUBLE) / count(*)
+                  - (CAST(sum(xu) AS DOUBLE) / count(*))
+                    * (CAST(sum(xu) AS DOUBLE) / count(*))) / 1e6 AS sigma
+      FROM d WHERE day < DATE '{_CUSUM_BASE_CUT}' GROUP BY 1
+    ),
+    m AS (
+      SELECT d.event_type, d.day, d.xu / 1e6 AS x, base.mu, base.sigma,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY d.day) AS t
+      FROM d JOIN base USING (event_type)
+      WHERE d.day >= DATE '{_CUSUM_BASE_CUT}'
+    ),
+    e AS (
+      SELECT event_type, day, x, mu, sigma, t,
+             pow(1e0 - {_EWC_ALPHA}e0, t)
+             * (mu + sum({_EWC_ALPHA}e0
+                         * pow(1e0 / (1e0 - {_EWC_ALPHA}e0), t) * x)
+                  OVER (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS ewma_raw
+      FROM m
+    ),
+    lim AS (
+      SELECT event_type, day, x, t, ewma_raw, mu,
+             {_EWC_L}e0 * sigma
+             * sqrt({_EWC_ALPHA}e0 / (2e0 - {_EWC_ALPHA}e0)
+                    * (1e0 - pow(1e0 - {_EWC_ALPHA}e0, 2 * t))) AS band
+      FROM e
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(x, 6) AS daily_mean,
+           round(ewma_raw, 6) AS ewma,
+           round(mu + band, 6) AS ucl,
+           round(mu - band, 6) AS lcl,
+           (ewma_raw > mu + band OR ewma_raw < mu - band) AS alarm
+    FROM lim
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (α = {_EWC_ALPHA}, L = {_EWC_L}) — CUSUM's
+    SPC sibling: the smoothed statistic s_t = α·x_t + (1−α)·s_(t−1)
+    seeded at the frozen baseline mean, charted against the
+    TIME-VARYING limits μ ± L·σ·sqrt(α/(2−α)·(1−(1−α)^2t)) that widen
+    from the seed to the asymptote — tighter than CUSUM for moderate
+    shifts arriving early in the window. The recurrence is linearized
+    into ONE running-sum window by the same rescale trick as
+    ewma_daily_by_type (exponent bounded by days-per-type, so no
+    overflow on a calendar-bounded monitor window); baseline μ/σ come
+    from exact integer sums; prefix-window sums evaluate in day order
+    on both engines. Alarm when the smoothed statistic exits the
+    band — the chart a dashboard actually draws."""
+    from pyspark.sql import Window
+
+    d = _daily_xu(spark, sf_dir)
+    cut = F.lit(_CUSUM_BASE_CUT).cast("date")
+    base = (
+        d.filter(F.col("day") < cut)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum("xu").cast("double") / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("mu"),
+            (
+                F.sqrt(
+                    F.sum(F.col("xu") * F.col("xu")).cast("double")
+                    / F.count(F.lit(1))
+                    - (F.sum("xu").cast("double") / F.count(F.lit(1)))
+                    * (F.sum("xu").cast("double") / F.count(F.lit(1)))
+                )
+                / F.lit(1e6)
+            ).alias("sigma"),
+        )
+        .select(F.col("event_type").alias("b_et"), "mu", "sigma")
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    m = (
+        d.filter(F.col("day") >= cut)
+        .join(F.broadcast(base), F.col("event_type") == F.col("b_et"))
+        .select(
+            "event_type", "day",
+            (F.col("xu") / F.lit(1e6)).alias("x"),
+            "mu", "sigma",
+        )
+        .withColumn("t", F.row_number().over(wt))
+    )
+    a = _EWC_ALPHA
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    term = F.lit(a) * F.pow(F.lit(1.0 / (1.0 - a)), F.col("t")) * F.col("x")
+    ewma = F.pow(F.lit(1.0 - a), F.col("t")) * (
+        F.col("mu") + F.sum(term).over(wrun)
+    )
+    band = (
+        F.lit(_EWC_L)
+        * F.col("sigma")
+        * F.sqrt(
+            F.lit(a / (2.0 - a))
+            * (F.lit(1.0) - F.pow(F.lit(1.0 - a), 2 * F.col("t")))
+        )
+    )
+    e = m.withColumn("ewma_raw", ewma).withColumn("band", band)
+    return e.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 6).alias("daily_mean"),
+        F.round("ewma_raw", 6).alias("ewma"),
+        F.round(F.col("mu") + F.col("band"), 6).alias("ucl"),
+        F.round(F.col("mu") - F.col("band"), 6).alias("lcl"),
+        (
+            (F.col("ewma_raw") > F.col("mu") + F.col("band"))
+            | (F.col("ewma_raw") < F.col("mu") - F.col("band"))
+        ).alias("alarm"),
+    )
