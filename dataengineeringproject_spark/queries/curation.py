@@ -1572,3 +1572,86 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pop_mean", 6).alias("pop_mean"),
         F.round("sample_mean", 6).alias("sample_mean"),
     )
+
+
+@register(
+    "corr_chars_quality_by_source",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source, n_chars,
+             CAST(round(
+               1.0 / (1.0 + exp(-({_QLR['b0']}
+                 + {_QLR['w_logtok']} * ln(1 + len({X.tokens_sql('text')}))
+                 + {_QLR['w_stop']} * {X.stopword_ratio_sql('text')}
+                 + {_QLR['w_punct']} * {X.punct_ratio_sql('text')}
+                 + {_QLR['w_cpt']} * (length(text) * 1.0
+                     / greatest(len({X.tokens_sql('text')}), 1)))))
+               * 1e6) AS BIGINT) AS qu
+      FROM documents
+    ),
+    s AS (
+      SELECT source, count(*) AS n,
+             sum(n_chars) AS sx, sum(qu) AS sy,
+             sum(n_chars * qu) AS sxy,
+             sum(n_chars * n_chars) AS sxx, sum(qu * qu) AS syy
+      FROM f GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0), 6)
+             AS pearson_r
+    FROM s
+    """,
+)
+def corr_chars_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length and the model
+    quality score, per source — the standardized sibling of the trend
+    family's OLS slope, and the audit that catches a DEGENERATE
+    quality model (|r| near 1 against raw length means the 'model' is
+    just a length filter — exactly the failure mode of naive quality
+    classifiers). Five exact integer sufficient statistics per source
+    (scores quantized to micro-units, lengths already integer), the
+    closed form on their deterministic double casts, NULL on
+    zero-variance slices. One map-side-combined aggregate over the
+    fused scan projection — the scorer itself never leaves codegen."""
+    d = _docs(spark, sf_dir)
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    qu = F.round((1.0 / (1.0 + F.exp(-z))) * F.lit(1e6)).cast("long")
+    f = d.select("source", F.col("n_chars"), qu.alias("qu"))
+    s = f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum("qu").alias("sy"),
+        F.sum(F.col("n_chars") * F.col("qu")).alias("sxy"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.sum(F.col("qu") * F.col("qu")).alias("syy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.try_divide(num, den), 6).alias("pearson_r"),
+    )

@@ -1334,3 +1334,99 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("ewma_raw") < F.col("mu") - F.col("band"))
         ).alias("alarm"),
     )
+
+
+_PGRAM_PERIODS = [7.0, 3.5, 2.0]  # days
+
+
+@register(
+    "periodogram_power_daily",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    mu AS (
+      SELECT event_type, CAST(sum(xu) AS DOUBLE) / count(*) AS mu
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT d.event_type,
+             datediff('day', DATE '{_TREND_EPOCH}', d.day) AS t,
+             CAST(round(d.xu - mu.mu) AS BIGINT) AS ru
+      FROM d JOIN mu USING (event_type)
+    ),
+    p AS (SELECT unnest([{", ".join(repr(p) + "e0" for p in _PGRAM_PERIODS)}])
+                 AS period),
+    terms AS (
+      SELECT r.event_type, p.period,
+             CAST(round(r.ru * cos(2e0 * pi() * r.t / p.period) / 1e3)
+                  AS BIGINT) AS cu,
+             CAST(round(r.ru * sin(2e0 * pi() * r.t / p.period) / 1e3)
+                  AS BIGINT) AS su
+      FROM r CROSS JOIN p
+    ),
+    s AS (
+      SELECT event_type, period, sum(cu) AS sc, sum(su) AS ss2,
+             count(*) AS n
+      FROM terms GROUP BY 1, 2
+    ),
+    den AS (SELECT event_type, sum(ru * ru) AS sse FROM r GROUP BY 1)
+    SELECT s.event_type, s.period,
+           round((CAST(sc AS DOUBLE) * sc + CAST(ss2 AS DOUBLE) * ss2)
+                 * 1e6 / (s.n * CAST(den.sse AS DOUBLE)), 6)
+             AS rel_power
+    FROM s JOIN den USING (event_type)
+    """,
+)
+def periodogram_power_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of the daily mean at candidate periods
+    (7 / 3.5 / 2 days) per event_type — the SPECTRAL member of the
+    time-series diagnostics (ACF says 'correlated at lag 7', the
+    periodogram says 'a weekly oscillation carries X of the
+    variance'): rel_power = (Σru·cos(2πt/P))² + (Σru·sin(2πt/P))²
+    normalized by n·Σru² (Schuster periodogram over the centered
+    integer residuals, t anchored at the shared trend epoch so both
+    engines evaluate identical phases). Cos/sin projections are
+    quantized to kilo-unit integers per term so the Goertzel-style
+    sums are order-exact; the candidate-period frame is a tiny
+    unnest — one pass over the daily frame computes every period. A
+    dominant 7-day line justifies the weekday baseline; power at
+    un-harmonic periods flags sampling artifacts."""
+    d = _daily_xu(spark, sf_dir)
+    mu = d.groupBy("event_type").agg(
+        (F.sum("xu").cast("double") / F.count(F.lit(1))).alias("mu")
+    ).select(F.col("event_type").alias("m_et"), "mu")
+    r = d.join(F.broadcast(mu), F.col("event_type") == F.col("m_et")).select(
+        "event_type",
+        F.datediff("day", F.lit(_TREND_EPOCH).cast("date")).alias("t"),
+        F.round(F.col("xu") - F.col("mu")).cast("long").alias("ru"),
+    )
+    pframe = local_df(
+        spark, [(p,) for p in _PGRAM_PERIODS], "period DOUBLE"
+    )
+    import math as _math
+
+    ang = F.lit(2.0 * _math.pi) * F.col("t") / F.col("period")
+    terms = r.crossJoin(F.broadcast(pframe)).select(
+        "event_type", "period",
+        F.round(F.col("ru") * F.cos(ang) / F.lit(1e3)).cast("long").alias("cu"),
+        F.round(F.col("ru") * F.sin(ang) / F.lit(1e3)).cast("long").alias("su"),
+    )
+    s = terms.groupBy("event_type", "period").agg(
+        F.sum("cu").alias("sc"),
+        F.sum("su").alias("ss2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    den = r.groupBy("event_type").agg(
+        F.sum(F.col("ru") * F.col("ru")).alias("sse")
+    )
+    return s.join(den, "event_type").select(
+        "event_type", "period",
+        F.round(
+            (
+                F.col("sc").cast("double") * F.col("sc")
+                + F.col("ss2").cast("double") * F.col("ss2")
+            )
+            * F.lit(1e6)
+            / (F.col("n") * F.col("sse").cast("double")),
+            6,
+        ).alias("rel_power"),
+    )
