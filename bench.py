@@ -117,9 +117,27 @@ def _run_headline(spark, qs, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # 2 dp: the per-query floats dominate the JSON line's length,
+        # and the driver's tail capture truncated r5's record — 10 ms
+        # resolution is ample for a wall-clock benchmark (VERDICT r5
+        # item 1).
+        timings[name] = round(time.perf_counter() - t0, 2)
         assert n >= 0
     return timings
+
+
+def _emit(payload: dict) -> None:
+    """Print the record as the FINAL stdout line AND persist it to
+    bench_out.json, so the measurement survives even when the driver's
+    tail capture truncates stdout (which unparseably clipped
+    BENCH_r05.json — VERDICT r5 item 1)."""
+    line = json.dumps(payload, separators=(",", ":"))
+    Path(__file__).resolve().parent.joinpath("bench_out.json").write_text(
+        line + "\n"
+    )
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 def main() -> None:
@@ -155,16 +173,14 @@ def main() -> None:
             name: round(per_sf["0.1"][name] / max(per_sf["0.01"][name], 1e-9), 2)
             for name in per_sf["0.1"]
         }
-        print(
-            json.dumps(
-                {"metric": "scale_trend", "unit": "sec",
-                 "per_sf": per_sf, "ratio_10x": ratio}
-            )
+        _emit(
+            {"metric": "scale_trend", "unit": "sec",
+             "per_sf": per_sf, "ratio_10x": ratio}
         )
         return
 
     timings = _run_headline(spark, qs, sf_dir)
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
     # Machine-readable scale posture (registry scale_class metadata):
     # "diagnostic" rows are exact ground-truth variants kept for recall
     # measurement — their scalable twin carries the 100 TB number, so a
@@ -173,17 +189,15 @@ def main() -> None:
         n for n, c in registry.scale_classes().items()
         if c == "diagnostic" and n in timings
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "diagnostic_queries": diag,
-                "sf": sf,
-            }
-        )
+    _emit(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "diagnostic_queries": diag,
+            "sf": sf,
+        }
     )
 
 

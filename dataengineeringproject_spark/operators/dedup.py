@@ -141,6 +141,27 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_table(
+    sigs: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(id, band_id, band_key) — the LSH posting index: the signature
+    split into `bands` band keys, one row per (doc, band). This is the
+    shape a PERSISTED corpus signature index stores (bucketed by
+    band_key at scale), so an incremental batch can band-join against
+    the corpus without recomputing corpus signatures
+    (dedup_incremental_minhash)."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
@@ -150,16 +171,7 @@ def lsh_candidate_pairs(
 
     The self-join is an equi-join on (band_id, band_key) — at scale a
     plain shuffle join whose cost is bucket-sized, not corpus-sized."""
-    rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    banded = band_table(sigs, id_col, n_hashes=n_hashes, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -64,8 +64,12 @@ def cosine(a: Column, b: Column) -> Column:
     (empty documents embed to zeros), and Spark 4 runs ANSI by default.
     try_divide equals plain division wherever the denominator is
     nonzero, so every oracle pairing is value-identical on real data;
-    on a zero vector DuckDB's list_cosine_similarity yields NaN, which
-    the differential harness normalizes identically to NULL."""
+    on a zero vector DuckDB 1.0's list_cosine_similarity yields -1.0
+    (measured — NOT NaN), so every oracle wraps it in a zero-norm CASE
+    guard (CASE WHEN list_inner_product(x,x)=0 ... THEN NULL) to agree
+    with this NULL, including under ORDER BY ... DESC where both
+    engines then rank zero vectors last (pinned in
+    tests/test_r6_advice.py)."""
     return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 

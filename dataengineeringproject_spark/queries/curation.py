@@ -1124,6 +1124,12 @@ _FUZ_SAMPLE_MOD = 10  # recall truth anchors: doc_id % this == 0
 
 @register(
     "fuzzy_recall_blocked",
+    # diagnostic: the TRUTH side is an anchored all-pairs non-equi join
+    # (sampled anchors vs the FULL corpus, a BroadcastNestedLoopJoin
+    # that is O(n²/mod) in corpus size) — inherently a recall
+    # measurement, never a production path; the production query is
+    # fuzzy_pairs_blocked (VERDICT r5 item 3).
+    scale_class="diagnostic",
     oracle=f"""
     WITH p AS (
       SELECT doc_id,

@@ -801,6 +801,159 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental NEAR-dup dedup (batch vs persisted signature index) ---------
+
+_SIG_INDEX_STAGED: dict[str, str] = {}
+
+
+def _incr_bucket_sql(col: str) -> str:
+    """DuckDB expr: the deterministic 0-99 split bucket of a doc id."""
+    return f"{X.token_hash_sql(f'CAST({col} AS VARCHAR)', seed=_INCR_SEED)} % 100"
+
+
+def _incr_bucket(col: str) -> F.Column:
+    """Spark twin of _incr_bucket_sql."""
+    return X.token_hash(F.col(col).cast("string"), seed=_INCR_SEED) % 100
+
+
+def _staged_sig_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the EXISTING corpus's LSH band index — (doc_id,
+    band_id, band_key), one row per (doc, band) — to parquet ONCE per
+    sf_dir, standing in for the persisted signature table a production
+    deployment maintains next to the corpus. At 100 TB this table is
+    bucketed BY band_key so the daily batch's band join is co-located
+    and touches only matching buckets; it is appended to as batches
+    are accepted, and the corpus text is never re-shingled."""
+    if sf_dir in _SIG_INDEX_STAGED:
+        return _SIG_INDEX_STAGED[sf_dir]
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    existing = d.filter(_incr_bucket("doc_id") < _INCR_EXISTING_PCT)
+    sigs = D.minhash_signatures(
+        existing, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K
+    )
+    bt = D.band_table(sigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
+    path = tempfile.mkdtemp(prefix="deps_sig_index_")
+    bt.write.mode("overwrite").parquet(path)
+    _SIG_INDEX_STAGED[sf_dir] = path
+    return path
+
+
+def _incr_minhash_sql() -> str:
+    sh = D.shingles_sql(_TOKS, _SHINGLE_K)
+    mh = _mh_exprs()
+    rows_per_band = _N_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    pct = _INCR_EXISTING_PCT
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+    hb AS (SELECT doc_id,
+           list_transform(sh, s -> {X.token_hash_sql('s')} % {D.MINHASH_P}) AS h
+           FROM sh),
+    sigs AS (SELECT doc_id, {mh} FROM hb),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE {_incr_bucket_sql('a.doc_id')} >= {pct}
+         OR {_incr_bucket_sql('b.doc_id')} >= {pct}
+    ),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.sh, y.sh)) * 1.0 /
+             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard,
+           CASE WHEN {_incr_bucket_sql('id_a')} >= {pct}
+                 AND {_incr_bucket_sql('id_b')} >= {pct}
+                THEN 'within_batch' ELSE 'vs_corpus' END AS pair_type
+    FROM j WHERE jac >= {_NEARDUP_T}
+    """
+
+
+@register("dedup_incremental_minhash", oracle=_incr_minhash_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the steady-state production shape
+    (VERDICT r5 item 4): the newly-landed batch (the same 10% hash
+    slice as dedup_incremental_batch) computes MinHash signatures and
+    band keys for ITSELF ONLY, then band-joins against the PERSISTED
+    corpus signature index (_staged_sig_index: a parquet table of
+    (doc_id, band_id, band_key) — the corpus is never re-shingled or
+    re-banded). Candidates = (corpus x batch band collisions) UNION
+    (within-batch LSH), then exact-Jaccard verify ≥ {_NEARDUP_T} over
+    shingles computed only for docs that appear in a candidate pair
+    (semi-join bounded — corpus text is touched only for matched
+    docs). Oracle: full-corpus LSH in DuckDB restricted to pairs
+    touching the batch — identical banding, so the incremental path
+    provably loses nothing vs re-running LSH on corpus+batch.
+
+    At 100 TB: the index is bucketed by band_key (co-located join,
+    matching buckets only), each accepted batch appends its bands, and
+    per-day cost is O(batch) + O(collisions), never O(corpus)."""
+    d = _docs(spark, sf_dir)
+    pct = _INCR_EXISTING_PCT
+    batch = d.filter(_incr_bucket("doc_id") >= pct)
+    bsh = D.shingle_table(batch, "doc_id", "text", k=_SHINGLE_K).cache()
+    bsigs = D.minhash_signatures(
+        batch, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K,
+        shingles_df=bsh,
+    )
+    bbands = D.band_table(bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
+    # corpus side: READ BACK the persisted index — the plan must show a
+    # parquet scan here, not a recomputation from documents (pinned in
+    # tests/test_scale_plans.py).
+    cbands = spark.read.parquet(_staged_sig_index(spark, sf_dir))
+    vs_corpus = (
+        cbands.alias("c")
+        .join(
+            bbands.alias("b"),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.least(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    within = D.lsh_candidate_pairs(
+        bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS
+    )
+    cand = vs_corpus.unionByName(within).distinct()
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    verify_docs = d.join(F.broadcast(ids), "doc_id", "left_semi")
+    pairs = D.jaccard_on_pairs(
+        cand, verify_docs, "doc_id", "text", k=_SHINGLE_K,
+        threshold=_NEARDUP_T,
+    )
+    return pairs.withColumn(
+        "pair_type",
+        F.when(
+            (_incr_bucket("id_a") >= pct) & (_incr_bucket("id_b") >= pct),
+            F.lit("within_batch"),
+        ).otherwise(F.lit("vs_corpus")),
+    )
+
+
 # --- BM25 ranking + BPE pair statistics (r4) --------------------------------
 
 _BM25_TERMS = ["spark", "join"]
@@ -2463,7 +2616,7 @@ def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35e0
+      WHERE ROUND(CASE WHEN list_inner_product(a.emb, a.emb) = 0 OR list_inner_product(b.emb, b.emb) = 0 THEN NULL ELSE list_cosine_similarity(a.emb, b.emb) END, 6) >= 0.35e0
     ),
     m AS (
       SELECT COALESCE(tp.id_a, ep.id_a) AS id_a,

@@ -27,7 +27,7 @@ _QID_LIST = ", ".join(str(i) for i in _QUERY_IDS)
     q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id IN ({_QID_LIST})),
     scored AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     ),
     ranked AS (
@@ -60,7 +60,7 @@ _CENTROID_MOD, _NPROBE = 31, 4
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid, row_number() OVER (
           PARTITION BY v.vec_id
-          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+          ORDER BY ROUND(CASE WHEN list_inner_product(v.emb, v.emb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(v.emb, c.cemb) END, 6) DESC, c.cid ASC
         ) AS rn FROM v, c
       ) WHERE rn = 1
     ),
@@ -69,13 +69,13 @@ _CENTROID_MOD, _NPROBE = 31, 4
       SELECT query_id, cid FROM (
         SELECT q.query_id, c.cid, row_number() OVER (
           PARTITION BY q.query_id
-          ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cid ASC
+          ORDER BY ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, c.cemb) END, 6) DESC, c.cid ASC
         ) AS rn FROM q, c
       ) WHERE rn <= {_NPROBE}
     ),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM p JOIN a USING (cid)
       JOIN q ON q.query_id = p.query_id
       JOIN v ON v.vec_id = a.vec_id
@@ -114,19 +114,19 @@ def _ivf_probe_sql(cents: str, prefix: str, nprobe: int, k: int) -> str:
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid, row_number() OVER (
           PARTITION BY v.vec_id
-          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+          ORDER BY ROUND(CASE WHEN list_inner_product(v.emb, v.emb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(v.emb, c.cemb) END, 6) DESC, c.cid ASC
         ) AS rn FROM v, {cents} c) WHERE rn = 1
     ),
     {prefix}p AS (
       SELECT query_id, cid FROM (
         SELECT q.query_id, c.cid, row_number() OVER (
           PARTITION BY q.query_id
-          ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cid ASC
+          ORDER BY ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, c.cemb) END, 6) DESC, c.cid ASC
         ) AS rn FROM q, {cents} c) WHERE rn <= {nprobe}
     ),
     {prefix}sc AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM {prefix}p p JOIN {prefix}a a USING (cid)
       JOIN q ON q.query_id = p.query_id
       JOIN v ON v.vec_id = a.vec_id
@@ -174,7 +174,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_ivf_probe_sql(f'k{_TRAIN_ITERS}', 'i', _NPROBE, 3)},
     es AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     ),
     etop AS (
@@ -198,7 +198,13 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the trained-IVF index against the exact cosine top-3
     ground truth, per query — the measurement loop that makes ANN
-    tunable (nprobe/train_iters vs recall) instead of faith-based."""
+    tunable (nprobe/train_iters vs recall) instead of faith-based.
+
+    The TRUTH side is ANCHOR-BOUNDED: {len(_QUERY_IDS)} fixed query
+    vectors broadcast against one linear corpus scan — O(|Q|·n), not
+    all-pairs — so this recall query stays scale_class="scalable"
+    (contrast fuzzy_recall_blocked, whose anchored-vs-full-corpus
+    non-equi truth join is tagged diagnostic)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=3)
     approx = S.ivf_topk(
@@ -236,7 +242,7 @@ _NEARDUP_COS_T = 0.35
     ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(a.emb, a.emb) = 0 OR list_inner_product(b.emb, b.emb) = 0 THEN NULL ELSE list_cosine_similarity(a.emb, b.emb) END, 6) AS cosine
       FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= {_NEARDUP_COS_T}
@@ -265,7 +271,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM v WHERE vec_id IN ({_QID_LIST})),
     scored AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
     ),
     ranked AS (
@@ -362,7 +368,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(scale, 6) AS scale,
-           ROUND(list_cosine_similarity(emb, deq), 6) AS cos_recon,
+           ROUND(CASE WHEN list_inner_product(emb, emb) = 0 OR list_inner_product(deq, deq) = 0 THEN NULL ELSE list_cosine_similarity(emb, deq) END, 6) AS cos_recon,
            ROUND(list_max(list_transform(
              emb, x -> abs(x - round(x / scale) * scale))), 6) AS max_abs_err,
            CAST(n_sat AS BIGINT) AS n_saturated
@@ -451,7 +457,7 @@ _PQ_DSUB = _N_DIMS // _PQ_M   # 8 dims per subspace
            ROUND(list_sum(list_transform(generate_series(1, {_N_DIMS}),
                           i -> (v.v[i] - e.recon[i]) ^ 2)) / {_N_DIMS}, 6)
              AS recon_mse,
-           ROUND(list_cosine_similarity(v.v, e.recon), 6) AS recon_cos
+           ROUND(CASE WHEN list_inner_product(v.v, v.v) = 0 OR list_inner_product(e.recon, e.recon) = 0 THEN NULL ELSE list_cosine_similarity(v.v, e.recon) END, 6) AS recon_cos
     FROM enc e JOIN v USING (vec_id)
     """,
 )
@@ -708,14 +714,14 @@ def _ivfpq_sql(k: int) -> str:
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid, row_number() OVER (
           PARTITION BY v.vec_id
-          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+          ORDER BY ROUND(CASE WHEN list_inner_product(v.emb, v.emb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(v.emb, c.cemb) END, 6) DESC, c.cid ASC
         ) AS rn FROM v, {cents} c) WHERE rn = 1
     ),
     vp AS (
       SELECT query_id, cid FROM (
         SELECT q.query_id, c.cid, row_number() OVER (
           PARTITION BY q.query_id
-          ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cid ASC
+          ORDER BY ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, c.cemb) END, 6) DESC, c.cid ASC
         ) AS rn FROM q, {cents} c) WHERE rn <= {_NPROBE}
     ),
     sub AS (
@@ -871,7 +877,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_ivfpq_sql(_ADC_K)},
     es AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     ),
     etop AS (
@@ -899,7 +905,9 @@ def ann_recall_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, PQ loses precision to 8-byte codes (and ranks by L2 while
     the ground truth ranks by cosine), and this reports exactly how
     much, per query. The number a 100 TB deployment tunes nprobe /
-    codebook size against."""
+    codebook size against. Truth side is anchor-bounded (fixed
+    broadcast query set × one corpus scan, O(|Q|·n)) — scalable, not
+    diagnostic."""
     ivfpq = _ivfpq_df(spark, sf_dir, _ADC_K)
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=_ADC_K)
@@ -941,7 +949,7 @@ def _rrf_oracle() -> str:
       SELECT query_id, doc_id, rank_d FROM (
         SELECT q.query_id, v.vec_id AS doc_id, row_number() OVER (
           PARTITION BY q.query_id
-          ORDER BY ROUND(list_cosine_similarity(q.qemb, v.emb), 6) DESC,
+          ORDER BY ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) DESC,
                    v.vec_id ASC) AS rank_d
         FROM q JOIN v ON v.vec_id <> q.query_id
       ) WHERE rank_d <= {_RRF_POOL}
@@ -1061,10 +1069,10 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (
       SELECT vec_id, cid, ccos FROM (
         SELECT v.vec_id, c.cid,
-               ROUND(list_cosine_similarity(v.emb, c.cemb), 6) AS ccos,
+               ROUND(CASE WHEN list_inner_product(v.emb, v.emb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(v.emb, c.cemb) END, 6) AS ccos,
                row_number() OVER (
                  PARTITION BY v.vec_id
-                 ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+                 ORDER BY ROUND(CASE WHEN list_inner_product(v.emb, v.emb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(v.emb, c.cemb) END, 6) DESC,
                           c.cid ASC) AS rn
         FROM v, k{_TRAIN_ITERS} c) WHERE rn = 1
     )
@@ -1158,7 +1166,7 @@ _DC_TOPK = 3
     ),
     scored AS (
       SELECT v.source, v.vec_id AS doc_id,
-             ROUND(list_cosine_similarity(v.emb, c.cv), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(v.emb, v.emb) = 0 OR list_inner_product(c.cv, c.cv) = 0 THEN NULL ELSE list_cosine_similarity(v.emb, c.cv) END, 6) AS cosine
       FROM v JOIN c USING (source)
     )
     SELECT source, doc_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
@@ -1230,7 +1238,7 @@ _SEM_T = 0.35  # same near-dup cosine bar as dedup_embedding_cosine
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid, row_number() OVER (
           PARTITION BY v.vec_id
-          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC, c.cid ASC
+          ORDER BY ROUND(CASE WHEN list_inner_product(v.emb, v.emb) = 0 OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL ELSE list_cosine_similarity(v.emb, c.cemb) END, 6) DESC, c.cid ASC
         ) AS rn FROM v, k{_TRAIN_ITERS} c) WHERE rn = 1
     ),
     dups AS (
@@ -1238,7 +1246,7 @@ _SEM_T = 0.35  # same near-dup cosine bar as dedup_embedding_cosine
       FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
       JOIN v vx ON vx.vec_id = x.vec_id
       JOIN v vy ON vy.vec_id = y.vec_id
-      WHERE ROUND(list_cosine_similarity(vx.emb, vy.emb), 6) >= {_SEM_T}e0
+      WHERE ROUND(CASE WHEN list_inner_product(vx.emb, vx.emb) = 0 OR list_inner_product(vy.emb, vy.emb) = 0 THEN NULL ELSE list_cosine_similarity(vx.emb, vy.emb) END, 6) >= {_SEM_T}e0
     )
     SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
            a.vec_id IN (SELECT vec_id FROM dups) AS is_dup
@@ -1315,7 +1323,7 @@ _MRL_DIMS = 16  # retrieval prefix: first 16 of the 64 dims
     qt AS (SELECT vec_id AS query_id, emb AS qemb FROM t WHERE vec_id IN ({_QID_LIST})),
     es AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     ),
     etop AS (
@@ -1326,7 +1334,7 @@ _MRL_DIMS = 16  # retrieval prefix: first 16 of the 64 dims
     ),
     ts AS (
       SELECT qt.query_id, t.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(qt.qemb, t.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(qt.qemb, qt.qemb) = 0 OR list_inner_product(t.emb, t.emb) = 0 THEN NULL ELSE list_cosine_similarity(qt.qemb, t.emb) END, 6) AS cosine
       FROM qt JOIN t ON t.vec_id <> qt.query_id
     ),
     ttop AS (
@@ -1355,7 +1363,8 @@ def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is the tier that fits in cluster memory, and this query is
     how a deployment decides which prefix length holds recall. Same
     broadcast-query / streamed-corpus shape as cosine_topk, run at
-    both widths."""
+    both widths; truth side anchor-bounded (O(|Q|·n)) — scalable, not
+    diagnostic."""
     emb = load_table(spark, sf_dir, "embeddings")
     full = emb.select("vec_id", "embedding")
     trunc = emb.select(
@@ -1650,7 +1659,7 @@ _HNM_K = 5
           FROM v WHERE vec_id IN ({_QID_LIST})),
     scored AS (
       SELECT q.query_id, v.vec_id AS neighbor_id, v.source AS neg_source,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.source <> q.q_source
     ),
     ranked AS (
@@ -1945,7 +1954,7 @@ def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM v WHERE vec_id IN ({_QID_LIST})),
     ascored AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
     ),
     atop AS (
@@ -1956,7 +1965,7 @@ def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     es AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qemb, v.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     ),
     etop AS (
@@ -1982,7 +1991,9 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Matryoshka recall already measured): single-table LSH probes
     1/2^{_N_PLANES} of the corpus in expectation, and THIS number is
     what that probe saving costs. Same broadcast-query shapes as the
-    underlying indexes; the comparison join is on ≤ |Q|·k rows."""
+    underlying indexes; the comparison join is on ≤ |Q|·k rows and the
+    truth side is anchor-bounded (O(|Q|·n)) — scalable, not
+    diagnostic."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=3)
     approx = S.lsh_cosine_topk(
@@ -2121,7 +2132,7 @@ _SENS_THRESHOLDS = [0.30, 0.35, 0.40, 0.45]
     ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+             ROUND(CASE WHEN list_inner_product(a.emb, a.emb) = 0 OR list_inner_product(b.emb, b.emb) = 0 THEN NULL ELSE list_cosine_similarity(a.emb, b.emb) END, 6) AS cosine
       FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     t AS (SELECT unnest([{", ".join(repr(t) + "e0" for t in _SENS_THRESHOLDS)}])

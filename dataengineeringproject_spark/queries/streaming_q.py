@@ -897,6 +897,34 @@ from dataengineeringproject_spark.queries.windows_q import (  # noqa: E402
 )
 
 
+def _converged_daily_xu(spark: SparkSession, name: str) -> DataFrame:
+    """Recover the converged per-(event_type, day) daily mean in exact
+    integer micro-units from an update-mode (sum, count) emission log.
+
+    Selection is the `_final_state` pattern: the row with the max
+    MONOTONE counter ``n`` per (window, event_type) is the final
+    emission, and ``sv`` is read from THAT row — NOT ``max(sv)``,
+    which is only correct while values are non-negative (the events
+    schema permits negative DOUBLEs, under which the running sum is
+    not monotone and max(sv) would pick a mid-stream emission;
+    ADVICE r5)."""
+    w = Window.partitionBy("w", "event_type").orderBy(F.desc("n"))
+    conv = (
+        spark.table(name)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "sv", "n")
+    )
+    return conv.select(
+        "event_type",
+        "day",
+        F.round(F.round("sv", 2) / F.col("n") * F.lit(1e6))
+        .cast("long")
+        .alias("xu"),
+    )
+
+
 @register(
     "streaming_trend_slope",
     # shares the BATCH trend_slope_daily oracle verbatim: the streaming
@@ -913,8 +941,9 @@ def streaming_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| x |watermarked days|, not event volume — and the batch
     read-back quantizes the converged daily means to exact integer
     micro-units and runs the SHARED trend_finish closed form. Both
-    emissions are monotone under positive values, so the converged
-    state is the per-key max of the update log. A production deploy
+    count is monotone per key, so the converged state is the max-count
+    emission per key (sum read from that row — see
+    _converged_daily_xu). A production deploy
     emits the refreshed slope per window close — the 'is the metric
     drifting' number next to the PSI distribution monitor."""
     from dataengineeringproject_spark.queries.windows_q import trend_finish
@@ -929,19 +958,7 @@ def streaming_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
         )
         run_to_memory(agg, name, output_mode="update")
-    conv = (
-        spark.table(name)
-        .groupBy(F.col("w.start").cast("date").alias("day"), "event_type")
-        .agg(F.max("sv").alias("sv"), F.max("n").alias("n"))
-    )
-    daily = conv.select(
-        "event_type",
-        "day",
-        F.round(F.round("sv", 2) / F.col("n") * F.lit(1e6))
-        .cast("long")
-        .alias("xu"),
-    )
-    return trend_finish(daily)
+    return trend_finish(_converged_daily_xu(spark, name))
 
 
 from dataengineeringproject_spark.queries.windows_q import (  # noqa: E402
@@ -979,19 +996,7 @@ def streaming_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
         )
         run_to_memory(agg, name, output_mode="update")
-    conv = (
-        spark.table(name)
-        .groupBy(F.col("w.start").cast("date").alias("day"), "event_type")
-        .agg(F.max("sv").alias("sv"), F.max("n").alias("n"))
-    )
-    daily = conv.select(
-        "event_type",
-        "day",
-        F.round(F.round("sv", 2) / F.col("n") * F.lit(1e6))
-        .cast("long")
-        .alias("xu"),
-    )
-    return seasonal_finish(daily)
+    return seasonal_finish(_converged_daily_xu(spark, name))
 
 
 from dataengineeringproject_spark.queries.windows_q import (  # noqa: E402
@@ -1027,16 +1032,4 @@ def streaming_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
         )
         run_to_memory(agg, name, output_mode="update")
-    conv = (
-        spark.table(name)
-        .groupBy(F.col("w.start").cast("date").alias("day"), "event_type")
-        .agg(F.max("sv").alias("sv"), F.max("n").alias("n"))
-    )
-    daily = conv.select(
-        "event_type",
-        "day",
-        F.round(F.round("sv", 2) / F.col("n") * F.lit(1e6))
-        .cast("long")
-        .alias("xu"),
-    )
-    return cusum_finish(daily)
+    return cusum_finish(_converged_daily_xu(spark, name))

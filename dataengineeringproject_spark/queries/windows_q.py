@@ -663,7 +663,7 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wc).alias("n"),
     )
     return r.filter(
-        F.col("rn") == (F.col("n") + 1) / 2
+        F.col("rn") == F.expr("(n + 1) div 2")
     ).select(
         "event_type",
         F.col("n").cast("long").alias("n_pairs"),

@@ -151,7 +151,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_lag_delta": 3,
     "window_range_rolling_7d": 3,
     "zscore_per_group": 3,
-    # --- round 4 is the newest green driver row (50 queries)
+    # --- round 4 is the newest green driver row (49 queries)
     "ann_ivf_topk": 4,
     "ann_ivf_trained_topk": 4,
     "ann_lsh_topk": 4,
@@ -201,6 +201,57 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "value_quantiles_binned": 4,
     "variant_props_extract": 4,
     "window_rank_family": 4,
+    # --- round 5 is the newest green driver row (50 queries)
+    "ann_ivfpq_topk": 5,
+    "ann_recall_matryoshka": 5,
+    "ann_recall_trained_ivfpq": 5,
+    "attribution_first_last_touch": 5,
+    "audience_overlap_daily": 5,
+    "bootstrap_ci_mean": 5,
+    "bpe_train_apply_e2e": 5,
+    "bpe_train_k_merges": 5,
+    "burstiness_by_user_topk": 5,
+    "char_entropy_quality": 5,
+    "cohort_ltv_triangle": 5,
+    "copurchase_lift_pairs": 5,
+    "corr_chars_quality_by_source": 5,
+    "dedup_cluster_size_histogram": 5,
+    "dedup_keep_best_quality": 5,
+    "dedup_semantic": 5,
+    "dedup_signal_agreement": 5,
+    "domain_centroid_topk": 5,
+    "drift_js_binned": 5,
+    "drift_mannwhitney_binned": 5,
+    "drift_psi_value": 5,
+    "fk_integrity_audit": 5,
+    "funnel_latency_quantiles": 5,
+    "hard_negative_mining": 5,
+    "hll_intersection_estimate": 5,
+    "jaccard_prefix_filter_join": 5,
+    "kmeans_cluster_stats": 5,
+    "lang_mix_entropy_by_source": 5,
+    "langid_confusion": 5,
+    "pagerank_event_graph": 5,
+    "pca_power_iteration": 5,
+    "profile_table": 5,
+    "quality_bigram_nll": 5,
+    "quantiles_binned_rollup": 5,
+    "revenue_gini_by_nation": 5,
+    "revenue_lorenz_deciles": 5,
+    "rfm_segments": 5,
+    "sample_neyman_allocation": 5,
+    "score_calibration_bins": 5,
+    "score_decile_lift": 5,
+    "ship_lead_time_quantiles": 5,
+    "snapshot_diff_users": 5,
+    "survival_kaplan_meier": 5,
+    "tfidf_cosine_pairs": 5,
+    "token_pmi_pairs": 5,
+    "topic_terms_ctfidf": 5,
+    "triangle_count_suppliers": 5,
+    "user_behavior_outliers": 5,
+    "vocab_coverage_topk": 5,
+    "zipf_slope_vocab": 5,
 }
 
 
