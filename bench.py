@@ -108,6 +108,9 @@ HEADLINE = [
     "quality_bigram_nll",
     "session_peak_concurrency",
     "csv_roundtrip_daily",
+    "dedup_incremental_minhash",
+    "trend_mann_kendall",
+    "cdc_merge_on_read_compaction",
 ]
 
 

@@ -2431,6 +2431,107 @@ def cdc_latest_state_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- merge-on-read CDC compaction --------------------------------------------
+
+_CDC_CUTOFF = "2024-01-21 00:00:00"  # base = first 20 days, deltas = rest
+_CDC_BASE_STAGED: dict[str, str] = {}
+
+
+def _staged_cdc_base(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the compacted BASE snapshot — latest non-tombstone
+    state per key among changes BEFORE the cutoff — to parquet once per
+    sf_dir: the stored base file of a merge-on-read table (Iceberg/Hudi
+    MOR, Delta + CDF). In production this file set is what the LAST
+    compaction wrote; the query reads it back instead of re-collapsing
+    pre-cutoff history."""
+    if sf_dir in _CDC_BASE_STAGED:
+        return _CDC_BASE_STAGED[sf_dir]
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(_CDC_CUTOFF).cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="deps_cdc_base_")
+    base.write.mode("overwrite").parquet(path)
+    _CDC_BASE_STAGED[sf_dir] = path
+    return path
+
+
+@register(
+    "cdc_merge_on_read_compaction",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_op,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           ROUND(value, 6) AS last_value,
+           CASE WHEN ts >= TIMESTAMP '{_CDC_CUTOFF}'
+                THEN 'delta' ELSE 'base' END AS src
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_merge_on_read_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-on-read compaction (VERDICT r5 item 8) — the table-format
+    shape next to cdc_latest_state_tombstones: a merge-on-read table is
+    a compacted BASE snapshot (one row per live key, stored parquet —
+    _staged_cdc_base) plus a DELTA change log (changes after the last
+    compaction). This query IS the compaction job that folds them into
+    the next base: latest-per-key window over the DELTA SLICE ONLY
+    (the base is already unique per key and every delta outranks every
+    base change by time, so newest-wins needs no cross-slice
+    comparison), non-tombstone delta winners become rows, base rows
+    survive only for keys the delta log never touched (left-anti on
+    delta keys), and a key whose newest delta is a tombstone ('error'
+    op = DELETE marker) is dropped rather than resurrected from base.
+
+    The correctness invariant IS the oracle: the compacted output must
+    equal collapsing the FULL change log from scratch (with src
+    provenance = which side the surviving row came from). Cost shape
+    at 100 TB: one window over the delta log (days, not history), one
+    scan of the base snapshot, an anti-join on delta keys — never a
+    window over full history, which is exactly why MOR compaction
+    stays cheap as the table ages."""
+    from pyspark.sql import Window
+
+    base = (
+        spark.read.parquet(_staged_cdc_base(spark, sf_dir))
+        .withColumn("src", F.lit("base"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    deltas = ev.filter(F.col("ts") >= F.lit(_CDC_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    dl = deltas.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    delta_rows = dl.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.round("value", 6).alias("last_value"),
+        F.lit("delta").alias("src"),
+    )
+    delta_keys = deltas.select("user_id").distinct()
+    surviving_base = base.join(delta_keys, "user_id", "left_anti")
+    return delta_rows.unionByName(surviving_base)
+
+
 _QB_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
 
 

@@ -671,6 +671,106 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MK_SCHEMA = "event_type string, n_days long, s_stat long, var_s double, z double"
+
+
+@register(
+    "trend_mann_kendall",
+    oracle=f"""
+    WITH {_daily_xu_sql()},
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.xu > a.xu THEN 1
+                  WHEN b.xu < a.xu THEN -1 ELSE 0 END AS sg
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+          FROM p GROUP BY 1),
+    n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT event_type, xu, count(*) AS tc FROM d GROUP BY 1, 2),
+    tt AS (SELECT event_type,
+                  sum(tc * (tc - 1) * (2 * tc + 5)) AS tie_term
+           FROM t GROUP BY 1),
+    v AS (
+      SELECT n.event_type, n.n,
+             (n.n * (n.n - 1) * (2 * n.n + 5) - tt.tie_term) AS num
+      FROM n JOIN tt USING (event_type)
+    )
+    SELECT v.event_type, CAST(v.n AS BIGINT) AS n_days,
+           CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+           v.num / 18 AS var_s,
+           CASE WHEN v.num > 0 AND COALESCE(s.s_stat, 0) > 0
+                  THEN (s.s_stat - 1) / sqrt(v.num / 18)
+                WHEN v.num > 0 AND COALESCE(s.s_stat, 0) < 0
+                  THEN (s.s_stat + 1) / sqrt(v.num / 18)
+                WHEN v.num > 0 THEN 0e0
+                ELSE NULL END AS z
+    FROM v LEFT JOIN s USING (event_type)
+    """,
+)
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event_type — the nonparametric
+    hypothesis-test sibling of trend_theil_sen (Theil–Sen estimates the
+    slope, MK says whether a monotone trend EXISTS): S = Σ_{{i<j}}
+    sign(x_j − x_i) over the daily means in day order, tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected z = (S∓1)/√Var(S) (NULL when Var = 0: fewer
+    than 2 distinct days).
+
+    Deliberately implemented as grouped **applyInPandas** — the
+    repo's registered exemplar of the ONE Python-exec shape the fleet
+    plan audit permits (Arrow-batched FlatMapGroupsInPandas; zero
+    row-at-a-time BatchEvalPython). The grouped frame is the DAILY
+    pre-aggregate — calendar-bounded (a year is ~366 rows per type),
+    so the O(n²) pair loop inside the UDF is O(days²), never event
+    volume, and the only shuffle Python sees is |types| tiny groups.
+    All statistics are exact-integer micro-unit arithmetic until the
+    final /18 and sqrt, so the doubles are bit-identical to the
+    oracle's."""
+    import pandas as pd
+
+    d = _daily_xu(spark, sf_dir)
+
+    def _mk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from collections import Counter
+
+        x = [int(v) for v in pdf.sort_values("day")["xu"]]
+        n = len(x)
+        s = sum(
+            (x[j] > x[i]) - (x[j] < x[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(x).values()
+        )
+        num = n * (n - 1) * (2 * n + 5) - tie_term
+        var_s = num / 18
+        if num > 0:
+            import math
+
+            z = (
+                (s - 1) / math.sqrt(var_s)
+                if s > 0
+                else ((s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+            )
+        else:
+            z = None
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": n,
+                    "s_stat": s,
+                    "var_s": var_s,
+                    "z": z,
+                }
+            ]
+        )
+
+    return d.groupBy("event_type").applyInPandas(_mk, _MK_SCHEMA)
+
+
 @register(
     "session_peak_concurrency",
     oracle=f"""

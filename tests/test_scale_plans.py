@@ -318,3 +318,43 @@ def test_ann_ivfpq_no_all_pairs(spark):
     scoring (VERDICT r5 item 6)."""
     plan = _physical_plan(spark, "ann_ivfpq_topk")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mann_kendall_arrow_batched_over_daily_agg(spark):
+    """trend_mann_kendall is the registered exemplar of the ONE
+    Python-exec shape the fleet audit permits: Arrow-batched grouped
+    applyInPandas (FlatMapGroupsInPandas), never row-at-a-time
+    BatchEvalPython — and the grouped frame is the calendar-bounded
+    daily pre-aggregate, so an aggregate sits between the Python node
+    and the raw events scan."""
+    plan = _physical_plan(spark, "trend_mann_kendall")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "FlatMapGroupsInPandas" not in ln:
+            continue
+        d = _depth(ln)
+        agg_seen = False
+        for nxt in lines[i + 1 :]:
+            if _depth(nxt) <= d:
+                break
+            if _AGG_RE.search(nxt):
+                agg_seen = True
+            if "Scan parquet" in nxt:
+                assert agg_seen, f"Python node fed by raw scan:\n{plan}"
+
+
+def test_cdc_compaction_windows_delta_slice_only(spark):
+    """cdc_merge_on_read_compaction reads the compacted base from the
+    STAGED parquet snapshot (deps_cdc_base_) and runs its
+    latest-per-key window over the delta slice only — the only events
+    scans in the plan are the two delta-side reads (window + delta-key
+    anti-join), never a window over full history."""
+    plan = _physical_plan(spark, "cdc_merge_on_read_compaction")
+    assert "deps_cdc_base_" in plan, plan
+    n_event_scans = len(
+        [ln for ln in plan.splitlines()
+         if "Scan parquet" in ln and "events.parquet" in ln]
+    )
+    assert n_event_scans == 2, plan  # delta window + delta-keys anti-join
