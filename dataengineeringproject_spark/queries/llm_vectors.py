@@ -1737,16 +1737,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT i, count(*) AS n, sum(qv) AS s, sum(qv * qv) AS ss FROM t GROUP BY 1
     ),
-    z AS (
-      SELECT t.vec_id, t.i,
-             round((t.qv - CAST(st.s AS DOUBLE) / st.n)
-                   / NULLIF(sqrt(CAST(st.ss AS DOUBLE) / st.n
-                                 - (CAST(st.s AS DOUBLE) / st.n)
-                                   * (CAST(st.s AS DOUBLE) / st.n)), 0), 6)
-               AS zv
-      FROM t JOIN st USING (i)
-    )
-    SELECT vec_id, list(zv ORDER BY i) AS z FROM z GROUP BY 1
+    SELECT t.vec_id, CAST(t.i AS BIGINT) AS i,
+           round((t.qv - CAST(st.s AS DOUBLE) / st.n)
+                 / NULLIF(sqrt(CAST(st.ss AS DOUBLE) / st.n
+                               - (CAST(st.s AS DOUBLE) / st.n)
+                                 * (CAST(st.s AS DOUBLE) / st.n)), 0), 6)
+             AS z
+    FROM t JOIN st USING (i)
     """,
 )
 def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1758,45 +1755,37 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-independent integer aggregates), so mean/std — and
     therefore every standardized value — are engine-identical doubles.
     Shape: one posexplode aggregate map-side-combines to {_N_DIMS}
-    stat rows, broadcast back onto the corpus; the rewrite itself is a
-    per-row array transform — no second shuffle. Output keeps the
-    array form so downstream consumers chain without reassembly."""
+    stat rows, broadcast-joined back onto the exploded corpus — no
+    second shuffle. Output is the EXPLODED long form (vec_id, i, z),
+    one row per (vector, dimension): the shape a feature store ingests
+    and the shape the driver's canonicalizer can hash (array-typed
+    output columns crashed its pandas sort in round 6)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qz = emb.select(
+    t = emb.select(
         "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * F.lit(1e3)).cast("long"),
-        ).alias("q"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(1e3)).cast("long"),
+            )
+        ).alias("i", "qv"),
     )
-    st = (
-        qz.select(F.posexplode("q").alias("i", "qv"))
-        .groupBy("i")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("qv").alias("s"),
-            F.sum(F.col("qv") * F.col("qv")).alias("ss"),
-        )
+    st = t.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n")
     sd = F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
-    stats = st.select(
-        F.struct("i", mean.alias("m"), sd.alias("sd")).alias("r")
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list("r")), lambda r: r["m"]
-        ).alias("ms"),
-        F.transform(
-            F.array_sort(F.collect_list("r")), lambda r: r["sd"]
-        ).alias("sds"),
-    )
+    stats = st.select("i", mean.alias("m"), sd.alias("sd"))
     # try_divide: a CONSTANT dimension (real corpora: padding dims) has
-    # sd = 0 — its z is NULL instead of an ANSI DIVIDE_BY_ZERO abort.
-    return qz.crossJoin(F.broadcast(stats)).select(
+    # sd = 0 — its z is NULL instead of an ANSI DIVIDE_BY_ZERO abort
+    # (matches the oracle's NULLIF(sd, 0)).
+    return t.join(F.broadcast(stats), "i").select(
         "vec_id",
-        F.expr(
-            "transform(q, (x, i) -> round(try_divide("
-            "x - element_at(ms, i + 1), element_at(sds, i + 1)), 6))"
+        F.col("i").cast("long").alias("i"),
+        F.round(
+            F.try_divide(F.col("qv") - F.col("m"), F.col("sd")), 6
         ).alias("z"),
     )
 
@@ -2044,12 +2033,9 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN rn = (75 * n + 99) // 100 THEN qv END) AS q75
       FROM r GROUP BY 1
     ),
-    z AS (
-      SELECT t.vec_id, t.i,
-             round((t.qv - st.med) * 1e0 / NULLIF(st.q75 - st.q25, 0), 6) AS rv
-      FROM t JOIN st USING (i)
-    )
-    SELECT vec_id, list(rv ORDER BY i) AS r FROM z GROUP BY 1
+    SELECT t.vec_id, CAST(t.i AS BIGINT) AS i,
+           round((t.qv - st.med) * 1e0 / NULLIF(st.q75 - st.q25, 0), 6) AS r
+    FROM t JOIN st USING (i)
     """,
 )
 def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2062,21 +2048,24 @@ def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical doubles. A zero IQR (constant-to-the-quartiles
     dim) yields NULL, not an ANSI abort. Shape: the quantile windows
     partition BY DIMENSION — {_N_DIMS} independent sorts of n rows
-    each, embarrassingly parallel and bounded per partition; stats
-    broadcast back as ordered arrays; the rewrite is a per-row
-    transform. (At extreme n swap the exact rank-select for the binned
-    approx quantiles — value_quantiles_binned's machinery.)"""
+    each, embarrassingly parallel and bounded per partition; the
+    {_N_DIMS}-row stats frame broadcast-joins back onto the exploded
+    corpus. Output is the EXPLODED long form (vec_id, i, r) — same
+    driver-hashable contract as embedding_standardize. (At extreme n
+    swap the exact rank-select for the binned approx quantiles —
+    value_quantiles_binned's machinery.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    qz = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * F.lit(1e3)).cast("long"),
-        ).alias("q"),
-    )
     from pyspark.sql import Window
 
-    t = qz.select("vec_id", F.posexplode("q").alias("i", "qv"))
+    t = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(1e3)).cast("long"),
+            )
+        ).alias("i", "qv"),
+    )
     wo = Window.partitionBy("i").orderBy("qv", "vec_id")
     wc = Window.partitionBy("i")
     r = t.select(
@@ -2093,26 +2082,15 @@ def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == _cut(50), F.col("qv"))).alias("med"),
         F.max(F.when(F.col("rn") == _cut(75), F.col("qv"))).alias("q75"),
     )
-    stats = st.select(
-        F.struct(
-            "i",
-            F.col("med").alias("m"),
-            (F.col("q75") - F.col("q25")).alias("iqr"),
-        ).alias("s")
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list("s")), lambda s: s["m"]
-        ).alias("ms"),
-        F.transform(
-            F.array_sort(F.collect_list("s")), lambda s: s["iqr"]
-        ).alias("iqrs"),
-    )
-    return qz.crossJoin(F.broadcast(stats)).select(
+    return t.join(F.broadcast(st), "i").select(
         "vec_id",
-        F.expr(
-            "transform(q, (x, i) -> round(try_divide("
-            "(x - element_at(ms, i + 1)) * 1.0e0, element_at(iqrs, i + 1)"
-            "), 6))"
+        F.col("i").cast("long").alias("i"),
+        F.round(
+            F.try_divide(
+                (F.col("qv") - F.col("med")) * F.lit(1.0),
+                F.col("q75") - F.col("q25"),
+            ),
+            6,
         ).alias("r"),
     )
 
