@@ -235,16 +235,27 @@ def kmeans_sql(
     """DuckDB twin of `kmeans_centroids` as a CTE chain fragment.
     Assumes a CTE `v(vec_id, emb)` is already defined; emits CTEs
     `k0..k{n}` and expects the caller to read centroids from
-    `k{n_iters}(cid, cemb)`."""
+    `k{n_iters}(cid, cemb)`.
+
+    The assignment ORDER BY wraps list_cosine_similarity in the same
+    zero-norm CASE guard every other oracle uses (see `cosine`'s
+    docstring): DuckDB yields -1.0 on a zero vector where Spark's
+    try_divide yields NULL, and both engines sort NULLS LAST under
+    DESC, so the guard makes zero vectors rank identically."""
     ctes = [
         f"k0 AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {init_mod} = 0)"
     ]
     for i in range(1, n_iters + 1):
+        guarded_cos = (
+            "CASE WHEN list_inner_product(v.emb, v.emb) = 0"
+            " OR list_inner_product(c.cemb, c.cemb) = 0 THEN NULL"
+            f" ELSE ROUND(list_cosine_similarity(v.emb, c.cemb), {round_to}) END"
+        )
         ctes.append(f"""ka{i} AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid, row_number() OVER (
           PARTITION BY v.vec_id
-          ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), {round_to}) DESC, c.cid ASC
+          ORDER BY {guarded_cos} DESC NULLS LAST, c.cid ASC
         ) AS rn FROM v, k{i-1} c) WHERE rn = 1
     )""")
         ctes.append(f"""km{i} AS (

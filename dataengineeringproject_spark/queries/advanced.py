@@ -15,7 +15,7 @@ from dataengineeringproject_spark.operators.relational import (
     pivot_counts,
     sessionize,
 )
-from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.registry import register, register_prestage
 from dataengineeringproject_spark.schemas import load_table, local_df
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -2446,6 +2446,8 @@ def _staged_cdc_base(spark: SparkSession, sf_dir: str) -> str:
     pre-cutoff history."""
     if sf_dir in _CDC_BASE_STAGED:
         return _CDC_BASE_STAGED[sf_dir]
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -2465,9 +2467,13 @@ def _staged_cdc_base(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     path = tempfile.mkdtemp(prefix="deps_cdc_base_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     base.write.mode("overwrite").parquet(path)
     _CDC_BASE_STAGED[sf_dir] = path
     return path
+
+
+register_prestage(_staged_cdc_base)
 
 
 @register(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from dataengineeringproject_spark.functions import text as X
 from dataengineeringproject_spark.operators import dedup as D
 from dataengineeringproject_spark.operators import similarity as SIM
-from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.registry import register, register_prestage
 from dataengineeringproject_spark.schemas import load_table, local_df
 
 _TOKS = X.tokens_sql("text")
@@ -826,6 +826,8 @@ def _staged_sig_index(spark: SparkSession, sf_dir: str) -> str:
     are accepted, and the corpus text is never re-shingled."""
     if sf_dir in _SIG_INDEX_STAGED:
         return _SIG_INDEX_STAGED[sf_dir]
+    import atexit
+    import shutil
     import tempfile
 
     d = _docs(spark, sf_dir)
@@ -835,9 +837,13 @@ def _staged_sig_index(spark: SparkSession, sf_dir: str) -> str:
     )
     bt = D.band_table(sigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
     path = tempfile.mkdtemp(prefix="deps_sig_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     bt.write.mode("overwrite").parquet(path)
     _SIG_INDEX_STAGED[sf_dir] = path
     return path
+
+
+register_prestage(_staged_sig_index)
 
 
 def _incr_minhash_sql() -> str:
@@ -908,11 +914,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     pct = _INCR_EXISTING_PCT
     batch = d.filter(_incr_bucket("doc_id") >= pct)
-    bsh = D.shingle_table(batch, "doc_id", "text", k=_SHINGLE_K).cache()
+    # bsigs feeds TWO consumers (band_table + within-batch LSH); an
+    # eager localCheckpoint materializes the signatures ONCE — so the
+    # batch is shingled once — without pinning the O(batch tokens)
+    # shingle table in executor memory for the life of the session
+    # (ADVICE r6: the previous `.cache()` here was never unpersisted
+    # and accumulated across a 76-query bench run). The checkpointed
+    # frame is 1 row × 9 ints per batch doc — negligible — and is
+    # freed by the ContextCleaner when the frame is GC'd.
     bsigs = D.minhash_signatures(
-        batch, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K,
-        shingles_df=bsh,
-    )
+        batch, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K
+    ).localCheckpoint()
     bbands = D.band_table(bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
     # corpus side: READ BACK the persisted index — the plan must show a
     # parquet scan here, not a recomputation from documents (pinned in

@@ -1736,7 +1736,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                  unnest(range(0, {_N_DIMS})) AS i FROM qz),
     st AS (
       SELECT i, count(*) AS n, sum(qv) AS s, sum(qv * qv) AS ss FROM t GROUP BY 1
-    ),
+    )
     SELECT t.vec_id, CAST(t.i AS BIGINT) AS i,
            round((t.qv - CAST(st.s AS DOUBLE) / st.n)
                  / NULLIF(sqrt(CAST(st.ss AS DOUBLE) / st.n
@@ -2032,7 +2032,7 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN rn = (50 * n + 99) // 100 THEN qv END) AS med,
              max(CASE WHEN rn = (75 * n + 99) // 100 THEN qv END) AS q75
       FROM r GROUP BY 1
-    ),
+    )
     SELECT t.vec_id, CAST(t.i AS BIGINT) AS i,
            round((t.qv - st.med) * 1e0 / NULLIF(st.q75 - st.q25, 0), 6) AS r
     FROM t JOIN st USING (i)

@@ -49,33 +49,14 @@ _SCALE_CLASS: dict[str, str] = {}
 # each round, regenerate from the union of CORRECTNESS_r0*.json (latest
 # green round per query; see tools/gen_sweep_tiers.py).
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # --- round 1 is the newest green driver row (14 queries)
-    "clamp_median_fill": 1,
-    "daily_agg": 1,
-    "dedup_keep_first": 1,
-    "drop_unparseable": 1,
-    "monthly_agg": 1,
-    "multimodal_audio_features": 1,
-    "pipeline_daily_weather_analog": 1,
-    "q1_pricing_summary": 1,
-    "q3_shipping_priority": 1,
-    "q5_region_revenue": 1,
-    "scalar_exprs": 1,
-    "topk_per_group": 1,
-    "validation_summary": 1,
-    "wind_buckets": 1,
-    # --- round 2 is the newest green driver row (39 queries)
+    # --- round 2 is the newest green driver row (32 queries)
     "cube_agg": 2,
-    "dedup_chunks_c4": 2,
-    "dedup_corpus_materialize": 2,
     "dedup_incremental_batch": 2,
-    "dsir_importance_score": 2,
     "gap_fill_daily_locf": 2,
     "monthly_from_daily_rollup": 2,
     "nation_wealth_full_outer": 2,
     "order_limit": 2,
     "parts_above_brand_avg": 2,
-    "pii_redact": 2,
     "q11_important_parts": 2,
     "q12_priority_shipping": 2,
     "q13_customer_distribution": 2,
@@ -94,15 +75,12 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "q7_volume_shipping": 2,
     "q8_market_share": 2,
     "q9_product_profit": 2,
-    "quality_logistic_score": 2,
     "rollup_agg": 2,
-    "sample_weighted_priority": 2,
     "semi_anti_join": 2,
     "session_window_agg": 2,
     "set_ops": 2,
     "sliding_window_agg": 2,
     "sql_q10_returned_items": 2,
-    "tfidf_top_terms": 2,
     "window_running_sum": 2,
     # --- round 3 is the newest green driver row (46 queries)
     "asof_join_cogroup": 3,
@@ -153,9 +131,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "zscore_per_group": 3,
     # --- round 4 is the newest green driver row (49 queries)
     "ann_ivf_topk": 4,
-    "ann_ivf_trained_topk": 4,
     "ann_lsh_topk": 4,
-    "ann_recall_trained_ivf": 4,
     "bloom_prefilter_join": 4,
     "bm25_topk": 4,
     "bpe_apply_merges": 4,
@@ -202,9 +178,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "variant_props_extract": 4,
     "window_rank_family": 4,
     # --- round 5 is the newest green driver row (50 queries)
-    "ann_ivfpq_topk": 5,
     "ann_recall_matryoshka": 5,
-    "ann_recall_trained_ivfpq": 5,
     "attribution_first_last_touch": 5,
     "audience_overlap_daily": 5,
     "bootstrap_ci_mean": 5,
@@ -217,7 +191,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "corr_chars_quality_by_source": 5,
     "dedup_cluster_size_histogram": 5,
     "dedup_keep_best_quality": 5,
-    "dedup_semantic": 5,
     "dedup_signal_agreement": 5,
     "domain_centroid_topk": 5,
     "drift_js_binned": 5,
@@ -228,7 +201,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "hard_negative_mining": 5,
     "hll_intersection_estimate": 5,
     "jaccard_prefix_filter_join": 5,
-    "kmeans_cluster_stats": 5,
     "lang_mix_entropy_by_source": 5,
     "langid_confusion": 5,
     "pagerank_event_graph": 5,
@@ -252,6 +224,54 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "user_behavior_outliers": 5,
     "vocab_coverage_topk": 5,
     "zipf_slope_vocab": 5,
+    # --- round 7 is the newest green driver row (48 queries)
+    "acf_daily_by_type": 7,
+    "ann_recall_lsh": 7,
+    "cdc_merge_on_read_compaction": 7,
+    "clamp_median_fill": 7,
+    "csv_roundtrip_daily": 7,
+    "cusum_level_shift": 7,
+    "daily_agg": 7,
+    "dedup_chunks_c4": 7,
+    "dedup_corpus_materialize": 7,
+    "dedup_keep_first": 7,
+    "dedup_threshold_sensitivity": 7,
+    "drop_unparseable": 7,
+    "dsir_importance_score": 7,
+    "ewma_control_chart": 7,
+    "jsonl_roundtrip_docs": 7,
+    "monthly_agg": 7,
+    "multimodal_audio_features": 7,
+    "multimodal_phash_clusters": 7,
+    "pacf_daily_by_type": 7,
+    "partition_prune_readback": 7,
+    "pca_top2_deflation": 7,
+    "periodogram_power_daily": 7,
+    "pii_redact": 7,
+    "pipeline_daily_weather_analog": 7,
+    "q1_pricing_summary": 7,
+    "q3_shipping_priority": 7,
+    "q5_region_revenue": 7,
+    "quality_logistic_score": 7,
+    "sample_weighted_priority": 7,
+    "scalar_exprs": 7,
+    "seasonal_dow_anomaly": 7,
+    "session_overlap_top_pairs": 7,
+    "session_peak_concurrency": 7,
+    "sql_lateral_topk_orders": 7,
+    "sql_pivot_event_counts": 7,
+    "streaming_bloom_dedup": 7,
+    "streaming_cusum_level_shift": 7,
+    "streaming_drift_psi": 7,
+    "streaming_seasonal_dow": 7,
+    "streaming_trend_slope": 7,
+    "tfidf_top_terms": 7,
+    "topk_per_group": 7,
+    "trend_mann_kendall": 7,
+    "trend_slope_daily": 7,
+    "trend_theil_sen": 7,
+    "validation_summary": 7,
+    "wind_buckets": 7,
 }
 
 
@@ -283,6 +303,31 @@ def register(
         return fn
 
     return deco
+
+
+# One-time staging hooks (persisted-index materialization): a few
+# queries model the STEADY-STATE production shape of a maintained side
+# table (LSH signature index, CDC base snapshot) and materialize it to
+# parquet on first use. Benchmarks must run these hooks in WARMUP so
+# the timed run measures the per-batch query, not the one-time index
+# build (ADVICE r6: r5-r7 bench rows for dedup_incremental_minhash /
+# cdc_merge_on_read_compaction read as upper bounds for this reason).
+_PRESTAGE: list[Callable[[SparkSession, str], object]] = []
+
+
+def register_prestage(
+    fn: Callable[[SparkSession, str], object],
+) -> Callable[[SparkSession, str], object]:
+    """Register a one-time staging hook (idempotent per sf_dir)."""
+    _PRESTAGE.append(fn)
+    return fn
+
+
+def prestage(spark: SparkSession, sf_dir: str) -> None:
+    """Run every staging hook for sf_dir (each caches internally)."""
+    _load_all()
+    for fn in _PRESTAGE:
+        fn(spark, sf_dir)
 
 
 def scale_classes() -> dict[str, str]:
