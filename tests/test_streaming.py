@@ -360,3 +360,30 @@ def test_streaming_query_restores_shuffle_partitions(spark):
     d1 = streaming_q._staged_events(spark, "/root/testdata/sf0.001")
     d2 = streaming_q._staged_events(spark, "/root/testdata/sf0.001")
     assert d1 == d2
+
+
+def test_streaming_incremental_minhash_matches_batch_twin(spark):
+    """Batch/streaming symmetry for the dedup family (the monitor
+    family's standard): the foreachBatch accept loop — micro-batch
+    bands vs persisted-index-plus-accepted-bands, appended after each
+    accept — must produce EXACTLY the batch twin's pair set, including
+    cross-micro-batch near-dup pairs (found once, when the later doc
+    lands) and identical jaccard values and pair_type labels."""
+    from dataengineeringproject_spark.queries import llm_text
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["id_a", "id_b", "jaccard", "pair_type"]
+    batch = {
+        tuple(r)
+        for r in llm_text.dedup_incremental_minhash(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    stream = {
+        tuple(r)
+        for r in llm_text.streaming_dedup_incremental_minhash(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
