@@ -111,6 +111,11 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "trend_mann_kendall",
     "cdc_merge_on_read_compaction",
+    # r8 additions: the streaming twins (first call runs the full
+    # micro-batch loop — the honest per-batch accept/merge cost; the
+    # result dir is cached per sf_dir afterwards)
+    "streaming_dedup_incremental_minhash",
+    "streaming_cdc_scd1_upsert",
 ]
 
 

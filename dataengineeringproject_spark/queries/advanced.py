@@ -2538,6 +2538,123 @@ def cdc_merge_on_read_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_rows.unionByName(surviving_base)
 
 
+# --- STREAMING CDC upsert (foreachBatch MERGE into a keyed gold table) -------
+
+_CDC_STREAM_RESULT: dict[str, str] = {}
+
+
+@register(
+    "streaming_cdc_scd1_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_op,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           ROUND(value, 6) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def streaming_cdc_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `cdc_latest_state_tombstones` — CDC family
+    batch/streaming symmetry, the same shape the dedup family got from
+    `streaming_dedup_incremental_minhash`: the change log arrives as a
+    file-drop STREAM (streaming_q._staged_events: 3 chronological
+    slices, maxFilesPerTrigger=1 + availableNow) and foreachBatch runs
+    the lakehouse MERGE loop each micro-batch — union the incoming
+    changes with the current state table, newest change per key wins
+    ((ts, event_id) order), write the merged snapshot as the next
+    state VERSION (write-new-read-old, the copy-on-write commit every
+    table format uses so readers never see a half-written table).
+
+    Tombstones ('error' op = DELETE marker) are RETAINED in state and
+    filtered only at read-back: keeping the tombstone's ordering keys
+    in the table is what makes the merge associative — an out-of-order
+    older change arriving in a later micro-batch compares against the
+    tombstone's (ts, event_id) and loses, instead of resurrecting the
+    key (the delete-vector pattern; compaction would drop them the way
+    cdc_merge_on_read_compaction does).
+
+    Because the retained-tombstone merge is associative, the final
+    state equals the batch collapse regardless of micro-batch
+    boundaries — so this gets the batch twin's full value-hash oracle,
+    not a rows-only exemption.
+
+    At 100 TB: state is partitioned by key range (each MERGE shuffles
+    only the micro-batch + touched state partitions under AQE), the
+    per-trigger cost is O(micro-batch + state), and restart replays
+    from the checkpoint against the last committed state version."""
+    if sf_dir in _CDC_STREAM_RESULT:
+        return spark.read.parquet(_CDC_STREAM_RESULT[sf_dir]).filter(
+            F.col("last_op") != "error"
+        ).drop("ts", "event_id", "value")
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.queries.streaming_q import _staged_events
+
+    land = _staged_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    state_root = tempfile.mkdtemp(prefix="deps_cdc_stream_state_")
+    ckpt = tempfile.mkdtemp(prefix="deps_cdc_stream_ckpt_")
+    for p in (state_root, ckpt):
+        atexit.register(shutil.rmtree, p, ignore_errors=True)
+    state: dict[str, str | None] = {"path": None}
+
+    def _merge(batch_ev: DataFrame, batch_id: int) -> None:
+        delta = batch_ev.select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        cur = (
+            delta
+            if state["path"] is None
+            else spark.read.schema(delta.schema).parquet(
+                state["path"]
+            ).unionByName(delta)
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        merged = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_path = f"{state_root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None
+    _CDC_STREAM_RESULT[sf_dir] = state["path"]
+    return spark.read.parquet(state["path"]).filter(
+        F.col("last_op") != "error"
+    ).drop("ts", "event_id", "value")
+
+
 _QB_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
 
 

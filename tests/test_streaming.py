@@ -387,3 +387,30 @@ def test_streaming_incremental_minhash_matches_batch_twin(spark):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_streaming_cdc_upsert_matches_batch_twin(spark):
+    """CDC family batch/streaming symmetry: the foreachBatch MERGE loop
+    (union state + micro-batch, newest (ts, event_id) per key wins,
+    tombstones retained in state and filtered at read-back) must equal
+    the batch full-log collapse exactly — the retained-tombstone merge
+    is associative, so micro-batch boundaries cannot change the
+    result."""
+    from dataengineeringproject_spark.queries import advanced
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["user_id", "last_op", "last_ts", "last_value"]
+    batch = {
+        tuple(r)
+        for r in advanced.cdc_latest_state_tombstones(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    stream = {
+        tuple(r)
+        for r in advanced.streaming_cdc_scd1_upsert(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
