@@ -841,6 +841,108 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- budget-constrained mixture SAMPLE (r8) ----------------------------------
+
+_MIXS_SEED = "mixsample"
+_MIXS_PPM = 1_000_000
+_MIXS_FRACTION = 0.25  # global budget = this fraction of corpus tokens
+
+
+@register(
+    "mixture_budget_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len({_GQ_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             CAST(least({_MIXS_PPM}, floor(
+               {_MIXS_PPM} * ({_MIXS_FRACTION} * sum(n_tokens) OVER ())
+               * pow(n_tokens, {_MIX_ALPHA})
+               / sum(pow(n_tokens, {_MIX_ALPHA})) OVER ()
+               / n_tokens)) AS BIGINT) AS rate_ppm
+      FROM s
+    ),
+    kept AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs_kept,
+             CAST(sum(len({_GQ_TOKS})) AS BIGINT) AS tokens_kept
+      FROM documents d JOIN r USING (source)
+      WHERE {X.token_hash_sql("CAST(d.doc_id AS VARCHAR)", seed=_MIXS_SEED)}
+            % {_MIXS_PPM} < r.rate_ppm
+      GROUP BY 1
+    )
+    SELECT r.source, r.rate_ppm,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept,
+           ROUND(COALESCE(k.tokens_kept, 0) * 1e0 / r.n_tokens, 6)
+             AS realized_rate
+    FROM r LEFT JOIN kept k USING (source)
+    """,
+)
+def mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture made CONCRETE: `mixture_temperature_weights` says
+    how a token budget SHOULD split across sources; this query draws
+    the actual document sample that realizes it. Per-source sampling
+    rate (integer ppm) = temperature-weighted share of a global budget
+    ({_MIXS_FRACTION} of corpus tokens) over the source's own tokens,
+    capped at 1; a document is kept iff its seeded 60-bit hash lands
+    under the rate — the same deterministic Bernoulli draw the
+    stratified-sampling family uses, so the sample is reproducible
+    across engines, runs, and cluster sizes (no RNG state). Output is
+    the per-source realization audit (rate, kept docs/tokens, realized
+    rate vs target); every source appears even when its draw kept
+    nothing. Two map-side-combined passes over the corpus (stats,
+    then filtered sample agg) with the |sources|-row rate frame
+    broadcast into the second — no shuffle of raw documents at any
+    scale."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.sum(F.size(X.tokens("text"))).cast("long").alias("n_tokens")
+    )
+    w_raw = F.pow(F.col("n_tokens"), F.lit(_MIX_ALPHA))
+    w_tot = F.sum(w_raw).over(Window.partitionBy())
+    budget = F.lit(_MIXS_FRACTION) * F.sum("n_tokens").over(Window.partitionBy())
+    rates = s.select(
+        "source",
+        "n_tokens",
+        F.least(
+            F.lit(_MIXS_PPM).cast("long"),
+            F.floor(F.lit(_MIXS_PPM) * budget * w_raw / w_tot / F.col("n_tokens")),
+        ).alias("rate_ppm"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            X.token_hash(F.col("doc_id").cast("string"), seed=_MIXS_SEED)
+            % _MIXS_PPM
+            < F.col("rate_ppm")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum(F.size(X.tokens("text"))).cast("long").alias("tokens_kept"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "rate_ppm",
+            F.coalesce("n_docs_kept", F.lit(0).cast("long")).alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
+            F.round(
+                F.coalesce("tokens_kept", F.lit(0).cast("long"))
+                * F.lit(1.0)
+                / F.col("n_tokens"),
+                6,
+            ).alias("realized_rate"),
+        )
+    )
+
+
 # --- Levenshtein fuzzy matching (r3) -----------------------------------------
 
 _LEV_PREFIX = 40   # chars of normalized prefix compared

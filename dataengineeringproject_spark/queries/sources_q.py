@@ -263,3 +263,71 @@ def partition_prune_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- schema-evolution read-back (mergeSchema under the gate) -----------------
+
+_EVOL_STAGED: dict[str, str] = {}
+
+
+@_atexit.register
+def _cleanup_evol_staged() -> None:
+    for d in _EVOL_STAGED.values():
+        _shutil.rmtree(d, ignore_errors=True)
+    _EVOL_STAGED.clear()
+
+
+def _staged_evolved_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a MIXED-SCHEMA parquet directory — the shape a
+    long-lived lakehouse table actually has on disk after a column is
+    added: the v1 slice (even user_id, standing in for files written
+    before the migration) lacks the `props` column entirely; the v2
+    slice has the full schema. Files written oldest-schema-first."""
+    if sf_dir in _EVOL_STAGED:
+        return _EVOL_STAGED[sf_dir]
+    from dataengineeringproject_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = _tempfile.mkdtemp(prefix="deps_evol_events_")
+    v1 = ev.filter(F.col("user_id") % 2 == 0).drop("props")
+    v2 = ev.filter(F.col("user_id") % 2 == 1)
+    v1.coalesce(1).write.mode("append").parquet(d)
+    v2.coalesce(1).write.mode("append").parquet(d)
+    _EVOL_STAGED[sf_dir] = d
+    return d
+
+
+@register(
+    "schema_evolution_readback",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN user_id % 2 = 1 THEN props END) AS BIGINT)
+             AS n_with_props,
+           ROUND(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def schema_evolution_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type scorecard computed from a MIXED-SCHEMA parquet copy of
+    events (v1 files predate the `props` column; v2 files carry it),
+    read back with mergeSchema=true — the fourth member of the I/O
+    gate family (CSV, JSONL, partitioned parquet, evolved parquet).
+    Schema evolution is how every long-lived 100 TB table actually
+    looks: added columns must read as NULL from pre-migration files,
+    with no rewrite of old data. The count-of-props aggregate is the
+    content-sensitive probe: it equals the v2-slice row count only if
+    merge-read fills exactly the v1 rows with NULL. Oracle replays the
+    evolution on the original table (props nulled where user_id is
+    even — the deterministic v1 slice). mergeSchema costs a footer
+    read per file at planning; at scale the merged schema would live
+    in the table format's metadata instead, but the NULL-fill read
+    semantics this pins are identical."""
+    d = _staged_evolved_events(spark, sf_dir)
+    ev = spark.read.option("mergeSchema", "true").parquet(d)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("props").cast("long").alias("n_with_props"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
