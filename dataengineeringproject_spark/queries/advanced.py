@@ -2638,16 +2638,21 @@ def streaming_cdc_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(land)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    from dataengineeringproject_spark.queries.streaming_q import (
+        _pinned_shuffle_partitions,
     )
-    q.awaitTermination()
+
+    with _pinned_shuffle_partitions(spark, 8):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert state["path"] is not None
     _CDC_STREAM_RESULT[sf_dir] = state["path"]
     return spark.read.parquet(state["path"]).filter(

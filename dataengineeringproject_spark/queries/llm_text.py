@@ -1066,12 +1066,26 @@ def streaming_dedup_incremental_minhash(
         ).cache()
         bbands = D.band_table(bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
         prior = spark.read.schema(idx_schema).parquet(corpus_idx, accepted)
-        vs_prior = (
-            prior.alias("c")
+        # ONE candidate join for both pair kinds: the probe pool is
+        # prior-index bands (any id order — least/greatest sorts the
+        # pair) plus this micro-batch's own bands gated to doc_id <
+        # (the classic LSH self-join half), so the trigger pays one
+        # join + one distinct instead of two joins + three distincts
+        # — foreachBatch cost here is stage-count-bound, not
+        # data-bound.
+        pool = prior.withColumn("is_new", F.lit(False)).unionByName(
+            bbands.withColumn("is_new", F.lit(True))
+        )
+        cand = (
+            pool.alias("c")
             .join(
                 bbands.alias("b"),
                 (F.col("c.band_id") == F.col("b.band_id"))
-                & (F.col("c.band_key") == F.col("b.band_key")),
+                & (F.col("c.band_key") == F.col("b.band_key"))
+                & (
+                    ~F.col("c.is_new")
+                    | (F.col("c.doc_id") < F.col("b.doc_id"))
+                ),
             )
             .select(
                 F.least(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_a"),
@@ -1079,10 +1093,6 @@ def streaming_dedup_incremental_minhash(
             )
             .distinct()
         )
-        within = D.lsh_candidate_pairs(
-            bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS
-        )
-        cand = vs_prior.unionByName(within).distinct()
         ids = (
             cand.select(F.col("id_a").alias("doc_id"))
             .unionByName(cand.select(F.col("id_b").alias("doc_id")))
@@ -1103,17 +1113,25 @@ def streaming_dedup_incremental_minhash(
         bbands.select(*idx_cols).write.mode("append").parquet(accepted)
         bsigs.unpersist()
 
-    q = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(land)
-        .filter(_incr_bucket("doc_id") >= pct)
-        .writeStream.foreachBatch(_accept)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    from dataengineeringproject_spark.queries.streaming_q import (
+        _pinned_shuffle_partitions,
     )
-    q.awaitTermination()
+
+    # micro-batches are small (|batch|/{slices} docs); 32-way shuffles
+    # inside foreachBatch are pure task overhead — pin low for the
+    # stream's lifetime, restore after (streaming_q's standard pattern)
+    with _pinned_shuffle_partitions(spark, 8):
+        q = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .filter(_incr_bucket("doc_id") >= pct)
+            .writeStream.foreachBatch(_accept)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _INCR_STREAM_RESULT[sf_dir] = out
     return spark.read.parquet(out)
 
