@@ -134,6 +134,16 @@ def _run_headline(spark, qs, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _ratios(raw_small: dict[str, float], raw_big: dict[str, float]) -> dict[str, float]:
+    """10x scale ratios from UNROUNDED timings (ADVICE r6: dividing two
+    2-dp-pre-rounded values made ratio_10x swing ±50% on sub-100 ms
+    queries); rounding happens only here, on the final ratio."""
+    return {
+        name: round(raw_big[name] / max(raw_small[name], 1e-9), 2)
+        for name in raw_big
+    }
+
+
 def _emit(payload: dict) -> None:
     """Persist the FULL record to bench_out.json and print it, then
     print a SHORT totals-only JSON line LAST. The driver's tail capture
@@ -196,11 +206,7 @@ def main() -> None:
             "0.01": _run_headline(spark, qs, f"{base}/sf0.01"),
             "0.1": _run_headline(spark, qs, f"{base}/sf0.1"),
         }
-        # ratio from UNROUNDED timings (ADVICE r6); round for display only
-        ratio = {
-            name: round(raw["0.1"][name] / max(raw["0.01"][name], 1e-9), 2)
-            for name in raw["0.1"]
-        }
+        ratio = _ratios(raw["0.01"], raw["0.1"])
         per_sf = {
             sf_k: {n: round(t, 2) for n, t in ts.items()}
             for sf_k, ts in raw.items()
