@@ -116,6 +116,7 @@ HEADLINE = [
     # result dir is cached per sf_dir afterwards)
     "streaming_dedup_incremental_minhash",
     "streaming_cdc_scd1_upsert",
+    "streaming_ivf_index_append",
 ]
 
 

@@ -414,3 +414,48 @@ def test_streaming_cdc_upsert_matches_batch_twin(spark):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_streaming_ivf_append_matches_batch_assignment(spark):
+    """ANN family batch/streaming symmetry: every vector the stream
+    appends must land in the same inverted list (same cid, same
+    rounded cosine) a batch assignment of the whole slice produces —
+    the codebook is standing state, so micro-batch boundaries cannot
+    influence assignment at all."""
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.operators import similarity as S
+    from dataengineeringproject_spark.queries import llm_vectors as LV
+    from dataengineeringproject_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(
+        (LV._ivfs_bucket("vec_id") < LV._IVFS_EXISTING_PCT)
+        & (F.col("vec_id") % LV._CENTROID_MOD == 0)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    batch_vecs = emb.filter(
+        LV._ivfs_bucket("vec_id") >= LV._IVFS_EXISTING_PCT
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("cid")
+    )
+    batch = {
+        tuple(r)
+        for r in batch_vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cosine", F.round(S.cosine(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "cosine")
+        .collect()
+    }
+    stream = {
+        tuple(r)
+        for r in LV.streaming_ivf_index_append(spark, sf)
+        .select("vec_id", "cid", "cosine")
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
