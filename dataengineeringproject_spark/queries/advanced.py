@@ -2543,6 +2543,45 @@ def cdc_merge_on_read_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_STREAM_RESULT: dict[str, str] = {}
 
 
+def _cdc_state_schema(batch_ev: DataFrame):
+    """Schema of the CDC state table: the change projection cdc_merge_frames
+    builds from a raw events frame."""
+    return _cdc_delta(batch_ev).schema
+
+
+def _cdc_delta(batch_ev: DataFrame) -> DataFrame:
+    return batch_ev.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.round("value", 6).alias("last_value"),
+        "ts",
+        "event_id",
+        "value",
+    )
+
+
+def cdc_merge_frames(state: DataFrame | None, batch_ev: DataFrame) -> DataFrame:
+    """ONE MERGE step of the streaming CDC upsert: fold a raw change
+    slice into the current state table — newest (ts, event_id) per key
+    wins; tombstone rows are RETAINED (their ordering keys are what
+    keeps the fold ASSOCIATIVE: an out-of-order older change arriving
+    in a later slice compares against the tombstone and loses instead
+    of resurrecting the key). Associativity — fold over ANY partition
+    of the change log, in ANY slice order, equals the one-shot collapse
+    — is pinned by tests/test_r8_properties.py."""
+    from pyspark.sql import Window
+
+    delta = _cdc_delta(batch_ev)
+    cur = delta if state is None else state.unionByName(delta)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        cur.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @register(
     "streaming_cdc_scd1_upsert",
     oracle="""
@@ -2610,30 +2649,14 @@ def streaming_cdc_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict[str, str | None] = {"path": None}
 
     def _merge(batch_ev: DataFrame, batch_id: int) -> None:
-        delta = batch_ev.select(
-            "user_id",
-            F.col("event_type").alias("last_op"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
-            F.round("value", 6).alias("last_value"),
-            "ts",
-            "event_id",
-            "value",
-        )
-        cur = (
-            delta
+        prev = (
+            None
             if state["path"] is None
-            else spark.read.schema(delta.schema).parquet(
+            else spark.read.schema(_cdc_state_schema(batch_ev)).parquet(
                 state["path"]
-            ).unionByName(delta)
+            )
         )
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        merged = (
-            cur.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+        merged = cdc_merge_frames(prev, batch_ev)
         new_path = f"{state_root}/v{batch_id}"
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path

@@ -1,0 +1,85 @@
+"""Round-8 property pins: the streaming twins' correctness rests on
+fold-invariance claims — merging a change log (or candidate set) in
+micro-batch pieces must equal the one-shot batch computation no matter
+how the pieces are cut or ordered. The symmetry tests in
+test_streaming.py pin the 3-chronological-slice case the staged
+landing zones produce; these tests attack the CLAIM itself with
+adversarial partitions: hash splits (wildly out-of-order event time
+across slices), reversed slice order, and a per-key-interleaved split.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _final(df):
+    cols = ["user_id", "last_op", "last_ts", "last_value"]
+    return {
+        tuple(r)
+        for r in df.filter(F.col("last_op") != "error").select(*cols).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "n_slices,key",
+    [
+        (1, "event_id"),          # degenerate fold = one-shot
+        (4, "event_id"),          # hash-ish split: event time interleaved
+        (5, "user_id"),           # per-key split: a key's history in ONE slice
+        (3, "value_bucket"),      # arbitrary content split
+    ],
+)
+def test_cdc_merge_fold_is_partition_invariant(spark, n_slices, key):
+    """Folding cdc_merge_frames over ANY partition of the change log —
+    including splits that deliver a key's changes wildly out of event-
+    time order — must equal the batch full-log collapse. This is the
+    retained-tombstone design's load-bearing claim: dropping tombstones
+    at merge time instead of read-back time fails this test (an older
+    change in a later slice resurrects the deleted key)."""
+    from dataengineeringproject_spark.queries import advanced
+    from dataengineeringproject_spark.schemas import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    if key == "value_bucket":
+        part = (F.abs(F.hash(F.col("value"))) % n_slices)
+    else:
+        part = F.col(key) % n_slices
+    state = None
+    # reversed slice order: later-modulus slices fold FIRST
+    for i in reversed(range(n_slices)):
+        state = advanced.cdc_merge_frames(state, ev.filter(part == i))
+        # materialize each fold step like the stream's per-trigger
+        # parquet commit does (also keeps the lineage shallow)
+        state = state.localCheckpoint()
+    batch = _final(advanced.cdc_latest_state_tombstones(spark, SF_SMOKE))
+    assert _final(state) == batch
+    assert len(batch) > 0
+
+
+def test_cdc_merge_drop_tombstones_early_would_be_wrong(spark):
+    """Negative control: the test above must actually discriminate.
+    Build a 2-slice fold where the DELETE arrives in slice 1 and an
+    OLDER update for the same key arrives in slice 2; early tombstone
+    dropping resurrects the key, retained tombstones do not."""
+    from dataengineeringproject_spark.queries import advanced
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-01 00:00:00", 7, "signup", 1.0, None),
+        (2, "2024-01-03 00:00:00", 7, "error", 0.0, None),   # DELETE
+        (3, "2024-01-02 00:00:00", 7, "click", 2.0, None),   # older, late
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s1 = advanced.cdc_merge_frames(None, ev.filter(F.col("event_id") <= 2))
+    s2 = advanced.cdc_merge_frames(s1, ev.filter(F.col("event_id") == 3))
+    assert _final(s2) == set(), "tombstone must survive the late older row"
+    # and the tombstone row itself is still IN state (filtered at read)
+    assert s2.count() == 1 and s2.first()["last_op"] == "error"
