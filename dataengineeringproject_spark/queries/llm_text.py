@@ -1001,6 +1001,71 @@ def _staged_incr_stream_land(spark: SparkSession, sf_dir: str) -> str:
 register_prestage(_staged_incr_stream_land)
 
 
+def incr_dedup_accept(
+    prior_bands: DataFrame, batch_docs: DataFrame, all_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """ONE accept step of the incremental near-dup loop: band the new
+    docs, find candidates against prior_bands (corpus index plus every
+    previously accepted slice) and within the slice itself, verify by
+    exact Jaccard, label pair_type. Returns (verified_pairs,
+    batch_bands) — the caller emits the pairs and appends the bands,
+    which is what makes the NEXT step incremental. Fold-invariance
+    (any partition of the batch, any slice order, equals the one-shot
+    batch twin) is pinned by tests/test_r8_properties.py; the
+    streaming twin is this function inside foreachBatch."""
+    pct = _INCR_EXISTING_PCT
+    # eager localCheckpoint, not cache: the slice is shingled ONCE, the
+    # tiny signature frame feeds both consumers, and nothing persists
+    # past this step (same reasoning as the batch twin's bsigs)
+    bsigs = D.minhash_signatures(
+        batch_docs, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K
+    ).localCheckpoint()
+    bbands = D.band_table(bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
+    # ONE candidate join for both pair kinds: the probe pool is
+    # prior-index bands (any id order — least/greatest sorts the
+    # pair) plus this slice's own bands gated to doc_id < (the
+    # classic LSH self-join half), so each step pays one join + one
+    # distinct instead of two joins + three distincts — the accept
+    # loop is stage-count-bound, not data-bound.
+    pool = prior_bands.withColumn("is_new", F.lit(False)).unionByName(
+        bbands.withColumn("is_new", F.lit(True))
+    )
+    cand = (
+        pool.alias("c")
+        .join(
+            bbands.alias("b"),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_key") == F.col("b.band_key"))
+            & (
+                ~F.col("c.is_new")
+                | (F.col("c.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .select(
+            F.least(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    verify_docs = all_docs.join(F.broadcast(ids), "doc_id", "left_semi")
+    pairs = D.jaccard_on_pairs(
+        cand, verify_docs, "doc_id", "text", k=_SHINGLE_K,
+        threshold=_NEARDUP_T,
+    ).withColumn(
+        "pair_type",
+        F.when(
+            (_incr_bucket("id_a") >= pct) & (_incr_bucket("id_b") >= pct),
+            F.lit("within_batch"),
+        ).otherwise(F.lit("vs_corpus")),
+    )
+    return pairs, bbands
+
+
 @register("streaming_dedup_incremental_minhash", oracle=_incr_minhash_sql())
 def streaming_dedup_incremental_minhash(
     spark: SparkSession, sf_dir: str
@@ -1026,9 +1091,9 @@ def streaming_dedup_incremental_minhash(
       4. APPEND this micro-batch's bands to the accepted index — the
          index mutation that makes step 2 incremental.
 
-    The per-micro-batch signature frame is cached and UNPERSISTED at
-    the end of the same foreachBatch call — foreachBatch is the one
-    place the sync point exists, so no cache outlives its batch.
+    Each trigger is one `incr_dedup_accept` step (the extracted,
+    property-tested accept function); its per-slice signature frame is
+    an eager localCheckpoint, so nothing persists past the trigger.
 
     Oracle: identical to the batch twin's (full-corpus LSH in DuckDB
     restricted to pairs touching the batch) — the streamed accept
@@ -1061,57 +1126,10 @@ def streaming_dedup_incremental_minhash(
     idx_cols = [f.name for f in idx_schema.fields]
 
     def _accept(batch_docs: DataFrame, batch_id: int) -> None:
-        bsigs = D.minhash_signatures(
-            batch_docs, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K
-        ).cache()
-        bbands = D.band_table(bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
         prior = spark.read.schema(idx_schema).parquet(corpus_idx, accepted)
-        # ONE candidate join for both pair kinds: the probe pool is
-        # prior-index bands (any id order — least/greatest sorts the
-        # pair) plus this micro-batch's own bands gated to doc_id <
-        # (the classic LSH self-join half), so the trigger pays one
-        # join + one distinct instead of two joins + three distincts
-        # — foreachBatch cost here is stage-count-bound, not
-        # data-bound.
-        pool = prior.withColumn("is_new", F.lit(False)).unionByName(
-            bbands.withColumn("is_new", F.lit(True))
-        )
-        cand = (
-            pool.alias("c")
-            .join(
-                bbands.alias("b"),
-                (F.col("c.band_id") == F.col("b.band_id"))
-                & (F.col("c.band_key") == F.col("b.band_key"))
-                & (
-                    ~F.col("c.is_new")
-                    | (F.col("c.doc_id") < F.col("b.doc_id"))
-                ),
-            )
-            .select(
-                F.least(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_a"),
-                F.greatest(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_b"),
-            )
-            .distinct()
-        )
-        ids = (
-            cand.select(F.col("id_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-            .distinct()
-        )
-        verify_docs = d.join(F.broadcast(ids), "doc_id", "left_semi")
-        pairs = D.jaccard_on_pairs(
-            cand, verify_docs, "doc_id", "text", k=_SHINGLE_K,
-            threshold=_NEARDUP_T,
-        ).withColumn(
-            "pair_type",
-            F.when(
-                (_incr_bucket("id_a") >= pct) & (_incr_bucket("id_b") >= pct),
-                F.lit("within_batch"),
-            ).otherwise(F.lit("vs_corpus")),
-        )
+        pairs, bbands = incr_dedup_accept(prior, batch_docs, d)
         pairs.write.mode("append").parquet(out)
         bbands.select(*idx_cols).write.mode("append").parquet(accepted)
-        bsigs.unpersist()
 
     from dataengineeringproject_spark.queries.streaming_q import (
         _pinned_shuffle_partitions,

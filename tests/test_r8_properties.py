@@ -83,3 +83,40 @@ def test_cdc_merge_drop_tombstones_early_would_be_wrong(spark):
     assert _final(s2) == set(), "tombstone must survive the late older row"
     # and the tombstone row itself is still IN state (filtered at read)
     assert s2.count() == 1 and s2.first()["last_op"] == "error"
+
+
+@pytest.mark.parametrize("n_slices", [1, 4])
+def test_incr_dedup_accept_fold_is_partition_invariant(spark, n_slices):
+    """Folding incr_dedup_accept over ANY partition of the daily batch
+    — each step banding only its slice and probing corpus index plus
+    previously accepted bands — must reproduce the batch twin's exact
+    pair set (ids, jaccard, pair_type). Slices fold in REVERSED
+    doc_id-mod order to rule out any accidental order dependence; a
+    cross-slice near-dup pair is found once, when its later-folded
+    member arrives."""
+    from dataengineeringproject_spark.queries import llm_text
+    from dataengineeringproject_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    batch = d.filter(
+        llm_text._incr_bucket("doc_id") >= llm_text._INCR_EXISTING_PCT
+    )
+    prior = spark.read.parquet(llm_text._staged_sig_index(spark, sf))
+    cols = ["id_a", "id_b", "jaccard", "pair_type"]
+    folded: set = set()
+    for i in reversed(range(n_slices)):
+        sl = batch.filter(F.col("doc_id") % n_slices == i)
+        pairs, bands = llm_text.incr_dedup_accept(prior, sl, d)
+        folded |= {tuple(r) for r in pairs.select(*cols).collect()}
+        prior = prior.unionByName(
+            bands.select(*[f.name for f in prior.schema.fields])
+        ).localCheckpoint()
+    expect = {
+        tuple(r)
+        for r in llm_text.dedup_incremental_minhash(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    assert folded == expect
+    assert len(expect) > 0
