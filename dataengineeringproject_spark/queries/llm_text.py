@@ -910,60 +910,20 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: the index is bucketed by band_key (co-located join,
     matching buckets only), each accepted batch appends its bands, and
-    per-day cost is O(batch) + O(collisions), never O(corpus)."""
+    per-day cost is O(batch) + O(collisions), never O(corpus).
+
+    The body IS one `incr_dedup_accept` step with the whole batch as
+    the slice — the same function the streaming twin folds per
+    micro-batch (kappa-style: one code path, two arrival modes;
+    fold-invariance pinned in tests/test_r8_properties.py)."""
     d = _docs(spark, sf_dir)
-    pct = _INCR_EXISTING_PCT
-    batch = d.filter(_incr_bucket("doc_id") >= pct)
-    # bsigs feeds TWO consumers (band_table + within-batch LSH); an
-    # eager localCheckpoint materializes the signatures ONCE — so the
-    # batch is shingled once — without pinning the O(batch tokens)
-    # shingle table in executor memory for the life of the session
-    # (ADVICE r6: the previous `.cache()` here was never unpersisted
-    # and accumulated across a 76-query bench run). The checkpointed
-    # frame is 1 row × 9 ints per batch doc — negligible — and is
-    # freed by the ContextCleaner when the frame is GC'd.
-    bsigs = D.minhash_signatures(
-        batch, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K
-    ).localCheckpoint()
-    bbands = D.band_table(bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
+    batch = d.filter(_incr_bucket("doc_id") >= _INCR_EXISTING_PCT)
     # corpus side: READ BACK the persisted index — the plan must show a
     # parquet scan here, not a recomputation from documents (pinned in
     # tests/test_scale_plans.py).
     cbands = spark.read.parquet(_staged_sig_index(spark, sf_dir))
-    vs_corpus = (
-        cbands.alias("c")
-        .join(
-            bbands.alias("b"),
-            (F.col("c.band_id") == F.col("b.band_id"))
-            & (F.col("c.band_key") == F.col("b.band_key")),
-        )
-        .select(
-            F.least(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_a"),
-            F.greatest(F.col("c.doc_id"), F.col("b.doc_id")).alias("id_b"),
-        )
-        .distinct()
-    )
-    within = D.lsh_candidate_pairs(
-        bsigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS
-    )
-    cand = vs_corpus.unionByName(within).distinct()
-    ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    verify_docs = d.join(F.broadcast(ids), "doc_id", "left_semi")
-    pairs = D.jaccard_on_pairs(
-        cand, verify_docs, "doc_id", "text", k=_SHINGLE_K,
-        threshold=_NEARDUP_T,
-    )
-    return pairs.withColumn(
-        "pair_type",
-        F.when(
-            (_incr_bucket("id_a") >= pct) & (_incr_bucket("id_b") >= pct),
-            F.lit("within_batch"),
-        ).otherwise(F.lit("vs_corpus")),
-    )
+    pairs, _bands = incr_dedup_accept(cbands, batch, d)
+    return pairs
 
 
 # --- STREAMING incremental near-dup dedup (foreachBatch vs the index) --------
