@@ -2415,19 +2415,15 @@ def cdc_latest_state_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. The tombstone filter applies AFTER rank-1 selection:
     filtering deletes first would wrongly resurrect the
     second-newest change."""
-    from pyspark.sql import Window
-
+    # one cdc_merge_frames fold step over the WHOLE log — the same
+    # function the streaming twin folds per micro-batch (kappa-style;
+    # fold invariance pinned in tests/test_r8_properties.py). Catalyst
+    # prunes the state-table ordering columns the projection drops.
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_op"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
-            F.round("value", 6).alias("last_value"),
-        )
+        cdc_merge_frames(None, ev)
+        .filter(F.col("last_op") != "error")
+        .select("user_id", "last_op", "last_ts", "last_value")
     )
 
 
