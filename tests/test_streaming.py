@@ -459,3 +459,48 @@ def test_streaming_ivf_append_matches_batch_assignment(spark):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_foreachbatch_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """The streaming twins claim restart safety 'via the checkpoint +
+    idempotent re-append': a re-run against the same checkpoint with
+    no new files must invoke zero triggers (no duplicate appends), and
+    after a new file lands, a resumed run must process ONLY that file.
+    This pins the exact FileStreamSource+availableNow+foreachBatch
+    contract the dedup/CDC/IVF accept loops are built on."""
+    import pyspark.sql.functions as SF
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = spark.range(0, 5).select(SF.col("id").alias("doc_id"))
+    df1.coalesce(1).write.mode("append").parquet(land)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [0, 1, 2, 3, 4]
+    run_once()  # restart, nothing new: must append NOTHING
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [0, 1, 2, 3, 4]
+    spark.range(5, 8).select(SF.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    run_once()  # resume: ONLY the new file
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [0, 1, 2, 3, 4, 5, 6, 7]
