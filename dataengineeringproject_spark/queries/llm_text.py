@@ -279,6 +279,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-source duplication matrix -----------------------------------------
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({_neardup_sql()}) t)
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.id_a) AS BIGINT) AS n_docs_a,
+           CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_docs_b
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the duplication lives: the MinHash near-dup pair set
+    folded into a source x source matrix (unordered source pair via
+    least/greatest) with pair counts and per-side distinct-doc counts
+    — the audit that tells a curation team whether near-dups are
+    in-source boilerplate (diagonal) or cross-source copying
+    (off-diagonal, the contamination direction), and which source to
+    keep the representative from. Cost on top of the pair set is one
+    broadcast-sized join (pairs are LSH-verified survivors, orders of
+    magnitude smaller than the corpus) against the two-column
+    (doc_id, source) projection — column-pruned scan, no extra
+    corpus shuffle."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    j = F.broadcast(pairs).join(a, "id_a").join(b, "id_b")
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("id_a").cast("long").alias("n_docs_a"),
+        F.countDistinct("id_b").cast("long").alias("n_docs_b"),
+    )
+
+
 # --- n-gram Jaccard within a blocking key -----------------------------------
 
 @register(

@@ -2157,6 +2157,74 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- variance explained by the top-2 principal components --------------------
+
+@register(
+    "pca_variance_explained",
+    oracle=f"""
+    WITH base AS ({_pca2_oracle(_PCA_ITERS)}),
+    tq AS (
+      SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> CAST(round(x * 1e3) AS BIGINT))) AS qv,
+             unnest(range(0, {_N_DIMS})) AS i
+      FROM embeddings
+    ),
+    st AS (SELECT i, count(*) AS n, sum(qv) AS s, sum(qv * qv) AS ss
+           FROM tq GROUP BY 1),
+    tr AS (
+      SELECT sum(CAST(ss AS DOUBLE) / n / 1e6
+                 - (CAST(s AS DOUBLE) / n / 1e3)
+                   * (CAST(s AS DOUBLE) / n / 1e3)) AS trace
+      FROM st
+    )
+    SELECT DISTINCT component, lam,
+           round(trace, 6) AS trace,
+           round(lam / round(trace, 6), 6) AS var_explained
+    FROM base, tr
+    """,
+)
+def pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PCA summary a curation report actually quotes: how much of
+    the embedding corpus's total variance the top-2 components carry
+    (lam_k / trace(C)) — near-zero says the corpus is isotropic (no
+    dominant direction to deduplicate or cluster along), large says a
+    few axes dominate (quantize/deflate them first). Eigenvalues come
+    from the SAME deflation chain as pca_top2_deflation (identical
+    rounding, so the two reports can never disagree); the trace needs
+    only the 64 DIAGONAL cells — per-dim (n, Σq, Σq²) integer sums,
+    one map-side-combined aggregate over the corpus, no i×j pair
+    fan-out. Output: 2 rows."""
+    pc = pca_top2_deflation(spark, sf_dir).groupBy("component").agg(
+        F.first("lam").alias("lam")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(1e3)).cast("long"),
+            )
+        ).alias("i", "qv")
+    )
+    st = t.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+    )
+    var_i = (
+        F.col("ss").cast("double") / F.col("n") / F.lit(1e6)
+        - (F.col("s").cast("double") / F.col("n") / F.lit(1e3))
+        * (F.col("s").cast("double") / F.col("n") / F.lit(1e3))
+    )
+    tr = st.agg(F.round(F.sum(var_i), 6).alias("trace"))
+    return pc.crossJoin(F.broadcast(tr)).select(
+        "component",
+        "lam",
+        "trace",
+        F.round(F.col("lam") / F.col("trace"), 6).alias("var_explained"),
+    )
+
+
 # --- STREAMING IVF index append (ANN family batch/streaming symmetry) --------
 
 _IVFS_SEED = "ivfstream"
