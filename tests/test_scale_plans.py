@@ -358,3 +358,24 @@ def test_cdc_compaction_windows_delta_slice_only(spark):
          if "Scan parquet" in ln and "events.parquet" in ln]
     )
     assert n_event_scans == 2, plan  # delta window + delta-keys anti-join
+
+
+def test_bucketed_join_readback_no_scan_exchange(spark):
+    """bucketed_join_readback's join must be the bucketed sort-merge
+    join: both scans read the staged bucketed tables (deps_buck_) and
+    NO Exchange sits between a scan and the SortMergeJoin — the only
+    Exchange in the plan is the one the priority-level aggregate
+    needs. The write-time shuffle is the one the query reuses."""
+    plan = _physical_plan(spark, "bucketed_join_readback")
+    assert "deps_buck_ol_" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "SortMergeJoin" not in ln:
+            continue
+        d = _depth(ln)
+        for nxt in lines[i + 1 :]:
+            if _depth(nxt) <= d:
+                break
+            assert "Exchange" not in nxt, f"bucketed join shuffles:\n{plan}"
+    assert plan.count("Exchange") == 1, plan  # the groupBy only
