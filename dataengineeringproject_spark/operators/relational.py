@@ -100,3 +100,49 @@ def pivot_counts(
     """Pivot with EXPLICIT value list (never let Spark collect distinct
     values at scale — that is a driver-side scan of the whole column)."""
     return df.groupBy(key).pivot(pivot_col, list(values)).count().na.fill(0)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    The shape this exists for: a huge fact table whose join key is
+    skewed (one tenant / one event type / the null-ish default key
+    owns 30% of rows) joined to a dim table too LARGE to broadcast.
+    A plain shuffle join routes every hot-key row to ONE reducer — at
+    100 TB that task runs 100× longer than its peers and the stage is
+    hostage to it. Salting splits each key's fact rows across
+    `salt_buckets` reducers (fact salt = hash of `salt_on`, a
+    well-spread fact column — NEVER the join key, whose hash is one
+    constant per key) and replicates each dim row once per bucket via
+    a literal-range explode, so (key, salt) co-locates exactly one dim
+    copy with each fact slice. Cost: dim shuffles ×salt_buckets — the
+    explicit price paid to cap the straggler, chosen when
+    |dim| × salt_buckets ≪ the hot key's row count. The join result is
+    row-identical to the unsalted join (the salt never reaches the
+    output), which is what the registered query's oracle pins.
+
+    AQE's skew-join handles the SORT-MERGE case adaptively at runtime;
+    this operator is the declarative form that also composes under
+    joins AQE won't split (e.g. when the downstream plan pins the
+    partitioning) and makes the salted plan testable. `how` supports
+    inner/left joins (fact-preserving shapes; a right/full join would
+    need dedup of replicated unmatched dim rows)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    on = list(on)
+    salt_src = (
+        F.xxhash64(F.col(salt_on)) if salt_on else F.spark_partition_id()
+    )
+    f = fact.withColumn("__salt", F.pmod(salt_src, F.lit(salt_buckets)))
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return f.join(d, on + ["__salt"], how).drop("__salt")

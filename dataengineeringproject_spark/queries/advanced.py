@@ -4918,3 +4918,63 @@ def burstiness_by_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(sd, mean), 6).alias("cv"),
     )
     return cv.orderBy(F.desc("cv"), F.asc("user_id")).limit(_BURST_TOPK)
+
+
+# --- skew-safe salted join ---------------------------------------------------
+
+_SKEWJ_SALT = 16
+_SKEWJ_TOPK = 100
+
+
+@register(
+    "salted_skew_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT event_type, avg(value) AS ty_avg FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value - d.ty_avg, 6) AS dev
+    FROM events e JOIN dim d USING (event_type)
+    ORDER BY abs(ROUND(e.value - d.ty_avg, 6)) DESC, e.event_id
+    LIMIT {_SKEWJ_TOPK}
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-side twin of salted_skew_agg: enrich every event with
+    its type's corpus-wide mean through operators/relational.salted_join
+    — fact salted on a well-spread column (event_id hash mod 16), dim
+    replicated once per salt bucket, join on (event_type, __salt).
+    event_type is the canonical skewed key (5 values over the whole
+    corpus — a plain shuffle join lands ~1/5th of 100 TB on ONE reducer
+    per type; salting caps any reduce task at ~1/80th). The result is
+    row-identical to the unsalted join — the salt never reaches the
+    output — which is exactly what the oracle's plain join pins. Output
+    is the top-{_SKEWJ_TOPK} events by absolute deviation from their
+    type mean (rounded before ranking so both engines rank identical
+    values; event_id tie-break), the outlier shortlist this enrichment
+    shape feeds in practice. The merge hint keeps the exhibited plan
+    the salted shuffle join even at test scale, where the 5-row dim
+    would otherwise broadcast (at real scale the dim this stands in
+    for — per-tenant configs, per-entity stats — is itself too large
+    to broadcast, which is the only reason to salt at all)."""
+    from dataengineeringproject_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("ty_avg"))
+    j = salted_join(
+        ev,
+        dim.hint("merge"),
+        ["event_type"],
+        salt_buckets=_SKEWJ_SALT,
+        salt_on="event_id",
+    )
+    out = j.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("ty_avg"), 6).alias("dev"),
+    )
+    return out.orderBy(
+        F.abs(F.col("dev")).desc(), F.col("event_id").asc()
+    ).limit(_SKEWJ_TOPK)

@@ -120,3 +120,34 @@ def test_incr_dedup_accept_fold_is_partition_invariant(spark, n_slices):
     }
     assert folded == expect
     assert len(expect) > 0
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_is_row_identical_to_plain_join(spark, how):
+    """salted_join must be row-identical to the unsalted join for
+    inner AND left shapes — including an unmatched fact key (left:
+    exactly ONE null-extended row, not one per salt replica) and an
+    unmatched dim key (dropped both ways). The salt never reaches
+    the output schema."""
+    from dataengineeringproject_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, ["a", "a", "a", "b", "orphan"][i % 5], float(i)) for i in range(40)],
+        "fid INT, k STRING, v DOUBLE",
+    )
+    dim = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("unused", 9.0)], "k STRING, dv DOUBLE"
+    )
+    got = salted_join(fact, dim, ["k"], salt_buckets=4, salt_on="fid", how=how)
+    want = fact.join(dim, ["k"], how)
+    assert got.columns == want.columns
+    assert "__salt" not in got.columns
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from dataengineeringproject_spark.operators.relational import salted_join
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, ["k"], how="full")

@@ -379,3 +379,19 @@ def test_bucketed_join_readback_no_scan_exchange(spark):
                 break
             assert "Exchange" not in nxt, f"bucketed join shuffles:\n{plan}"
     assert plan.count("Exchange") == 1, plan  # the groupBy only
+
+
+def test_salted_skew_join_salts_fact_and_replicates_dim(spark):
+    """salted_skew_join must exhibit the salted plan: the join keys
+    include __salt (fact rows spread across 16 reducers per key), the
+    dim side carries the replicate-explode (Generate), and the top-k
+    is TakeOrderedAndProject — never a full sort of the joined fact."""
+    plan = _physical_plan(spark, "salted_skew_join")
+    assert "__salt" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    join_line = next(
+        ln for ln in plan.splitlines() if "SortMergeJoin" in ln
+    )
+    assert "__salt" in join_line, join_line
+    assert "Generate explode" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
