@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringproject_spark.functions import text as X
-from dataengineeringproject_spark.registry import register
+from dataengineeringproject_spark.registry import register, register_prestage
 from dataengineeringproject_spark.schemas import load_table
 
 # Per-source sampling rates (percent kept), default for unlisted sources.
@@ -264,12 +264,27 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition), 'pass' otherwise — the observability artifact that
     tells you which rule is eating your corpus before you commit to a
     filtered build. One aggregate pass; the when-chain short-circuits
-    identically in Spark and the oracle because rule order is shared."""
+    identically in Spark and the oracle because rule order is shared.
+    The reason expression is shared with streaming_quality_gate
+    (_funnel_reason) — the batch and streaming funnels can't drift."""
     d = _docs(spark, sf_dir)
+    return (
+        d.select(_funnel_reason().alias("reject_reason"), "n_chars")
+        .groupBy("reject_reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+def _funnel_reason() -> Column:
+    """First-failing-rule attribution for a `text` column — ONE
+    definition used by the batch funnel and its streaming twin."""
     n_tok = F.size(X.tokens("text"))
     ng = _all_ngrams("text", _REP_K)
     rep = 1.0 - F.size(F.array_distinct(ng)) / F.size(ng)
-    reason = (
+    return (
         F.when(n_tok < _MIN_TOK, F.lit("too_short"))
         .when(n_tok > _MAX_TOK, F.lit("too_long"))
         .when(X.punct_ratio("text") >= _MAX_PUNCT, F.lit("high_punct"))
@@ -277,13 +292,91 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(rep > _MAX_REP, F.lit("too_repetitive"))
         .otherwise(F.lit("pass"))
     )
-    return (
-        d.select(reason.alias("reject_reason"), "n_chars")
-        .groupBy("reject_reason")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars_total"),
+
+
+# --- STREAMING quality gate (quality family batch/streaming symmetry) --------
+
+_QGATE_SLICES = 3
+_QGATE_LAND: dict[str, str] = {}
+
+
+def _staged_docs_land(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the FULL corpus as a file-drop landing zone the quality
+    gate watches ({_QGATE_SLICES} deterministic doc_id-mod slices,
+    written oldest-first so FileStreamSource fixes micro-batch order).
+    Prestage hook: file ARRIVAL is not part of the gate's cost."""
+    if sf_dir in _QGATE_LAND:
+        return _QGATE_LAND[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    land = tempfile.mkdtemp(prefix="deps_qgate_land_")
+    atexit.register(shutil.rmtree, land, ignore_errors=True)
+    for i in range(_QGATE_SLICES):
+        d.filter(F.col("doc_id") % _QGATE_SLICES == i).coalesce(
+            1
+        ).write.mode("append").parquet(land)
+    _QGATE_LAND[sf_dir] = land
+    return land
+
+
+register_prestage(_staged_docs_land)
+
+
+@register(
+    "streaming_quality_gate",
+    oracle=f"""
+    SELECT {_FUNNEL_SQL} AS reject_reason,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quality_filter_funnel — fourth family with
+    batch/streaming symmetry (after monitor, dedup+CDC, ANN): documents
+    arrive as a file-drop stream ({_QGATE_SLICES} parquet slices,
+    maxFilesPerTrigger=1 + availableNow = {_QGATE_SLICES} genuine
+    micro-batches) and the funnel runs as a NATIVE unwindowed streaming
+    aggregation — stateless when-chain projection (the SAME
+    _funnel_reason expression as the batch funnel, so the two can never
+    drift) feeding an incremental groupBy(reject_reason) in complete
+    mode. No foreachBatch: the quality rules are per-document, so this
+    is the one family whose streaming form is pure built-in operators —
+    state is |reasons| rows (≤ 6) of partial sums regardless of corpus
+    size, the bounded-state shape that lets a 100 TB ingest keep a
+    live funnel dashboard forever. Converged complete-mode emission
+    equals the batch aggregate over the whole corpus — the same full
+    value-hash oracle as the batch twin."""
+    from dataengineeringproject_spark.queries.streaming_q import (
+        _pinned_shuffle_partitions,
+        _RUN_ID,
+    )
+    from dataengineeringproject_spark.streaming.daily import run_to_memory
+
+    d = _docs(spark, sf_dir)
+    land = _staged_docs_land(spark, sf_dir)
+    name = f"qgate_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
         )
+        agg = (
+            src.select(_funnel_reason().alias("reject_reason"), "n_chars")
+            .groupBy("reject_reason")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("n_chars_total"),
+            )
+        )
+        run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "reject_reason", "n_docs", "n_chars_total"
     )
 
 

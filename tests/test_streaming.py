@@ -504,3 +504,27 @@ def test_foreachbatch_checkpoint_resume_processes_only_new_files(spark, tmp_path
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_streaming_quality_gate_matches_batch_twin(spark):
+    """Batch/streaming symmetry for the QUALITY family: the native
+    unwindowed streaming aggregation over the shared _funnel_reason
+    when-chain must converge (complete mode, 3 micro-batches) to
+    EXACTLY the batch funnel's per-reason rows — same reasons, same
+    doc counts, same char totals — and every non-vacuous branch of
+    the funnel must appear in the streamed result too."""
+    from dataengineeringproject_spark.queries import curation
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["reject_reason", "n_docs", "n_chars_total"]
+    batch = {
+        tuple(r)
+        for r in curation.quality_filter_funnel(spark, sf).select(*cols).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in curation.streaming_quality_gate(spark, sf).select(*cols).collect()
+    }
+    assert stream == batch
+    assert {r[0] for r in stream} >= {"pass"}
+    assert len(stream) > 1  # at least one rejecting rule fires
