@@ -117,6 +117,12 @@ HEADLINE = [
     "streaming_dedup_incremental_minhash",
     "streaming_cdc_scd1_upsert",
     "streaming_ivf_index_append",
+    # r8 continuation: layout/skew exhibits + quality streaming twin
+    "bucketed_join_readback",
+    "salted_skew_join",
+    "streaming_quality_gate",
+    "dedup_cross_source_matrix",
+    "pca_variance_explained",
 ]
 
 
