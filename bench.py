@@ -122,6 +122,7 @@ HEADLINE = [
     "salted_skew_join",
     "streaming_quality_gate",
     "dedup_cross_source_matrix",
+    "streaming_multimodal_ingest",
     "pca_variance_explained",
 ]
 

@@ -32,7 +32,14 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (media_id, media_type, content BINARY, meta MAP):
     doc_id % 3 == 0 → 'video', == 1 → 'audio', == 2 → 'image'."""
     ensure_package_on_workers(spark)
-    return load_table(spark, sf_dir, "documents").select(
+    return _media_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _media_frame(docs: DataFrame) -> DataFrame:
+    """The documents→media projection itself, applied to a batch OR
+    streaming documents frame — one definition for both arrival modes
+    (the streaming ingest twin uses it on a readStream source)."""
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
@@ -227,3 +234,59 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+# --- STREAMING multimodal ingest (multimodal batch/streaming symmetry) -------
+
+_IMG_FEATURES_ORACLE = f"""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           64 + {_D[0]} % 192 AS width,
+           64 + {_D[1]} % 192 AS height,
+           ROUND({_D[2]} / 255.0, 6) AS mean_luma
+    FROM documents WHERE doc_id % 3 = 2
+    """
+
+
+@register("streaming_multimodal_ingest", oracle=_IMG_FEATURES_ORACLE)
+def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of multimodal_image_features — FIFTH family with
+    batch/streaming symmetry (after monitor, dedup+CDC, ANN, quality),
+    and the production shape for multimodal data: decode and
+    feature-extract media AT INGEST, as files land, so query time never
+    touches raw bytes. Documents arrive as a file-drop stream (the
+    same staged landing zone as the quality gate, maxFilesPerTrigger=1
+    + availableNow = genuine micro-batches); each micro-batch runs the
+    SAME documents→media projection (_media_frame) and the SAME
+    Arrow-batched mapInPandas decode (M.extract_image_features) as the
+    batch twin — stateless per-row work, so the stream needs no
+    watermark and no state store, and append mode accumulates exactly
+    the batch feature table. At 100 TB the memory sink becomes a
+    parquet/lakehouse sink and per-trigger cost is O(new files) decode
+    only — the corpus is never re-decoded. Full value-hash oracle
+    (identical to the batch twin's); set-equality symmetry pin in
+    tests/test_streaming.py."""
+    from dataengineeringproject_spark.queries.curation import (
+        _staged_docs_land,
+    )
+    from dataengineeringproject_spark.queries.streaming_q import (
+        _pinned_shuffle_partitions,
+        _RUN_ID,
+    )
+    from dataengineeringproject_spark.streaming.daily import run_to_memory
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    land = _staged_docs_land(spark, sf_dir)
+    name = f"mm_ingest_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        feats = M.extract_image_features(_media_frame(src), fake_decode=True)
+        run_to_memory(feats, name, output_mode="append")
+    return spark.table(name)

@@ -528,3 +528,31 @@ def test_streaming_quality_gate_matches_batch_twin(spark):
     assert stream == batch
     assert {r[0] for r in stream} >= {"pass"}
     assert len(stream) > 1  # at least one rejecting rule fires
+
+
+def test_streaming_multimodal_ingest_matches_batch_twin(spark):
+    """Batch/streaming symmetry for the MULTIMODAL family: the
+    mapInPandas decode running per micro-batch over the file-drop
+    stream must accumulate (append mode) EXACTLY the batch feature
+    table — same media ids, dimensions, digests, luma."""
+    from dataengineeringproject_spark.queries import multimodal_q
+
+    sf = "/root/testdata/sf0.001"
+    cols = [
+        "media_id", "media_type", "n_bytes", "digest",
+        "width", "height", "mean_luma",
+    ]
+    batch = {
+        tuple(r)
+        for r in multimodal_q.multimodal_image_features(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    stream = {
+        tuple(r)
+        for r in multimodal_q.streaming_multimodal_ingest(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
