@@ -1856,3 +1856,60 @@ def corr_chars_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_docs"),
         F.round(F.try_divide(num, den), 6).alias("pearson_r"),
     )
+
+
+# --- epoch shuffle manifest (sharded training-order permutation) -------------
+
+_EPOCH_SEED = "epoch0"
+_N_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {X.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=_EPOCH_SEED + "-shard")} AS hs,
+             {X.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=_EPOCH_SEED + "-order")} AS ho
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hs % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY hs % {_N_SHARDS} ORDER BY ho, doc_id
+                ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-epoch shuffle done the way 100 TB actually allows:
+    a GLOBAL random permutation is a full-corpus sort (one total order
+    = one reducer chain owns the tail), so instead each doc is hashed
+    to a shard ({_N_SHARDS} here; thousands in production) and ordered
+    WITHIN its shard by an independent seeded hash — readers consume
+    shards in any interleave and the result is a reproducible
+    pseudo-random epoch order. One shuffle on the shard key + a
+    per-shard sort (exactly the cost of writing the shuffled epoch —
+    each shard sorts corpus/{_N_SHARDS} rows in parallel, no global
+    order ever materializes); a NEW EPOCH is just a new seed — zero
+    data movement to re-plan. Both hashes are the engine-independent
+    seeded md5 (functions/text.token_hash), so the oracle reproduces
+    the full (doc_id, shard, pos) manifest byte-for-byte — and the
+    manifest is what downstream loaders join on, so it gets the full
+    value-hash gate."""
+    d = _docs(spark, sf_dir)
+    hs = X.token_hash(
+        F.col("doc_id").cast("string"), seed=_EPOCH_SEED + "-shard"
+    )
+    ho = X.token_hash(
+        F.col("doc_id").cast("string"), seed=_EPOCH_SEED + "-order"
+    )
+    h = d.select(
+        "doc_id", (hs % _N_SHARDS).alias("shard"), ho.alias("ho")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("ho").asc(), F.col("doc_id").asc())
+    return h.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -2374,3 +2374,71 @@ def streaming_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     _IVFS_RESULT[sf_dir] = out
     return spark.read.parquet(out)
+
+
+# --- corpus projection onto the top-2 principal components -------------------
+
+
+@register(
+    "embedding_pca_project",
+    oracle=f"""
+    WITH base AS ({_pca2_oracle(_PCA_ITERS)}),
+    lv AS (
+      SELECT component, dim AS i,
+             CAST(round(loading * 1e6) AS BIGINT) AS lv
+      FROM base
+    ),
+    tq AS (
+      SELECT vec_id,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> CAST(round(x * 1e3) AS BIGINT))) AS qv,
+             unnest(range(0, {_N_DIMS})) AS i
+      FROM embeddings
+    )
+    SELECT t.vec_id, l.component,
+           round(CAST(sum(t.qv * l.lv) AS DOUBLE) / 1e9, 6) AS proj
+    FROM tq t JOIN lv l ON l.i = t.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA family's EXPORT artifact: every embedding projected onto
+    the top-2 components (the 2-D map a curation team actually plots
+    to eyeball corpus structure, and the input to density/outlier
+    screens in the reduced space). Loadings come from the SAME
+    deflation chain as pca_top2_deflation; because they are 6dp-rounded
+    there, loading×1e6 and the ×1e3-quantized corpus are BOTH integers,
+    so each projection is an EXACT integer dot product (Σ qv·lv, summed
+    in any order on any partitioning) divided once at the end —
+    engine-identical by construction, no float-summation-order risk.
+    Plan: posexplode corpus → broadcast-join the 128-row loading table
+    → groupBy (vec_id, component). Exploded rows of one vector are
+    co-partitioned with it, so the partial aggregate collapses to 2
+    rows per vector BEFORE the shuffle — the shuffle moves 2·|corpus|
+    tiny rows, never the 64× exploded form. Output: 2 rows per vector
+    (long form, scalar columns per the fleet-wide output contract)."""
+    pc = pca_top2_deflation(spark, sf_dir).select(
+        "component",
+        F.col("dim").alias("i"),
+        F.round(F.col("loading") * F.lit(1e6)).cast("long").alias("lv"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(1e3)).cast("long"),
+            )
+        ).alias("i", "qv"),
+    )
+    return (
+        t.join(F.broadcast(pc), "i")
+        .groupBy("vec_id", "component")
+        .agg(F.sum(F.col("qv") * F.col("lv")).alias("s"))
+        .select(
+            "vec_id",
+            "component",
+            F.round(F.col("s").cast("double") / F.lit(1e9), 6).alias("proj"),
+        )
+    )
