@@ -2442,3 +2442,97 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.lit(1e9), 6).alias("proj"),
         )
     )
+
+
+# --- semantic train/test leakage screen --------------------------------------
+
+from dataengineeringproject_spark.queries.curation import (  # noqa: E402
+    SPLIT_TRAIN as _SPL_TRAIN,
+    SPLIT_VAL as _SPL_VAL,
+    _bucket as _spl_bucket,
+    _bucket_sql as _spl_bucket_sql,
+)
+
+
+def _split_case_sql(id_col: str) -> str:
+    """The SAME split rule as curation.split_train_val_test, applied to
+    an embedding id column — imported, not re-implemented."""
+    b = _spl_bucket_sql(id_col)
+    return (
+        f"CASE WHEN {b} < {_SPL_TRAIN} THEN 'train' "
+        f"WHEN {b} < {_SPL_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "split_leakage_embedding",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', S.hyperplanes(_N_PLANES, _N_DIMS))} AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(CASE WHEN list_inner_product(a.emb, a.emb) = 0 OR list_inner_product(b.emb, b.emb) = 0 THEN NULL ELSE list_cosine_similarity(a.emb, b.emb) END, 6) AS cosine
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    q AS (
+      SELECT id_a, id_b, cosine,
+             {_split_case_sql('id_a')} AS split_a,
+             {_split_case_sql('id_b')} AS split_b
+      FROM p WHERE cosine >= {_NEARDUP_COS_T}
+    )
+    SELECT CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_id,
+           CASE WHEN split_a = 'train' THEN id_b ELSE id_a END AS test_id,
+           cosine
+    FROM q
+    WHERE (split_a = 'train' AND split_b = 'test')
+       OR (split_a = 'test' AND split_b = 'train')
+    """,
+)
+def split_leakage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: near-identical EMBEDDINGS that cross
+    the train/test boundary — the leakage n-gram matching can't see
+    (paraphrases, translations, re-encodings land far apart in token
+    space but adjacent in embedding space; split_leakage_ngram is the
+    token-space sibling). Pairs come from the same LSH-bucketed cosine
+    machinery as dedup_embedding_cosine; the split assignment is
+    IMPORTED from curation (the seeded-hash rule of
+    split_train_val_test — the screen provably audits the split the
+    corpus actually uses, not a reimplementation that could drift).
+    Because the split is a pure hash of the id, membership is computed
+    INLINE on the pair set — a projection, zero extra joins or
+    shuffles on top of the bucketed pair join. Output: (train_id,
+    test_id, cosine) oriented so the test-side doc is always the one
+    to quarantine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup(
+        emb, "vec_id", "embedding", n_planes=_N_PLANES,
+        threshold=_NEARDUP_COS_T, n_dims=_N_DIMS,
+    )
+
+    def split_of(c: str):
+        b = _spl_bucket(c)
+        return (
+            F.when(b < _SPL_TRAIN, F.lit("train"))
+            .when(b < _SPL_VAL, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    sa, sb = split_of("id_a"), split_of("id_b")
+    return (
+        pairs.filter(
+            ((sa == "train") & (sb == "test"))
+            | ((sa == "test") & (sb == "train"))
+        )
+        .select(
+            F.when(sa == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(sa == "train", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("test_id"),
+            "cosine",
+        )
+    )
