@@ -280,3 +280,41 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     assert avg_span(z_path, "v") < avg_span(one_d_path, "v")
     # and the data survives intact
     assert spark.read.parquet(z_path).count() == n
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
+    """AQE skew-join is the RUNTIME complement of the declarative
+    operators/relational.salted_join: with adaptive execution on and
+    the skew thresholds scaled to the fixture, a sort-merge join whose
+    left side concentrates ~all rows on one key must come out of
+    execution with its skewed partition split (the join node is marked
+    skew=true in the final adaptive plan). This pins that the engine's
+    config surface actually triggers the optimization — at 100 TB this
+    is the difference between a straggler task owning 30% of the fact
+    table and N parallel splits of it."""
+    hot = spark.range(0, 200_000).selectExpr(
+        "CAST(0 AS BIGINT) AS k", "id AS payload"
+    )
+    cold = spark.range(0, 2_000).selectExpr("id % 50 + 1 AS k", "id AS payload")
+    fact = hot.union(cold)
+    dim = spark.range(0, 51).selectExpr("id AS k", "id * 10 AS dv")
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim"))
+    with _conf(
+        spark,
+        spark__sql__adaptive__enabled="true",
+        spark__sql__adaptive__skewJoin__enabled="true",
+        spark__sql__adaptive__skewJoin__skewedPartitionFactor="2",
+        spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes="64KB",
+        spark__sql__adaptive__advisoryPartitionSizeInBytes="64KB",
+        spark__sql__adaptive__coalescePartitions__enabled="false",
+        spark__sql__autoBroadcastJoinThreshold="-1",
+    ):
+        j = f.hint("merge").join(d, "k")
+        # materialize THIS dataframe's own execution so the adaptive
+        # plan finalizes (count() would plan a separate query)
+        assert len(j.collect()) == 200_000 + 2_000
+        plan = _executed_plan(j)
+    assert "skew=true" in plan, plan
