@@ -2656,6 +2656,14 @@ def streaming_cdc_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_path = f"{state_root}/v{batch_id}"
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
+        # retention runs as part of the commit loop: storage stays
+        # bounded at 2 snapshots (current + one grace copy for
+        # in-flight readers) instead of growing by one per trigger
+        from dataengineeringproject_spark.sources.layout import (
+            vacuum_versions,
+        )
+
+        vacuum_versions(state_root, keep=2, current=new_path)
 
     from dataengineeringproject_spark.queries.streaming_q import (
         _pinned_shuffle_partitions,
