@@ -132,7 +132,8 @@ def test_salted_join_is_row_identical_to_plain_join(spark, how):
     from dataengineeringproject_spark.operators.relational import salted_join
 
     fact = spark.createDataFrame(
-        [(i, ["a", "a", "a", "b", "orphan"][i % 5], float(i)) for i in range(40)],
+        [(i, ["a", "a", "a", "b", "orphan"][i % 5], float(i)) for i in range(40)]
+        + [(100, None, 0.0)],  # null join key: dropped inner, kept left
         "fid INT, k STRING, v DOUBLE",
     )
     dim = spark.createDataFrame(
@@ -142,7 +143,8 @@ def test_salted_join_is_row_identical_to_plain_join(spark, how):
     want = fact.join(dim, ["k"], how)
     assert got.columns == want.columns
     assert "__salt" not in got.columns
-    assert sorted(got.collect()) == sorted(want.collect())
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
 
 
 def test_salted_join_rejects_unsupported_how(spark):
