@@ -1913,3 +1913,87 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# --- differentially-private count release ------------------------------------
+
+_DP_EPS = 0.5
+_DP_SEED = "dp-v1"
+_DP_TRUNC = 20
+
+
+def _dp_cdf() -> list[tuple[float, int]]:
+    """Inverse-CDF table of the TRUNCATED two-sided geometric (discrete
+    Laplace) mechanism, P(k) ∝ exp(-eps·|k|), k ∈ [-T, T] — the integer
+    noise production DP systems add to counts (the US-Census-style
+    discrete mechanism; truncation at T=±{T} clips a ~exp(-10) tail).
+    Thresholds are computed ONCE here in Python and embedded via repr()
+    into BOTH engines' expressions, so the noise draw is a pure
+    (uniform-hash < constant) comparison chain — no ln/exp evaluated
+    per-engine, hence bit-identical across Spark, DuckDB, and any
+    partitioning.""".replace("{T}", str(_DP_TRUNC))
+    import math
+
+    p = math.exp(-_DP_EPS)
+    weights = [(k, p ** abs(k)) for k in range(-_DP_TRUNC, _DP_TRUNC + 1)]
+    total = sum(w for _, w in weights)
+    acc = 0.0
+    out = []
+    for k, w in weights:
+        acc += w / total
+        out.append((min(acc, 1.0), k))
+    out[-1] = (1.0, _DP_TRUNC)
+    return out
+
+
+def _dp_u_sql() -> str:
+    return f"(CAST({X.token_hash_sql('source', seed=_DP_SEED)} AS DOUBLE) / {float(2**60)!r})"
+
+
+def _dp_noise_sql() -> str:
+    u = _dp_u_sql()
+    branches = " ".join(
+        f"WHEN {u} < {thr!r} THEN {k}" for thr, k in _dp_cdf()[:-1]
+    )
+    return f"CASE {branches} ELSE {_DP_TRUNC} END"
+
+
+@register(
+    "dp_noisy_counts_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST({_dp_noise_sql()} AS BIGINT) AS noise,
+           CAST(count(*) + {_dp_noise_sql()} AS BIGINT) AS n_noisy
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dp_noisy_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the mechanism a
+    training-data pipeline needs the day its per-source/per-cohort
+    statistics leave the trust boundary (external data cards, partner
+    reports): per-source counts plus TRUNCATED DISCRETE-LAPLACE integer
+    noise, P(k) ∝ exp(-{_DP_EPS}·|k|). The draw is deterministic
+    (seeded hash of the released key → uniform in [0,1) → inverse-CDF
+    threshold chain) so release jobs are reproducible and re-runs
+    can't burn extra privacy budget by re-sampling; the CDF thresholds
+    are Python-precomputed constants embedded in both engines
+    (repr round-trip), making the noise engine- and
+    partitioning-exact — which is exactly what the value-hash oracle
+    checks. n_true stays in the output here because the harness IS the
+    trusted side; the released view is (source, n_noisy). Cost: the
+    same one-pass map-side-combined count as any grouped aggregate —
+    the mechanism is a projection on the aggregate, free at 100 TB."""
+    d = _docs(spark, sf_dir)
+    u = X.token_hash(F.col("source"), seed=_DP_SEED).cast("double") / F.lit(
+        float(2**60)
+    )
+    noise = F.lit(_DP_TRUNC)
+    for thr, k in reversed(_dp_cdf()[:-1]):
+        noise = F.when(u < F.lit(thr), F.lit(k)).otherwise(noise)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        noise.cast("long").alias("noise"),
+        (F.count(F.lit(1)) + noise).cast("long").alias("n_noisy"),
+    )
