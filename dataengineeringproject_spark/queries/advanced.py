@@ -2690,9 +2690,7 @@ def streaming_cdc_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QB_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
 
 
-@register(
-    "value_quantiles_binned",
-    oracle=f"""
+_ORACLE_VQB = f"""
     WITH s AS (
       SELECT min(value) AS vmin, max(value) AS vmax
       FROM events WHERE value IS NOT NULL
@@ -2728,8 +2726,10 @@ _QB_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
            )}
     FROM hit JOIN c ON c.event_type = hit.event_type AND c.bin = hit.qbin
     GROUP BY 1
-    """,
-)
+    """
+
+
+@register("value_quantiles_binned", oracle=_ORACLE_VQB)
 def value_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-group quantiles from the shared fixed fine grid —
     the registered scale twin value_quantiles' docstring promises: the
@@ -2753,6 +2753,17 @@ def value_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"), F.max("value").alias("bhi"))
     )
+    return _binned_quantiles_report(g)
+
+
+def _binned_quantiles_report(g: DataFrame) -> DataFrame:
+    """Quantile read-back over a converged (event_type, bin, cnt, bhi)
+    histogram — ONE finisher shared by the batch query and the
+    streaming twin (the monitor-family pattern: the sketch/summary is
+    maintained incrementally, the report is a batch read of it).
+    Everything here runs on |types| × 1024 rows."""
+    from pyspark.sql import Window
+
     wp = Window.partitionBy("event_type")
     c = g.select(
         "event_type",
@@ -2784,6 +2795,68 @@ def value_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n, _ in _QB_QS
         ]
     )
+
+
+# --- STREAMING binned quantiles (completes sketch-family symmetry) -----------
+
+
+@register(
+    "streaming_value_quantiles_binned",
+    oracle=_ORACLE_VQB,
+)
+def streaming_value_quantiles_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of value_quantiles_binned — completes the
+    mergeable-summary streaming set (HLL distinct, CMS heavy hitters,
+    Bloom dedup, now binned quantiles): the 1024-bin grid is calibrated
+    ONCE on history (min/max from the static table — the fixed-bounds
+    contract every production latency/value histogram uses; a
+    data-dependent grid would shift under the stream), each micro-batch
+    folds its rows into per-(type, bin) count/max partials via a NATIVE
+    streaming aggregation (state bounded at |types| × 1024 rows
+    forever), and the quantile report is the SAME read-back finisher
+    (_binned_quantiles_report) the batch query uses — summaries are
+    maintained incrementally, reports are batch reads. Converged
+    complete-mode state equals the batch histogram exactly (count and
+    max are order-insensitive), so this carries the batch twin's full
+    value-hash oracle."""
+    from dataengineeringproject_spark.queries.streaming_q import (
+        _pinned_shuffle_partitions,
+        _RUN_ID,
+        _staged_events,
+    )
+    from dataengineeringproject_spark.streaming.daily import run_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    land = _staged_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("value").isNotNull())
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .withColumn("__one", F.lit(1))
+    )
+    name = f"vqb_stream_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .filter(F.col("value").isNotNull())
+            .withColumn("__one", F.lit(1))
+            .join(F.broadcast(s), "__one")
+        )
+        g = (
+            src.select(
+                "event_type", _fine_bin(F.col("value")).alias("bin"), "value"
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max("value").alias("bhi"))
+        )
+        run_to_memory(g, name, output_mode="complete")
+    # eager localCheckpoint of the |types|×1024-row snapshot: the
+    # finisher references it twice, and memory-sink views re-resolve
+    # to identical attribute ids (self-join conflict) without it
+    return _binned_quantiles_report(spark.table(name).localCheckpoint())
 
 
 # --- HLL set algebra (r5): intersection via inclusion-exclusion -------------

@@ -556,3 +556,26 @@ def test_streaming_multimodal_ingest_matches_batch_twin(spark):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_streaming_binned_quantiles_match_batch_twin(spark):
+    """Batch/streaming symmetry for the binned-quantile summary: the
+    fixed-grid per-(type, bin) count/max streaming aggregation must
+    converge to the batch histogram exactly, so the shared read-back
+    finisher reports identical p50/p95/p99 per type."""
+    from dataengineeringproject_spark.queries import advanced
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["event_type", "p50", "p95", "p99"]
+    batch = {
+        tuple(r)
+        for r in advanced.value_quantiles_binned(spark, sf).select(*cols).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in advanced.streaming_value_quantiles_binned(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
