@@ -124,6 +124,11 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "streaming_multimodal_ingest",
     "pca_variance_explained",
+    "epoch_shuffle_manifest",
+    "embedding_pca_project",
+    "split_leakage_embedding",
+    "dp_noisy_counts_by_source",
+    "streaming_value_quantiles_binned",
 ]
 
 
