@@ -2885,3 +2885,85 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pair_jaccard"),
     )
+
+
+# --- exact duplicated-substring detection (sliding window) -------------------
+# The k-gram-anchor form of suffix-array substring dedup (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better"):
+# every duplicated span of length >= L is a run of duplicated L-char
+# windows, so sliding a stride-1 window and counting cross-document
+# window collisions measures exactly the text mass that substring-level
+# dedup would remove. Distinct from `dedup_chunks_c4` (boundary-aligned
+# chunks miss any duplicate that straddles a chunk edge) and from the
+# MinHash family (similarity, not exact duplication).
+
+_SSTR_L = 40  # window length = minimum duplicated-span length detected
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, length(text) - {_SSTR_L} + 2)) AS i
+      FROM documents WHERE length(text) >= {_SSTR_L}
+    ),
+    g AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), {_SSTR_L}) AS gram
+      FROM pos
+    ),
+    dg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    gc AS (SELECT gram, count(*) AS nd FROM dg GROUP BY 1)
+    SELECT dg.doc_id,
+           CAST(sum(dg.c) AS BIGINT) AS total_pos,
+           CAST(coalesce(
+             sum(dg.c) FILTER (WHERE gc.nd >= 2), 0) AS BIGINT) AS dup_pos,
+           round(coalesce(sum(dg.c) FILTER (WHERE gc.nd >= 2), 0) * 1e0
+                 / sum(dg.c), 6) AS dup_ratio
+    FROM dg JOIN gc USING (gram)
+    GROUP BY 1
+    """,
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact duplicated-substring mass: the share of
+    stride-1 {_SSTR_L}-char windows whose text also occurs in at least
+    one OTHER document. A window is the k-gram anchor of suffix-array
+    dedup — any verbatim cross-document span of length >= {_SSTR_L}
+    shows up here as a run of colliding windows, including spans the
+    boundary-aligned `dedup_chunks_c4` pass cannot see.
+
+    Scale shape: the explode is linear in corpus characters (one row
+    per window), the (doc, gram) pre-aggregation partial-combines
+    map-side before the gram-grain shuffle, and the doc-count join
+    back onto the compressed (doc, gram) frame is gram-keyed — never
+    all-pairs, no window sort. At 100 TB the only change is the
+    shuffle key: ship xxhash64(gram) (8 bytes) instead of the
+    {_SSTR_L}-char text, an engine-internal swap that leaves these
+    per-document ratios identical up to hash collisions (~1e-9 at
+    10^13 windows with a 128-bit key)."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.length("text") >= _SSTR_L)
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _SSTR_L + 1)
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.expr(f"substring(text, i, {_SSTR_L})").alias("gram"))
+    dg = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    dup_c = F.sum(F.when(F.col("nd") >= 2, F.col("c")))
+    return (
+        dg.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("total_pos"),
+            F.coalesce(dup_c, F.lit(0)).cast("long").alias("dup_pos"),
+            F.round(
+                F.coalesce(dup_c, F.lit(0)) * F.lit(1.0) / F.sum("c"), 6
+            ).alias("dup_ratio"),
+        )
+    )
