@@ -203,3 +203,79 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("suppkey"))
         .limit(_TRI_TOPK)
     )
+
+
+# --- k-hop BFS reach (bipartite part—supplier graph) -------------------------
+
+_KHOP_SEED_MOD = 97  # deterministic seed set: parts with p % 97 == 0
+
+
+@register(
+    "graph_khop_reach",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    seeds AS (SELECT DISTINCT p AS seed FROM e WHERE p % {_KHOP_SEED_MOD} = 0),
+    s1 AS (SELECT DISTINCT seed, e.s FROM seeds JOIN e ON e.p = seeds.seed),
+    p2 AS (SELECT DISTINCT seed, e.p FROM s1 JOIN e USING (s)),
+    s3 AS (SELECT DISTINCT seed, e.s FROM p2 JOIN e USING (p)),
+    p4 AS (SELECT DISTINCT seed, e.p FROM s3 JOIN e USING (s)),
+    c2 AS (
+      SELECT seed, CAST(count(*) FILTER (WHERE p <> seed) AS BIGINT) AS reach_2
+      FROM p2 GROUP BY 1
+    ),
+    c4 AS (
+      SELECT seed, CAST(count(*) FILTER (WHERE p <> seed) AS BIGINT) AS reach_4
+      FROM p4 GROUP BY 1
+    )
+    SELECT seed AS seed_part, reach_2, reach_4 FROM c2 JOIN c4 USING (seed)
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS reach over the bipartite part—supplier graph
+    (edges = distinct (l_partkey, l_suppkey) incidences): for every
+    seed part (p % {_KHOP_SEED_MOD} == 0) count the OTHER parts
+    reachable within 2 and within 4 hops — the supply-chain blast
+    radius / substitution-pool question, and the engine's only
+    multi-hop traversal (pagerank is a power iteration, triangles are
+    local, connected components is a fixpoint).
+
+    Scale shape — textbook distributed BFS: the frontier is a
+    (seed, node) set deduplicated at EVERY level, so it is bounded by
+    |seeds| x |nodes| regardless of path multiplicity (the naive
+    path-enumeration join grows exponentially with k). The frontier —
+    tiny next to the edge list — is broadcast into each expansion
+    join, so the 100 TB edge table is never shuffled: each level is
+    one broadcast-hash join + one distinct at frontier grain. k is a
+    fixed plan constant (unrolled, no driver loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    seeds = (
+        e.filter(F.col("p") % _KHOP_SEED_MOD == 0)
+        .select(F.col("p").alias("seed"))
+        .distinct()
+    )
+    s1 = (
+        e.join(F.broadcast(seeds), e.p == seeds.seed)
+        .select("seed", "s")
+        .distinct()
+    )
+    p2 = e.join(F.broadcast(s1), "s").select("seed", "p").distinct()
+    s3 = e.join(F.broadcast(p2), "p").select("seed", "s").distinct()
+    p4 = e.join(F.broadcast(s3), "s").select("seed", "p").distinct()
+
+    def _cnt(fr: DataFrame, name: str) -> DataFrame:
+        return fr.groupBy("seed").agg(
+            F.sum(F.when(F.col("p") != F.col("seed"), 1).otherwise(0))
+            .cast("long")
+            .alias(name)
+        )
+
+    return (
+        _cnt(p2, "reach_2")
+        .join(_cnt(p4, "reach_4"), "seed")
+        .select(F.col("seed").alias("seed_part"), "reach_2", "reach_4")
+    )
