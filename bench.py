@@ -129,6 +129,10 @@ HEADLINE = [
     "split_leakage_embedding",
     "dp_noisy_counts_by_source",
     "streaming_value_quantiles_binned",
+    "dedup_substring_exact",
+    "graph_khop_reach",
+    "benford_first_digit",
+    "k_anonymity_audit",
 ]
 
 

@@ -5059,3 +5059,88 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.abs(F.col("dev")).desc(), F.col("event_id").asc()
     ).limit(_SKEWJ_TOPK)
+
+
+# --- Benford first-digit audit (fraud / data-quality forensics) --------------
+# Expected shares log10(1 + 1/d) precomputed in Python and repr-embedded
+# in BOTH engines (the DP-noise precedent: no per-engine log arithmetic,
+# so the expectation is bit-identical by construction).
+
+_BENFORD_EXP = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE_SQL = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {s}" for d, s in _BENFORD_EXP.items())
+    + " END"
+)
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM o)
+    SELECT digit, n,
+           round(n * 1e0 / tot, 6) AS obs_share,
+           round({_BENFORD_CASE_SQL}, 6) AS exp_share,
+           round(tot * pow(n * 1e0 / tot - {_BENFORD_CASE_SQL}, 2)
+                 / ({_BENFORD_CASE_SQL}), 6) AS chi2_term
+    FROM o CROSS JOIN t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic forensic screen for fabricated or truncated numeric
+    columns (a synthetic generator that draws uniformly, or an ETL bug
+    that clips a range, bends this curve immediately). Per digit 1-9:
+    observed count and share, the Benford expectation log10(1+1/d),
+    and the per-digit chi-square term n·(obs−exp)²/exp whose sum is
+    the goodness-of-fit statistic.
+
+    The first digit comes from the INTEGER STRING of floor(x) — not
+    from floor(x/10^floor(log10 x)), whose float log can land an exact
+    power of ten on either side of the boundary depending on the
+    engine's libm. Scale shape: one map-side-combined 9-group
+    aggregate over the fact table, a broadcast of the 1-row total —
+    nothing else."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").alias("tot"))
+    exp_share = F.coalesce(
+        *[
+            F.when(F.col("digit") == dd, F.lit(float(s)))
+            for dd, s in _BENFORD_EXP.items()
+        ]
+    )
+    obs_share = F.col("n") * F.lit(1.0) / F.col("tot")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(
+            F.col("tot") * F.pow(obs_share - exp_share, 2) / exp_share, 6
+        ).alias("chi2_term"),
+    )

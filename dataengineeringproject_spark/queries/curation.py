@@ -1997,3 +1997,80 @@ def dp_noisy_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.cast("long").alias("noise"),
         (F.count(F.lit(1)) + noise).cast("long").alias("n_noisy"),
     )
+
+
+# --- k-anonymity audit (privacy release gate) --------------------------------
+
+_KANON_K = 5                      # privacy threshold: classes below are unsafe
+_KANON_WIDTHS = (500, 2000)       # acctbal generalization ladder (fine→coarse)
+
+
+def _kanon_level_sql(width: int) -> str:
+    return f"""
+      SELECT CAST({width} AS BIGINT) AS band_width,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(k) AS BIGINT) AS k_min,
+             CAST(sum(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+             CAST(sum(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) AS BIGINT)
+               AS rows_suppressed,
+             round(sum(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) * 1e0
+                   / sum(k), 6) AS suppression_rate
+      FROM (
+        SELECT count(*) AS k FROM customer
+        GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / {width}e0)
+      )"""
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    {_kanon_level_sql(_KANON_WIDTHS[0])}
+    UNION ALL
+    {_kanon_level_sql(_KANON_WIDTHS[1])}
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit over the quasi-identifier
+    (nation, market segment, account-balance band), reported at two
+    rungs of the generalization ladder (band width {_KANON_WIDTHS[0]}
+    vs {_KANON_WIDTHS[1]}): per rung, the equivalence-class count, the
+    smallest class (k_min — the re-identification risk headline), and
+    how many classes/rows a suppress-below-k={_KANON_K} policy would
+    drop. The privacy twin of `dp_noisy_counts_by_source`: DP protects
+    aggregate releases, k-anonymity audits row-level releases, and a
+    training-data pipeline shipping user-derived text needs both
+    gates.
+
+    Scale shape: each rung is one map-side-combinable groupBy on the
+    QI key followed by a single-row summary aggregate — two corpus
+    passes total (one per rung), no joins, no windows; the union of
+    two 1-row frames is free."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _level(width: int) -> DataFrame:
+        cls = cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(float(width))).alias("band"),
+        ).agg(F.count(F.lit(1)).alias("k"))
+        below = F.col("k") < _KANON_K
+        return cls.agg(
+            F.lit(width).cast("long").alias("band_width"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("k").cast("long").alias("k_min"),
+            F.sum(F.when(below, 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_k"),
+            F.sum(F.when(below, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("rows_suppressed"),
+            F.round(
+                F.sum(F.when(below, F.col("k")).otherwise(0))
+                * F.lit(1.0)
+                / F.sum("k"),
+                6,
+            ).alias("suppression_rate"),
+        )
+
+    return _level(_KANON_WIDTHS[0]).unionAll(_level(_KANON_WIDTHS[1]))
