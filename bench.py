@@ -133,6 +133,9 @@ HEADLINE = [
     "graph_khop_reach",
     "benford_first_digit",
     "k_anonymity_audit",
+    "l_diversity_audit",
+    "heaps_law_vocab_growth",
+    "corpus_similarity_minhash",
 ]
 
 

@@ -2074,3 +2074,83 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _level(_KANON_WIDTHS[0]).unionAll(_level(_KANON_WIDTHS[1]))
+
+
+# --- l-diversity audit (sensitive-attribute companion of k-anonymity) --------
+
+_LDIV_L = 3                       # diversity threshold: classes below leak
+
+
+def _ldiv_level_sql(width: int) -> str:
+    return f"""
+      SELECT CAST({width} AS BIGINT) AS band_width,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(l) AS BIGINT) AS l_min,
+             CAST(sum(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l,
+             CAST(sum(CASE WHEN l < {_LDIV_L} THEN k ELSE 0 END) AS BIGINT)
+               AS rows_exposed,
+             round(sum(CASE WHEN l < {_LDIV_L} THEN k ELSE 0 END) * 1e0
+                   / sum(k), 6) AS exposure_rate
+      FROM (
+        SELECT count(*) AS k, count(DISTINCT c_mktsegment) AS l
+        FROM customer
+        GROUP BY c_nationkey, floor(c_acctbal / {width}e0)
+      )"""
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    {_ldiv_level_sql(_KANON_WIDTHS[0])}
+    UNION ALL
+    {_ldiv_level_sql(_KANON_WIDTHS[1])}
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit — the attribute-disclosure companion
+    of `k_anonymity_audit`: k-anonymity bounds RE-IDENTIFICATION, but a
+    class where every member shares one sensitive value leaks that
+    value without any re-identification at all (the homogeneity
+    attack). Quasi-identifier here is (nation, acctbal band) and the
+    SENSITIVE attribute is the market segment; per generalization rung
+    ({_KANON_WIDTHS[0]} vs {_KANON_WIDTHS[1]}): class count, the least
+    diverse class (l_min), and how many classes/rows fall below
+    l={_LDIV_L} distinct sensitive values. Completes the release-gate
+    trio: DP for aggregates, k-anonymity for identity, l-diversity for
+    attributes.
+
+    Scale shape: per rung one map-side-combinable groupBy on the QI key
+    (count + exact distinct of a LOW-cardinality sensitive column —
+    partial aggregation keeps at most |segments| values per partition
+    per class) then a single-row summary. No joins, no windows."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _level(width: int) -> DataFrame:
+        cls = cust.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(float(width))).alias("band"),
+        ).agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+        below = F.col("l") < _LDIV_L
+        return cls.agg(
+            F.lit(width).cast("long").alias("band_width"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("l").cast("long").alias("l_min"),
+            F.sum(F.when(below, 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_l"),
+            F.sum(F.when(below, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("rows_exposed"),
+            F.round(
+                F.sum(F.when(below, F.col("k")).otherwise(0))
+                * F.lit(1.0)
+                / F.sum("k"),
+                6,
+            ).alias("exposure_rate"),
+        )
+
+    return _level(_KANON_WIDTHS[0]).unionAll(_level(_KANON_WIDTHS[1]))

@@ -2967,3 +2967,243 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --- Heaps' law: vocabulary growth vs corpus size ----------------------------
+
+_HEAPS_SEED = "heaps-v1"
+_HEAPS_CUTS = (10, 25, 50, 100)  # nested hash-prefix subcorpora (% of docs)
+_HEAPS_BUCKET = f"{X.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=_HEAPS_SEED)} % 100"
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_HEAPS_BUCKET} AS b,
+             unnest({X.tokens_sql('lower(text)')}) AS tok
+      FROM documents
+    ),
+    occ AS (SELECT b, count(*) AS occ FROM toks GROUP BY 1),
+    voc AS (SELECT min(b) AS mb FROM toks GROUP BY tok),
+    vb AS (SELECT mb, count(*) AS v FROM voc GROUP BY 1),
+    p AS (
+      SELECT cut,
+             (SELECT sum(occ) FROM occ WHERE b < cut) AS n_tokens,
+             (SELECT sum(v) FROM vb WHERE mb < cut) AS vocab
+      FROM (SELECT unnest([{', '.join(str(c) for c in _HEAPS_CUTS)}]) AS cut)
+    ),
+    xy AS (
+      SELECT cut, n_tokens, vocab,
+             CAST(round(ln(n_tokens) * 1e6) AS BIGINT) AS xu,
+             CAST(round(ln(vocab) * 1e6) AS BIGINT) AS yu
+      FROM p
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(xu) AS sx, sum(yu) AS sy,
+             sum(xu * yu) AS sxy, sum(xu * xu) AS sxx
+      FROM xy
+    )
+    SELECT CAST(cut AS BIGINT) AS prefix_pct,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS heaps_beta
+    FROM xy CROSS JOIN s
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth V(n) ~ K·n^beta, the companion
+    diagnostic to `zipf_slope_vocab`: natural corpora grow vocabulary
+    sublinearly (beta ~ 0.4-0.6); template spam flattens the curve and
+    OCR noise / boilerplate explosion steepens it toward 1. Measured on
+    four NESTED hash-prefix subcorpora (10/25/50/100% of docs by seeded
+    doc-id bucket — nested so each point extends the last, exactly how
+    a growing crawl accretes), then beta = OLS slope of ln(vocab) on
+    ln(tokens) via the trend family's micro-unit integer quantization.
+
+    Scale shape: the corpus is touched ONCE — a bucket-tagged token
+    explode feeding two map-side-combined aggregates (per-bucket
+    occurrence counts; per-token min-bucket then per-bucket vocab
+    counts). Everything after is arithmetic on two <=100-row frames;
+    the prefix cross-joins never see the corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (X.token_hash(F.col("doc_id").cast("string"), seed=_HEAPS_SEED) % 100)
+        .alias("b"),
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    occ_b = toks.groupBy("b").agg(F.count(F.lit(1)).alias("occ"))
+    voc_b = (
+        toks.groupBy("tok")
+        .agg(F.min("b").alias("mb"))
+        .groupBy("mb")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _HEAPS_CUTS], "cut int"
+    )
+    p = (
+        cuts.join(F.broadcast(occ_b), F.col("b") < F.col("cut"))
+        .groupBy("cut")
+        .agg(F.sum("occ").alias("n_tokens"))
+        .join(
+            cuts.join(F.broadcast(voc_b), F.col("mb") < F.col("cut"))
+            .groupBy("cut")
+            .agg(F.sum("v").alias("vocab")),
+            "cut",
+        )
+    )
+    xy = p.select(
+        "cut",
+        "n_tokens",
+        "vocab",
+        F.round(F.log("n_tokens") * F.lit(1e6)).cast("long").alias("xu"),
+        F.round(F.log("vocab") * F.lit(1e6)).cast("long").alias("yu"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("xu") * F.col("xu")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return xy.crossJoin(F.broadcast(s)).select(
+        F.col("cut").cast("long").alias("prefix_pct"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(
+            (n_d * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (n_d * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("heaps_beta"),
+    )
+
+
+# --- corpus-level source similarity via MinHash ------------------------------
+
+def _corpus_sig_sql() -> str:
+    cols = []
+    for j in range(_N_HASHES):
+        a, b = D.minhash_coeffs(j)
+        cols.append(f"min((h * {a} + {b}) % {D.MINHASH_P}) AS mh_{j}")
+    return ", ".join(cols)
+
+
+_CORPUS_AGREE = " + ".join(
+    f"(CASE WHEN x.mh_{j} = y.mh_{j} THEN 1 ELSE 0 END)" for j in range(_N_HASHES)
+)
+
+
+@register(
+    "corpus_similarity_minhash",
+    oracle=f"""
+    WITH ss AS (
+      SELECT DISTINCT source, unnest({D.shingles_sql(_TOKS, _SHINGLE_K)}) AS s
+      FROM documents
+    ),
+    h AS (SELECT source, {X.token_hash_sql('s')} % {D.MINHASH_P} AS h FROM ss),
+    sigs AS (SELECT source, {_corpus_sig_sql()} FROM h GROUP BY 1),
+    cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      FROM cnt a JOIN cnt b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, count(*) AS i
+      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST({_CORPUS_AGREE} AS BIGINT) AS n_agree,
+           round(({_CORPUS_AGREE}) * 1e0 / {_N_HASHES}, 6) AS jaccard_minhash,
+           round(coalesce(i.i, 0) * 1e0
+                 / (p.na + p.nb - coalesce(i.i, 0)), 6) AS jaccard_exact
+    FROM pairs p
+    JOIN sigs x ON x.source = p.sa
+    JOIN sigs y ON y.source = p.sb
+    LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    """,
+)
+def corpus_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level similarity between sources: one MinHash signature
+    per SOURCE (component j = min over the source's whole distinct
+    shingle set of permutation j — the same 8 affine permutations as
+    the per-doc family), pairwise estimated Jaccard = fraction of
+    agreeing components, reported NEXT TO the exact shingle-set Jaccard
+    so the sketch's error is visible in the output. This is the
+    mergeable-sketch property MinHash shares with HLL: per-partition
+    minima combine associatively, so at 100 TB each source's signature
+    falls out of one map-side-combined aggregate regardless of corpus
+    size, and comparing two crawls' signatures never touches the data.
+
+    Scale shape: distinct (source, shingle) projection; the signature
+    is a |sources|-row aggregate; the exact-Jaccard side (kept for
+    audit) is one shingle-keyed equi-join — at petabyte scale you'd
+    drop it and keep only the signature comparison, which is free."""
+    docs = _docs(spark, sf_dir)
+    ss = docs.select(
+        "source",
+        F.explode(D.shingles(F.col("text"), k=_SHINGLE_K)).alias("s"),
+    ).distinct()
+    h = ss.select("source", (X.token_hash(F.col("s")) % D.MINHASH_P).alias("h"))
+    aggs = []
+    for j in range(_N_HASHES):
+        a, b = D.minhash_coeffs(j)
+        aggs.append(
+            F.min((F.col("h") * a + b) % D.MINHASH_P).alias(f"mh_{j}")
+        )
+    sigs = h.groupBy("source").agg(*aggs)
+    cnt = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        cnt.alias("a")
+        .join(cnt.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    inter = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("isa"), F.col("b.source").alias("isb")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.mh_{j}") == F.col(f"y.mh_{j}"), 1).otherwise(0)
+        for j in range(_N_HASHES)
+    )
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        pairs.join(F.broadcast(x), F.col("x.source") == F.col("sa"))
+        .join(F.broadcast(y), F.col("y.source") == F.col("sb"))
+        .join(
+            F.broadcast(inter),
+            (F.col("isa") == F.col("sa")) & (F.col("isb") == F.col("sb")),
+            "left",
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            agree.cast("long").alias("n_agree"),
+            F.round(agree * F.lit(1.0) / _N_HASHES, 6).alias("jaccard_minhash"),
+            F.round(i0 * F.lit(1.0) / (F.col("na") + F.col("nb") - i0), 6)
+            .alias("jaccard_exact"),
+        )
+    )
