@@ -136,6 +136,10 @@ HEADLINE = [
     "l_diversity_audit",
     "heaps_law_vocab_growth",
     "corpus_similarity_minhash",
+    "pareto_front_quality_length",
+    "quality_score_auc",
+    "frequent_itemsets_triples",
+    "mv_incremental_refresh",
 ]
 
 

@@ -2154,3 +2154,178 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _level(_KANON_WIDTHS[0]).unionAll(_level(_KANON_WIDTHS[1]))
+
+
+# --- Pareto frontier: quality vs length (skyline operator) --------------------
+# Quality scores quantized to 4dp: the frontier computation then runs on
+# a <= 10^4-row per-score summary regardless of corpus size.
+
+_PARETO_Z = (
+    f"{_QLR['b0']} + {_QLR['w_logtok']} * ln(1 + len({X.tokens_sql('text')}))"
+    f" + {_QLR['w_stop']} * {X.stopword_ratio_sql('text')}"
+    f" + {_QLR['w_punct']} * {X.punct_ratio_sql('text')}"
+    f" + {_QLR['w_cpt']} * (length(text) * 1e0"
+    f"   / greatest(len({X.tokens_sql('text')}), 1))"
+)
+
+
+@register(
+    "pareto_front_quality_length",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             round(1e0 / (1e0 + exp(-({_PARETO_Z}))), 4) AS q,
+             n_chars AS len
+      FROM documents
+    ),
+    g AS (SELECT q, max(len) AS m FROM f GROUP BY 1),
+    w AS (
+      SELECT q, m,
+             max(m) OVER (ORDER BY q DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS r
+      FROM g
+    )
+    SELECT f.doc_id, f.q AS quality_prob, CAST(f.len AS BIGINT) AS n_chars
+    FROM f JOIN w ON f.q = w.q AND f.len = w.m
+    WHERE w.r IS NULL OR w.m > w.r
+    """,
+)
+def pareto_front_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the corpus on (quality score,
+    length): the documents no other document beats on BOTH axes — the
+    shortlist a budgeted curation pass actually chooses from, and the
+    engine's skyline operator exhibit. A doc is dominated iff some doc
+    has >= on both axes and > on one; ties on both axes dominate
+    neither, so exact duplicates of a frontier point all surface.
+
+    Scale shape: scores are quantized to 4dp, so after one
+    map-side-combined groupBy(score).max(length) the frontier logic
+    (one running-max window + an anti-domination filter) runs on a
+    <= 10^4-row frame regardless of corpus size; the join back to
+    recover doc ids broadcasts that frame. The corpus is scanned twice
+    and shuffled never (the score groupBy's 4-byte keys combine to the
+    grid size map-side)."""
+    d = _docs(spark, sf_dir)
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    f = d.select(
+        "doc_id",
+        F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("q"),
+        F.col("n_chars").alias("len"),
+    )
+    g = f.groupBy("q").agg(F.max("len").alias("m"))
+    w = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = (
+        g.select("q", "m", F.max("m").over(w).alias("r"))
+        .filter(F.col("r").isNull() | (F.col("m") > F.col("r")))
+        .select(F.col("q").alias("fq"), F.col("m").alias("fm"))
+    )
+    return f.join(
+        F.broadcast(front),
+        (F.col("q") == F.col("fq")) & (F.col("len") == F.col("fm")),
+    ).select(
+        "doc_id",
+        F.col("q").alias("quality_prob"),
+        F.col("len").cast("long").alias("n_chars"),
+    )
+
+
+# --- AUC of the quality score against embedding labels ------------------------
+
+_AUC_POS_MIN = 5  # positive class: embedding label >= 5
+
+
+@register(
+    "quality_score_auc",
+    oracle=f"""
+    WITH f AS (
+      SELECT d.doc_id,
+             round(1e0 / (1e0 + exp(-({_PARETO_Z}))), 4) AS s,
+             CASE WHEN e.label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END AS pos
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    g AS (
+      SELECT s, count(*) AS cnt, sum(pos) AS pc FROM f GROUP BY 1
+    ),
+    w AS (
+      SELECT s, cnt, pc,
+             coalesce(sum(cnt) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cum
+      FROM g
+    ),
+    t AS (
+      SELECT sum(pc * (2 * cum + cnt + 1)) AS spr2,
+             sum(pc) AS p, sum(cnt) - sum(pc) AS n
+      FROM w
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           round((CAST(spr2 AS DOUBLE) - CAST(p AS DOUBLE) * (p + 1))
+                 / (2e0 * p * n), 6) AS auc
+    FROM t
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the logistic quality score against a binary label
+    (embedding label >= {_AUC_POS_MIN}) via the Mann-Whitney rank-sum
+    identity AUC = (R_pos - P(P+1)/2) / (P*N) with midranks for ties —
+    the standard classifier-eval operator, and exactly how AUC is
+    computed at scale (no curve materialized). Kept fully exact: scores
+    quantize to a 4dp grid, per-score counts are integers, midranks are
+    carried DOUBLED (2*cum + cnt + 1) so the rank sum stays integer
+    until one final division.
+
+    Scale shape: one fact join, one map-side-combined groupBy on the
+    bounded score grid, one running-sum window over the <= 10^4-row
+    grid frame, one single-row reduce. Nothing after the first
+    aggregate scales with the corpus."""
+    d = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.when(F.col("label") >= _AUC_POS_MIN, 1).otherwise(0).alias("pos"),
+    )
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    f = d.select(
+        F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("s"), F.col("doc_id")
+    ).join(emb, F.col("vec_id") == F.col("doc_id"))
+    g = f.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pc")
+    )
+    w = Window.orderBy(F.asc("s")).rowsBetween(Window.unboundedPreceding, -1)
+    wf = g.select(
+        "s", "cnt", "pc",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum"),
+    )
+    t = wf.agg(
+        F.sum(F.col("pc") * (2 * F.col("cum") + F.col("cnt") + 1)).alias(
+            "spr2"
+        ),
+        F.sum("pc").alias("p"),
+        (F.sum("cnt") - F.sum("pc")).alias("n"),
+    )
+    return t.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("spr2").cast("double")
+             - F.col("p").cast("double") * (F.col("p") + 1))
+            / (F.lit(2.0) * F.col("p") * F.col("n")),
+            6,
+        ).alias("auc"),
+    )

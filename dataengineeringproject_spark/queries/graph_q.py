@@ -279,3 +279,109 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_cnt(p4, "reach_4"), "seed")
         .select(F.col("seed").alias("seed_part"), "reach_2", "reach_4")
     )
+
+
+# --- Apriori L3: frequent supplier triples -----------------------------------
+
+_FIS_NUM, _FIS_DEN = 4, 10000  # relative min-support 0.04% of baskets
+_FIS_TOPK = 50
+# Integer-exact ceil(nb * NUM / DEN): no float ever touches the
+# threshold, so both engines draw the support cut identically.
+_FIS_WMIN = f"(nb * {_FIS_NUM} + {_FIS_DEN - 1}) // {_FIS_DEN}"
+
+
+@register(
+    "frequent_itemsets_triples",
+    oracle=f"""
+    WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM s),
+    t AS (
+      SELECT a.l_suppkey AS i1, b.l_suppkey AS i2, c.l_suppkey AS i3,
+             count(*) AS w
+      FROM s a
+      JOIN s b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      JOIN s c ON a.l_orderkey = c.l_orderkey AND b.l_suppkey < c.l_suppkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT i1, i2, i3, CAST(w AS BIGINT) AS support,
+           round(w * 1e0 / nb, 6) AS rel_support
+    FROM t CROSS JOIN n
+    WHERE w >= {_FIS_WMIN}
+    ORDER BY support DESC, i1, i2, i3 LIMIT {_FIS_TOPK}
+    """,
+)
+def frequent_itemsets_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (Apriori L3) over order baskets of
+    suppliers at relative min-support {_FIS_NUM}/{_FIS_DEN} of baskets,
+    top-{_FIS_TOPK} by support — the level-3 market-basket pass above
+    `copurchase_lift_pairs`' L2. The Spark side runs the REAL Apriori
+    shape: items are pruned to frequent singletons before any pair is
+    formed, candidate wedges extend only FREQUENT pairs (downward
+    closure), and the closing (i2, i3) edge is checked against the
+    frequent-pair set — so per-basket fan-out is bounded by the
+    frequent-item degree, not the raw basket size. The oracle states
+    the same answer declaratively (prune-free triple count); pruning
+    changes cost, never the result. The support threshold is computed
+    in INTEGER arithmetic (ceil via (nb*k + den-1) div den) so no
+    float rounding can move the cut. Scale shape: distinct-incidence
+    shuffle, two bounded self-joins map-side combined on the triple
+    key, top-K heap — and at 100 TB the min-support filter is what
+    keeps L3 from exploding, exactly as in production Apriori."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select("l_orderkey", "l_suppkey").distinct()
+    nb = s.agg(F.countDistinct("l_orderkey").alias("nb"))
+    wmin = F.expr(
+        f"(nb * {_FIS_NUM} + {_FIS_DEN - 1}) div {_FIS_DEN}"
+    )
+    # Frequent singletons (support of a superset never exceeds an item's).
+    f1 = (
+        s.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c") >= wmin)
+        .select("l_suppkey")
+    )
+    sf = s.join(F.broadcast(f1), "l_suppkey").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("i")
+    )
+    a = sf.select(F.col("ok"), F.col("i").alias("i1"))
+    b = sf.select(F.col("ok"), F.col("i").alias("i2"))
+    c = sf.select(F.col("ok"), F.col("i").alias("i3"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("w2"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("w2") >= wmin)
+        .select("i1", "i2")
+    )
+    f2a = pairs  # (i1, i2) frequent
+    f2b = pairs.select(
+        F.col("i1").alias("i2"), F.col("i2").alias("i3")
+    )  # reused to close the (i2, i3) edge
+    wedges = (
+        a.join(b, "ok")
+        .filter(F.col("i1") < F.col("i2"))
+        .join(F.broadcast(f2a), ["i1", "i2"])
+        .join(c, "ok")
+        .filter(F.col("i2") < F.col("i3"))
+        .join(F.broadcast(f2b), ["i2", "i3"])
+    )
+    t = (
+        wedges.groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("w") >= wmin)
+    )
+    return (
+        t.select(
+            "i1", "i2", "i3",
+            F.col("w").cast("long").alias("support"),
+            F.round(F.col("w") * F.lit(1.0) / F.col("nb"), 6).alias(
+                "rel_support"
+            ),
+        )
+        .orderBy(F.desc("support"), F.asc("i1"), F.asc("i2"), F.asc("i3"))
+        .limit(_FIS_TOPK)
+    )
