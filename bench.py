@@ -140,6 +140,10 @@ HEADLINE = [
     "quality_score_auc",
     "frequent_itemsets_triples",
     "mv_incremental_refresh",
+    "anova_value_by_type",
+    "quality_stupid_backoff_nll",
+    "embedding_outlier_centroid",
+    "tokenizer_fertility_by_lang",
 ]
 
 

@@ -5210,3 +5210,117 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
     )
+
+
+# --- one-way ANOVA across event types ----------------------------------------
+# Values quantized to integer milli-units: per-group (n, sum, sum-sq)
+# are exact int64; the two lossy squarings happen on identical exact
+# inputs in both engines (IEEE doubles are deterministic given identical
+# operands and operation order), and each squared term is re-quantized
+# to an integer before any cross-group summation, so no double SUM whose
+# order the partitioning could change ever occurs.
+
+
+@register(
+    "anova_value_by_type",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, count(*) AS ng, sum(vu) AS sg,
+             sum(vu * vu) AS ssg
+      FROM q GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type, ng, sg, ssg,
+             CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+                  AS BIGINT) AS tg
+      FROM g
+    ),
+    s AS (
+      SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s,
+             sum(ssg) AS ss, sum(tg) AS st
+      FROM t
+    ),
+    f AS (
+      SELECT k, n,
+             st - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                       AS BIGINT) AS ssb,
+             ss - st AS ssw
+      FROM s
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_rows,
+           round(ssb / 1e6, 6) AS ss_between,
+           round(ssw / 1e6, 6) AS ss_within,
+           round((CAST(ssb AS DOUBLE) / (k - 1))
+                 / (CAST(ssw AS DOUBLE) / (n - k)), 6) AS f_stat,
+           round(CAST(ssb AS DOUBLE) / (ssb + ssw), 6) AS eta_sq
+    FROM f
+    """,
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: F =
+    (SSB/(k-1)) / (SSW/(n-k)) plus the eta-squared effect size — the
+    k-group generalization of the drift family's two-sample tests
+    (KS / Mann-Whitney / PSI), answering "does ANY segment differ"
+    in one pass instead of k-choose-2 pairwise tests. Sufficient
+    statistics only: per-group (n, sum, sum-of-squares) of milli-unit
+    quantized values are exact integers; each s_g^2/n_g term is
+    re-quantized to an integer before the cross-group sum so the
+    result is partitioning-invariant.
+
+    Scale shape: ONE map-side-combined groupBy over the fact table to
+    |types| rows; everything after is arithmetic on that tiny frame.
+    This is the textbook sufficient-statistic reduction that makes
+    classical tests free at 100 TB."""
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1e3).cast("long").alias("vu")
+    )
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("vu").alias("sg"),
+        F.sum(F.col("vu") * F.col("vu")).alias("ssg"),
+    )
+    t = g.select(
+        "ng", "sg", "ssg",
+        F.round(
+            F.col("sg").cast("double") * F.col("sg").cast("double")
+            / F.col("ng")
+        )
+        .cast("long")
+        .alias("tg"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.sum("tg").alias("st"),
+    )
+    fdf = s.select(
+        "k", "n",
+        (
+            F.col("st")
+            - F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n")
+            ).cast("long")
+        ).alias("ssb"),
+        (F.col("ss") - F.col("st")).alias("ssw"),
+    )
+    return fdf.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("ssb") / F.lit(1e6), 6).alias("ss_between"),
+        F.round(F.col("ssw") / F.lit(1e6), 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb").cast("double") / (F.col("k") - 1))
+            / (F.col("ssw").cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            F.col("ssb").cast("double") / (F.col("ssb") + F.col("ssw")), 6
+        ).alias("eta_sq"),
+    )

@@ -3207,3 +3207,196 @@ def corpus_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_exact"),
         )
     )
+
+
+# --- stupid-backoff bigram scoring with a train/score split ------------------
+
+_SBO_SEED = "sbo-v1"
+_SBO_TRAIN = 50  # doc-hash buckets < 50 train the LM; the rest are scored
+_SBO_BUCKET = f"{X.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=_SBO_SEED)} % 100"
+
+
+@register(
+    "quality_stupid_backoff_nll",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_SBO_BUCKET} AS bkt, {_LTOKS} AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, bkt, unnest(t) AS w,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM tokd
+    ),
+    bg AS (
+      SELECT a.doc_id, a.bkt, a.w AS w1, c.w AS w2
+      FROM tok a JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+    ),
+    lm2 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg WHERE bkt < {_SBO_TRAIN}
+      GROUP BY 1, 2
+    ),
+    lm1 AS (
+      SELECT w, count(*) AS c1 FROM tok WHERE bkt < {_SBO_TRAIN} GROUP BY 1
+    ),
+    nt AS (SELECT count(*) AS n FROM tok WHERE bkt < {_SBO_TRAIN}),
+    terms AS (
+      SELECT bg.doc_id,
+             CASE WHEN lm2.c12 IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+             CAST(round(
+               CASE WHEN lm2.c12 IS NOT NULL
+                    THEN ln(u1.c1 * 1e0 / lm2.c12)
+                    ELSE ln(2.5e0 * nt.n
+                            / greatest(coalesce(u2.c1, 0), 1))
+               END * 1e9) AS BIGINT) AS tu
+      FROM bg
+      LEFT JOIN lm2 ON lm2.w1 = bg.w1 AND lm2.w2 = bg.w2
+      LEFT JOIN lm1 u1 ON u1.w = bg.w1
+      LEFT JOIN lm1 u2 ON u2.w = bg.w2
+      CROSS JOIN nt
+      WHERE bg.bkt >= {_SBO_TRAIN}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(backoff) AS BIGINT) AS n_backoff,
+           ROUND(CAST(sum(tu) AS DOUBLE) / count(*) / 1e9, 6) AS nll
+    FROM terms GROUP BY 1
+    """,
+)
+def quality_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al. 2007, the LM that
+    dropped normalization to scale to web corpora): S(w2|w1) = c12/c1
+    when the bigram was SEEN IN TRAINING, else 0.4 * c2/N from the
+    unigram tail (count-1 floor for full OOV). Unlike
+    `quality_bigram_nll` — which trains on the corpus it scores, so
+    every bigram is seen — this trains on a {_SBO_TRAIN}%% doc-hash
+    split and scores the held-out half, making the backoff path real:
+    n_backoff per doc counts it, and a doc scored mostly through
+    backoff is exactly the out-of-distribution text a perplexity
+    filter exists to catch. Per-term nano-unit quantization keeps the
+    per-doc sum order-exact.
+
+    Scale shape: identical to the bigram family — the LM is the
+    vocab-bounded (w1, w2) count table broadcast onto the held-out
+    docs' exploded bigram stream; the train/score split is a pure
+    projection on the same scan."""
+    d = load_table(spark, sf_dir, "documents")
+    bkt = X.token_hash(F.col("doc_id").cast("string"), seed=_SBO_SEED) % 100
+    tokd = d.select(
+        "doc_id", bkt.alias("bkt"), X.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    bg = tokd.select(
+        "doc_id",
+        "bkt",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "bkt", "b.w1", "b.w2")
+    tok = tokd.select("bkt", F.explode("t").alias("w"))
+    train_tok = tok.filter(F.col("bkt") < _SBO_TRAIN)
+    lm2 = (
+        bg.filter(F.col("bkt") < _SBO_TRAIN)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    lm1 = train_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    nt = train_tok.agg(F.count(F.lit(1)).alias("n"))
+    u1 = lm1.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = lm1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    terms = (
+        bg.filter(F.col("bkt") >= _SBO_TRAIN)
+        .join(F.broadcast(lm2), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.when(F.col("c12").isNotNull(), 0).otherwise(1).alias("backoff"),
+            F.round(
+                F.when(
+                    F.col("c12").isNotNull(),
+                    F.log(F.col("c1_w1") * F.lit(1.0) / F.col("c12")),
+                ).otherwise(
+                    F.log(
+                        F.lit(2.5) * F.col("n")
+                        / F.greatest(
+                            F.coalesce(F.col("c1_w2"), F.lit(0)), F.lit(1)
+                        )
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("tu"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("backoff").cast("long").alias("n_backoff"),
+        F.round(
+            F.sum("tu").cast("double") / F.count(F.lit(1)) / F.lit(1e9), 6
+        ).alias("nll"),
+    )
+
+
+# --- tokenizer fertility by predicted language --------------------------------
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH f AS (
+      SELECT {X.predict_lang_sql('text')} AS pred_lang,
+             len({_TOKS}) AS nw,
+             len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS nb,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+           round(sum(nb) * 1e0 / greatest(sum(nw), 1), 6) AS fertility,
+           round(sum(nc) * 1e0 / greatest(sum(nb), 1), 6)
+             AS chars_per_token
+    FROM f GROUP BY 1
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) and
+    compression (chars per token) broken down by PREDICTED language —
+    the multilingual-budget audit: a tokenizer trained English-heavy
+    spends 2-4x more tokens per word on other scripts, so per-language
+    fertility is what converts a raw-byte corpus mix into the actual
+    token budget each language receives (and the first place
+    tokenizer-unfriendly boilerplate shows up as an outlier ratio).
+    Composes the engine's language-ID heuristic with both token
+    counters; ratios are computed from exact integer corpus sums, one
+    division each.
+
+    Scale shape: a pure projection (lang-ID when-chain + two regex/
+    split counters, all codegen'd) feeding one map-side-combined
+    groupBy on a <=|langs| key. One pass, one tiny shuffle."""
+    f = _docs(spark, sf_dir).select(
+        X.predict_lang("text").alias("pred_lang"),
+        F.size(X.tokens("text")).alias("nw"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "nb"
+        ),
+        F.length("text").alias("nc"),
+    )
+    return f.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nb").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("nb") * F.lit(1.0) / F.greatest(F.sum("nw"), F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("nc") * F.lit(1.0) / F.greatest(F.sum("nb"), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )

@@ -2607,3 +2607,105 @@ def split_leakage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# --- embedding outlier screen: distance to own-label centroid ----------------
+
+_OUT_TOPK = 3     # outliers reported per label
+_OUT_Q = 1000     # milli-unit quantization of embedding components
+
+
+@register(
+    "embedding_outlier_centroid",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, label, i - 1 AS i, CAST(round(x * {_OUT_Q}) AS BIGINT) AS q
+      FROM (SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    c AS (
+      SELECT label, i, count(*) AS n, sum(q) AS s FROM t GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT t.vec_id, t.label,
+             sum((t.q * c.n - c.s) * (t.q * c.n - c.s)) AS d2u,
+             any_value(c.n) AS n
+      FROM t JOIN c ON c.label = t.label AND c.i = t.i
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT vec_id, label,
+             round(sqrt(CAST(d2u AS DOUBLE)) / (n * {_OUT_Q}e0), 6) AS dist,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2u DESC, vec_id ASC) AS rnk
+      FROM d
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id,
+           CAST(rnk AS BIGINT) AS rank, dist
+    FROM r WHERE rnk <= {_OUT_TOPK}
+    """,
+)
+def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier screen: the top-{_OUT_TOPK} vectors
+    FURTHEST (euclidean) from their own label's centroid — the
+    label-noise / mis-embedding audit run before training on labeled
+    vectors (a point far from its class centroid is a mislabel, a
+    failed embedding, or genuinely hard — all worth surfacing). Kept
+    exact end-to-end: components quantize to milli-unit integers, and
+    distance is compared as the INTEGER d2u = sum_i (q_i*n - s_i)^2 —
+    the squared distance cross-multiplied by n^2 so no division or
+    double ever enters the ranking; the readable float distance is
+    derived only for display.
+
+    Scale shape: posexplode to (vec, dim) rows; centroid sufficient
+    statistics are one map-side-combined groupBy to |labels|x64 rows,
+    broadcast back onto the exploded stream; per-vector reduce is one
+    64-row integer sum; top-k per label is a WindowGroupLimit, no
+    global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.round(F.col("x") * _OUT_Q).cast("long").alias("q"),
+    )
+    c = t.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    d = (
+        t.join(F.broadcast(c), ["label", "i"])
+        .select(
+            "vec_id",
+            "label",
+            ((F.col("q") * F.col("n") - F.col("s"))
+             * (F.col("q") * F.col("n") - F.col("s"))).alias("du"),
+            F.col("n"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("du").alias("d2u"), F.any_value("n").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.desc("d2u"), F.asc("vec_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _OUT_TOPK)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "vec_id",
+            F.col("rnk").cast("long").alias("rank"),
+            F.round(
+                F.sqrt(F.col("d2u").cast("double"))
+                / (F.col("n") * F.lit(float(_OUT_Q))),
+                6,
+            ).alias("dist"),
+        )
+    )
