@@ -144,6 +144,10 @@ HEADLINE = [
     "quality_stupid_backoff_nll",
     "embedding_outlier_centroid",
     "tokenizer_fertility_by_lang",
+    "corr_matrix_lineitem",
+    "qlm_dirichlet_topk",
+    "skew_report_topkeys",
+    "ohlc_daily_value",
 ]
 
 

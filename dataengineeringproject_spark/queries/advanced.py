@@ -5324,3 +5324,252 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ssb").cast("double") / (F.col("ssb") + F.col("ssw")), 6
         ).alias("eta_sq"),
     )
+
+
+# --- Pearson correlation matrix of lineitem numerics ---------------------------
+# Per-column integer quantizers chosen so every sufficient statistic
+# (sums, squares, cross products) stays inside int64 at sf >= 1:
+# price in whole units, the small columns in cents.
+
+_CORRM_COLS = [
+    ("l_quantity", 100),
+    ("l_extendedprice", 1),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+_CORRM_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_CORRM_COLS)
+    for (b, _) in _CORRM_COLS[i + 1:]
+]
+
+
+def _corrm_oracle() -> str:
+    qcols = ", ".join(
+        f"CAST(round({c} * {s}) AS BIGINT) AS q_{c}" for c, s in _CORRM_COLS
+    )
+    sums = ["count(*) AS n"]
+    for c, _ in _CORRM_COLS:
+        sums.append(f"sum(q_{c}) AS sx_{c}")
+        sums.append(f"sum(q_{c} * q_{c}) AS sxx_{c}")
+    for a, b in _CORRM_PAIRS:
+        sums.append(f"sum(q_{a} * q_{b}) AS sxy_{a}_{b}")
+    branches = []
+    for a, b in _CORRM_PAIRS:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(sxy_{a}_{b} AS DOUBLE)"
+            f" - CAST(sx_{a} AS DOUBLE) * CAST(sx_{b} AS DOUBLE))"
+        )
+        var = lambda c: (
+            f"(CAST(n AS DOUBLE) * CAST(sxx_{c} AS DOUBLE)"
+            f" - CAST(sx_{c} AS DOUBLE) * CAST(sx_{c} AS DOUBLE))"
+        )
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+            f" CAST(n AS BIGINT) AS n,"
+            f" round({num} / sqrt({var(a)} * {var(b)}), 6) AS corr"
+            f" FROM s"
+        )
+    return (
+        f"WITH q AS (SELECT {qcols} FROM lineitem),"
+        f" s AS (SELECT {', '.join(sums)} FROM q) "
+        + " UNION ALL ".join(branches)
+    )
+
+
+@register("corr_matrix_lineitem", oracle=_corrm_oracle())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (upper triangle) of the four lineitem
+    numerics — the profiling pass that finds derived/redundant columns
+    before feature selection. One scan computes ALL 15 sufficient
+    statistics (n, four sums, four sums-of-squares, six cross
+    products) as exact integers over per-column quantized values; the
+    six correlations are closed-form arithmetic on the single
+    statistics row. The matrix never needs a second pass or a
+    per-pair job — the classic one-pass profiling shape.
+
+    Scale shape: one map-side-combined full-table aggregate to exactly
+    one row; the pair expansion is an explode of a 6-element literal
+    array. No joins, no windows, no shuffle beyond the single
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.round(F.col(c) * s).cast("long").alias(f"q_{c}")
+            for c, s in _CORRM_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, _ in _CORRM_COLS:
+        aggs.append(F.sum(F.col(f"q_{c}")).alias(f"sx_{c}"))
+        aggs.append(
+            F.sum(F.col(f"q_{c}") * F.col(f"q_{c}")).alias(f"sxx_{c}")
+        )
+    for a, b in _CORRM_PAIRS:
+        aggs.append(
+            F.sum(F.col(f"q_{a}") * F.col(f"q_{b}")).alias(f"sxy_{a}_{b}")
+        )
+    s = q.agg(*aggs)
+
+    def _var(c: str):
+        return (
+            F.col("n").cast("double") * F.col(f"sxx_{c}").cast("double")
+            - F.col(f"sx_{c}").cast("double")
+            * F.col(f"sx_{c}").cast("double")
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").cast("long").alias("n"),
+                F.round(
+                    (
+                        F.col("n").cast("double")
+                        * F.col(f"sxy_{a}_{b}").cast("double")
+                        - F.col(f"sx_{a}").cast("double")
+                        * F.col(f"sx_{b}").cast("double")
+                    )
+                    / F.sqrt(_var(a) * _var(b)),
+                    6,
+                ).alias("corr"),
+            )
+            for a, b in _CORRM_PAIRS
+        ]
+    )
+    return s.select(F.explode(rows).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr"
+    )
+
+
+# --- key-skew report (shuffle-planning diagnostic) -----------------------------
+
+_SKEWR_TOPK = 10
+
+
+@register(
+    "skew_report_topkeys",
+    oracle=f"""
+    WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    g AS (
+      SELECT count(*) AS d, sum(cnt) AS n, max(cnt) AS mx FROM kc
+    ),
+    top AS (
+      SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+      FROM kc ORDER BY cnt DESC, user_id ASC LIMIT {_SKEWR_TOPK}
+    )
+    SELECT top.user_id, CAST(top.cnt AS BIGINT) AS cnt,
+           CAST(top.rnk AS BIGINT) AS rank,
+           round(top.cnt * 1e0 / g.n, 6) AS share,
+           CAST(g.d AS BIGINT) AS n_keys,
+           round(g.mx * 1e0 * g.d / g.n, 6) AS skew_factor
+    FROM top CROSS JOIN g
+    """,
+)
+def skew_report_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for the events fact's natural join/shuffle key
+    (user_id): the top-{_SKEWR_TOPK} heaviest keys with their share,
+    plus the table-level skew factor max_count / mean_count — the
+    number that decides whether a shuffle on this key needs salting
+    (`salted_skew_agg`/`salted_skew_join`) or AQE skew splitting
+    before you pay for it. This is the diagnostic the engine's skew
+    mitigations act on, made a first-class query.
+
+    Scale shape: one map-side-combined count per key, a 1-row summary
+    aggregate, a TakeOrderedAndProject heap for the top keys, and a
+    1-row broadcast — the report costs one shuffle of key counts
+    regardless of fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    g = kc.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("cnt").alias("n"),
+        F.max("cnt").alias("mx"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    top = (
+        kc.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(_SKEWR_TOPK)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return top.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rnk").cast("long").alias("rank"),
+        F.round(F.col("cnt") * F.lit(1.0) / F.col("n"), 6).alias("share"),
+        F.col("d").cast("long").alias("n_keys"),
+        F.round(
+            F.col("mx") * F.lit(1.0) * F.col("d") / F.col("n"), 6
+        ).alias("skew_factor"),
+    )
+
+
+# --- daily OHLC candles over event values --------------------------------------
+
+
+@register(
+    "ohlc_daily_value",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, value,
+             row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d')
+                                ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d')
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT day,
+           round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY 1
+    """,
+)
+def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) candles over event values —
+    the time-series downsampling shape every monitoring/market system
+    ships: open and close are the values at the FIRST and LAST event
+    of the day under the total order (ts, event_id) (the id tiebreak
+    makes simultaneous events deterministic), high/low are plain
+    extrema. First/last are selected by rank-1 flags from two
+    opposite-direction windows over the SAME day partitioning — one
+    shuffle, two sorts — then collapsed in the same aggregate that
+    computes the extrema.
+
+    Scale shape: one hash shuffle on day; at 100 TB day is the
+    partition key so the window sorts are partition-local and the
+    aggregate is map-side combined."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(ts_to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("day").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("day").orderBy(F.desc("ts"), F.desc("event_id"))
+    e = ev.select(
+        "day",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return e.groupBy("day").agg(
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 6).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias(
+            "close"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

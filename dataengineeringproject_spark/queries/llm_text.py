@@ -3400,3 +3400,102 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc") * F.lit(1.0) / F.greatest(F.sum("nb"), F.lit(1)), 6
         ).alias("chars_per_token"),
     )
+
+
+# --- query-likelihood retrieval with Dirichlet smoothing ----------------------
+
+_QLM_TERMS = _BM25_TERMS  # same fixed query as the BM25 exhibit
+_QLM_MU = 100             # Dirichlet pseudo-count (integer on purpose)
+_QLM_TOPK = 20
+
+
+def _qlm_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter({_LTOKS}, w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_QLM_TERMS)
+    )
+    ctf_cols = ", ".join(
+        f"sum(tf_{i}) AS ctf_{i}" for i in range(len(_QLM_TERMS))
+    )
+    # Per-term log-score ln((tf*N + mu*ctf) / ((dl + mu) * N)): numerator
+    # and denominator are exact int64, so the one ln per term sees
+    # identical arguments in both engines; quantize to nano-units and
+    # integer-sum the (fixed, tiny) term list.
+    term_units = " + ".join(
+        f"CAST(round(ln((tf_{i} * 1e0 * c.n_tok + {_QLM_MU}e0 * c.ctf_{i})"
+        f" / ((dl + {_QLM_MU}e0) * c.n_tok)) * 1e9) AS BIGINT)"
+        for i in range(len(_QLM_TERMS))
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id, len({_LTOKS}) AS dl, {tf_cols}
+      FROM documents
+    ),
+    c AS (SELECT sum(dl) AS n_tok, {ctf_cols} FROM f),
+    sc AS (
+      SELECT f.doc_id, ({term_units}) AS su
+      FROM f CROSS JOIN c
+      WHERE dl > 0
+    )
+    SELECT doc_id, ROUND(su / 1e9, 6) AS qlm_score
+    FROM sc
+    ORDER BY su DESC, doc_id ASC LIMIT {_QLM_TOPK}
+    """
+
+
+@register("qlm_dirichlet_topk", oracle=_qlm_oracle())
+def qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the
+    language-modeling ranker that sits beside BM25 in every IR
+    textbook: score(d) = sum_t ln((tf + mu*P(t|C)) / (|d| + mu)),
+    folded here into the all-integer rational
+    (tf*N + mu*ctf) / ((dl + mu)*N) so both engines feed ln identical
+    arguments; per-term nano-quantization then keeps the (fixed-length)
+    term sum order-free. Completes the retrieval trio: BM25
+    (probabilistic), TF-IDF cosine (vector), QLM (language-model) —
+    `rrf_fusion_topk` can fuse all three.
+
+    Scale shape: tf counting is a codegen'd projection; the collection
+    stats are ONE 1-row aggregate broadcast back; ranking is a
+    TakeOrderedAndProject heap on the integer score. One scan, no
+    shuffle beyond the 1-row reduce."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens(F.lower(F.col("text")))
+    f = d.select(F.col("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, w -> w = '{t}'))").alias(f"tf_{i}")
+            for i, t in enumerate(_QLM_TERMS)
+        ],
+    )
+    c = f.agg(
+        F.sum("dl").alias("n_tok"),
+        *[
+            F.sum(f"tf_{i}").alias(f"ctf_{i}")
+            for i in range(len(_QLM_TERMS))
+        ],
+    )
+    su = None
+    for i in range(len(_QLM_TERMS)):
+        term = (
+            F.round(
+                F.log(
+                    (
+                        F.col(f"tf_{i}") * F.lit(1.0) * F.col("n_tok")
+                        + F.lit(float(_QLM_MU)) * F.col(f"ctf_{i}")
+                    )
+                    / ((F.col("dl") + F.lit(float(_QLM_MU))) * F.col("n_tok"))
+                )
+                * F.lit(1e9)
+            ).cast("long")
+        )
+        su = term if su is None else su + term
+    return (
+        f.filter(F.col("dl") > 0)
+        .crossJoin(F.broadcast(c))
+        .select("doc_id", su.alias("su"))
+        .orderBy(F.desc("su"), F.asc("doc_id"))
+        .limit(_QLM_TOPK)
+        .select("doc_id", F.round(F.col("su") / F.lit(1e9), 6).alias("qlm_score"))
+    )
