@@ -148,6 +148,9 @@ HEADLINE = [
     "qlm_dirichlet_topk",
     "skew_report_topkeys",
     "ohlc_daily_value",
+    "event_transition_matrix",
+    "trimmed_mean_value",
+    "ann_mrr_lsh",
 ]
 
 

@@ -5573,3 +5573,135 @@ def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+# --- first-order Markov transition matrix over event sequences -----------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS cur_type, nxt AS next_type, count(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT cur_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.cur_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1e0 / r.tot, 6) AS prob
+    FROM c JOIN r USING (cur_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the model behind
+    next-action prediction, Markov attribution, and sequence-anomaly
+    scoring (a user whose transitions sit in low-probability cells is
+    behaving off-pattern). Sequence order is the total order
+    (ts, event_id) within each user — simultaneous events are
+    deterministic. Row-normalization divides two exact integers.
+
+    Scale shape: one shuffle on user_id for the lead() window (at
+    100 TB the fact is already bucketed by user), then a
+    map-side-combined count to a |types|^2 frame; the normalizing
+    row-sum join runs on that tiny matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("cur_type"), F.col("nxt").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("cur_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(r), "cur_type").select(
+        "cur_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("prob"),
+    )
+
+
+# --- trimmed mean per group (robust-stats family) -------------------------------
+
+_TRIM_PCT = 10  # percent cut from EACH tail (integer arithmetic)
+
+
+@register(
+    "trimmed_mean_value",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, value,
+             CAST(round(value * 1e3) AS BIGINT) AS vu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, n, (n * {_TRIM_PCT}) // 100 AS cut, vu, rn
+      FROM q
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (rn > cut AND rn <= n - cut) AS BIGINT)
+             AS n_kept,
+           round(sum(vu) / 1e3 / any_value(n), 6) AS raw_mean,
+           round(sum(vu) FILTER (rn > cut AND rn <= n - cut) / 1e3
+                 / count(*) FILTER (rn > cut AND rn <= n - cut), 6)
+             AS trimmed_mean
+    FROM t GROUP BY 1
+    """,
+)
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_TRIM_PCT}%%-per-tail trimmed mean of event value by type, next
+    to the raw mean — the robust-location member of the outlier family
+    (MAD z-scores flag points; the trimmed mean shows how much the
+    tails were MOVING the headline statistic). The cut count is
+    integer arithmetic (n*{_TRIM_PCT} div 100 per tail), membership
+    comes from a row_number over the total order (value, event_id) so
+    ties at the cut boundary resolve identically everywhere, and the
+    kept-sum uses milli-unit integer values — exact under any
+    partitioning.
+
+    Scale shape: one shuffle on event_type for the rank window (the
+    same sort also serves exact quantiles at scale), then a map-side
+    conditional aggregate. No joins."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn(
+        "cut", F.expr(f"(n * {_TRIM_PCT}) div 100")
+    )
+    kept = (F.col("rn") > F.col("cut")) & (
+        F.col("rn") <= F.col("n") - F.col("cut")
+    )
+    return q.groupBy("event_type").agg(
+        F.any_value("n").cast("long").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.round(
+            F.sum("vu") / F.lit(1e3) / F.any_value("n"), 6
+        ).alias("raw_mean"),
+        F.round(
+            F.sum(F.when(kept, F.col("vu")).otherwise(0))
+            / F.lit(1e3)
+            / F.sum(F.when(kept, 1).otherwise(0)),
+            6,
+        ).alias("trimmed_mean"),
+    )

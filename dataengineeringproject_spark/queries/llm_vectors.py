@@ -2709,3 +2709,121 @@ def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+
+
+# --- MRR of the LSH index (rank-position companion of recall@3) ---------------
+
+
+@register(
+    "ann_mrr_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', S.hyperplanes(_N_PLANES, _N_DIMS))} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+          FROM v WHERE vec_id IN ({_QID_LIST})),
+    ascored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
+      FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
+    ),
+    atop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ascored) WHERE rank <= 3
+    ),
+    es AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    e1 AS (
+      SELECT query_id, neighbor_id AS true_nn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM es) WHERE rank = 1
+    ),
+    fr AS (
+      SELECT e1.query_id, e1.true_nn,
+             coalesce(a.rank, 0) AS found_rank
+      FROM e1 LEFT JOIN atop a
+        ON a.query_id = e1.query_id AND a.neighbor_id = e1.true_nn
+    ),
+    u AS (
+      SELECT query_id, true_nn, found_rank,
+             CASE WHEN found_rank > 0
+                  THEN CAST(round(1e6 / found_rank) AS BIGINT)
+                  ELSE 0 END AS rru
+      FROM fr
+    ),
+    m AS (SELECT sum(rru) AS s, count(*) AS nq FROM u)
+    SELECT u.query_id, u.true_nn,
+           CAST(u.found_rank AS BIGINT) AS found_rank,
+           round(u.rru / 1e6, 6) AS rr,
+           round(m.s * 1e0 / m.nq / 1e6, 6) AS mrr
+    FROM u CROSS JOIN m
+    """,
+)
+def ann_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the hyperplane-LSH index: WHERE in the
+    approximate top-3 the true nearest neighbor lands (1, 1/2, 1/3, or
+    0 when the bucket probe missed it entirely) — the rank-position
+    companion of `ann_recall_lsh`, which only counts set overlap. Two
+    indexes can share recall@3 while one always ranks the true NN
+    first; MRR is the number that separates them, and the one a
+    retrieval stack actually feels. Reciprocal ranks are quantized to
+    micro-unit integers before the cross-query mean so the aggregate
+    is order-exact.
+
+    Scale shape: identical to the recall query — broadcast query rows,
+    bucket-probed approx side, anchor-bounded exact side; the MRR
+    reduce runs on |Q| rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=1)
+    approx = S.lsh_cosine_topk(
+        emb, "vec_id", "embedding", _QUERY_IDS, n_planes=_N_PLANES, k=3,
+        n_dims=_N_DIMS,
+    )
+    e1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("true_nn")
+    )
+    a = approx.select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("rank").alias("arank"),
+    )
+    fr = e1.join(
+        a,
+        (F.col("aq") == F.col("query_id")) & (F.col("an") == F.col("true_nn")),
+        "left",
+    ).select(
+        "query_id",
+        "true_nn",
+        F.coalesce(F.col("arank"), F.lit(0)).alias("found_rank"),
+    )
+    u = fr.select(
+        "query_id",
+        "true_nn",
+        F.col("found_rank").cast("long").alias("found_rank"),
+        F.when(
+            F.col("found_rank") > 0,
+            F.round(F.lit(1e6) / F.col("found_rank")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rru"),
+    )
+    m = u.agg(F.sum("rru").alias("s"), F.count(F.lit(1)).alias("nq"))
+    return u.crossJoin(F.broadcast(m)).select(
+        "query_id",
+        "true_nn",
+        "found_rank",
+        F.round(F.col("rru") / F.lit(1e6), 6).alias("rr"),
+        F.round(
+            F.col("s") * F.lit(1.0) / F.col("nq") / F.lit(1e6), 6
+        ).alias("mrr"),
+    )
