@@ -151,6 +151,9 @@ HEADLINE = [
     "event_transition_matrix",
     "trimmed_mean_value",
     "ann_mrr_lsh",
+    "seasonal_decompose_daily",
+    "inverted_index_postings",
+    "cardinality_estimate_audit",
 ]
 
 

@@ -5705,3 +5705,188 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# --- STL-lite seasonal decomposition of the daily value series ------------------
+# Day-of-week comes from pure integer date arithmetic (datediff from a
+# fixed Monday anchor, mod 7) — never from engine dayofweek(), whose
+# 0/1-origin and week-start conventions differ across engines.
+
+_STL_ANCHOR = "2024-01-01"  # a Monday; dow 0 = Monday everywhere
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    d AS (
+      SELECT day, sum(vu) AS svu, count(*) AS n FROM e GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, svu, n,
+             sum(svu) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsv,
+             sum(n) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tn
+      FROM d
+    ),
+    dt AS (
+      SELECT day, datediff('day', DATE '{_STL_ANCHOR}', day) % 7 AS dow,
+             svu * 1e0 / n / 1e3 AS m,
+             tsv * 1e0 / tn / 1e3 AS trend,
+             CAST(round((svu * 1e0 / n - tsv * 1e0 / tn) * 1e3) AS BIGINT)
+               AS du
+      FROM tr
+    ),
+    se AS (SELECT dow, sum(du) AS sdu, count(*) AS c FROM dt GROUP BY 1)
+    SELECT strftime(dt.day, '%Y-%m-%d') AS day,
+           CAST(dt.dow AS BIGINT) AS dow,
+           round(dt.m, 6) AS value,
+           round(dt.trend, 6) AS trend,
+           round(se.sdu * 1e0 / se.c / 1e6, 6) AS seasonal,
+           round(dt.m - dt.trend - se.sdu * 1e0 / se.c / 1e6, 6) AS resid
+    FROM dt JOIN se USING (dow)
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily mean-value series:
+    trend = centered 7-day moving mean, seasonal = day-of-week mean of
+    the detrended series, residual = the rest — the decomposition
+    behind `seasonal_dow_anomaly` made explicit, per day. Numerics are
+    engine-exact throughout: daily and trend means divide INTEGER
+    window sums (milli-unit values; the moving window sums integers,
+    not doubles), the detrended series re-quantizes to integers before
+    the day-of-week average, and day-of-week itself is datediff-mod-7
+    from a fixed Monday anchor rather than engine dayofweek
+    conventions.
+
+    Scale shape: one map-side-combined daily rollup; every window and
+    join after runs on the |days| frame (tiny at any corpus size).
+    The 7-day window uses ROWS so edge days shrink identically in both
+    engines."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        ts_to_date("ts").alias("day"),
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+    )
+    d = ev.groupBy("day").agg(
+        F.sum("vu").alias("svu"), F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "day", "svu", "n",
+        F.sum("svu").over(w7).alias("tsv"),
+        F.sum("n").over(w7).alias("tn"),
+    )
+    m = F.col("svu") * F.lit(1.0) / F.col("n") / F.lit(1e3)
+    trend = F.col("tsv") * F.lit(1.0) / F.col("tn") / F.lit(1e3)
+    dt = tr.select(
+        "day",
+        (F.datediff(F.col("day"), F.lit(_STL_ANCHOR).cast("date")) % 7)
+        .alias("dow"),
+        m.alias("m"),
+        trend.alias("trend"),
+        F.round(
+            (F.col("svu") * F.lit(1.0) / F.col("n")
+             - F.col("tsv") * F.lit(1.0) / F.col("tn")) * F.lit(1e3)
+        )
+        .cast("long")
+        .alias("du"),
+    )
+    se = dt.groupBy("dow").agg(
+        F.sum("du").alias("sdu"), F.count(F.lit(1)).alias("c")
+    )
+    seas = F.col("sdu") * F.lit(1.0) / F.col("c") / F.lit(1e6)
+    return dt.join(F.broadcast(se), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("dow").cast("long").alias("dow"),
+        F.round(F.col("m"), 6).alias("value"),
+        F.round(F.col("trend"), 6).alias("trend"),
+        F.round(seas, 6).alias("seasonal"),
+        F.round(F.col("m") - F.col("trend") - seas, 6).alias("resid"),
+    )
+
+
+# --- CBO literacy exhibit: textbook join-size estimate vs actual ----------------
+
+_CARD_JOINS = [
+    ("orders_x_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_x_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+]
+
+
+def _card_oracle() -> str:
+    branches = []
+    for name, ta, ka, tb, kb in _CARD_JOINS:
+        branches.append(f"""
+        SELECT '{name}' AS join_name,
+               CAST(sa.n AS BIGINT) AS n_left,
+               CAST(sb.n AS BIGINT) AS n_right,
+               CAST(sa.d AS BIGINT) AS d_left,
+               CAST(sb.d AS BIGINT) AS d_right,
+               round(sa.n * 1e0 * sb.n / greatest(sa.d, sb.d), 6) AS est_rows,
+               CAST(j.actual AS BIGINT) AS actual_rows,
+               round(sa.n * 1e0 * sb.n / greatest(sa.d, sb.d) / j.actual, 6)
+                 AS err_ratio
+        FROM (SELECT count(*) AS n, count(DISTINCT {ka}) AS d FROM {ta}) sa
+        CROSS JOIN (SELECT count(*) AS n, count(DISTINCT {kb}) AS d
+                    FROM {tb}) sb
+        CROSS JOIN (SELECT count(*) AS actual
+                    FROM {ta} a JOIN {tb} b ON a.{ka} = b.{kb}) j
+        """)
+    return " UNION ALL ".join(branches)
+
+
+@register("cardinality_estimate_audit", oracle=_card_oracle())
+def cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit: the textbook CBO estimate
+    |A JOIN B| ~ |A|*|B| / max(ndv_A, ndv_B) (uniform-key assumption,
+    containment of the smaller dictionary) next to the TRUE join size,
+    for the two fact joins the engine runs most. err_ratio near 1 is
+    why cost-based join ordering works on these tables; the same
+    report on a skewed key is the motivating evidence for the skew
+    family. The estimate's inputs (row counts, exact NDVs) are what a
+    catalog's ANALYZE collects — this query IS that collection plus
+    the honesty check.
+
+    Scale shape: per join, two 1-row count/NDV aggregates and one
+    key-only join counted with a map-side-combined aggregate; at
+    100 TB the NDV side is where you'd swap in the engine's HLL
+    sketches (hll_distinct_users) and skip the exact join."""
+    out = None
+    for name, ta, ka, tb, kb in _CARD_JOINS:
+        a = load_table(spark, sf_dir, ta).select(F.col(ka).alias("k"))
+        b = load_table(spark, sf_dir, tb).select(F.col(kb).alias("k"))
+        sa = a.agg(
+            F.count(F.lit(1)).alias("na"), F.countDistinct("k").alias("da")
+        )
+        sb = b.agg(
+            F.count(F.lit(1)).alias("nb"), F.countDistinct("k").alias("db")
+        )
+        j = a.join(b, "k").agg(F.count(F.lit(1)).alias("actual"))
+        est = (
+            F.col("na") * F.lit(1.0) * F.col("nb")
+            / F.greatest(F.col("da"), F.col("db"))
+        )
+        row = (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(j))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("na").cast("long").alias("n_left"),
+                F.col("nb").cast("long").alias("n_right"),
+                F.col("da").cast("long").alias("d_left"),
+                F.col("db").cast("long").alias("d_right"),
+                F.round(est, 6).alias("est_rows"),
+                F.col("actual").cast("long").alias("actual_rows"),
+                F.round(est / F.col("actual"), 6).alias("err_ratio"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

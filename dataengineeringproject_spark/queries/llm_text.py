@@ -3499,3 +3499,85 @@ def qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_QLM_TOPK)
         .select("doc_id", F.round(F.col("su") / F.lit(1e9), 6).alias("qlm_score"))
     )
+
+
+# --- inverted-index postings for the corpus head ------------------------------
+
+_IDX_TERMS = 10   # index the top-N corpus terms by total frequency
+_IDX_ROWS = 200   # posting rows reported
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_LTOKS}) AS w,
+             unnest(range(1, len({_LTOKS}) + 1)) AS pos
+      FROM documents
+    ),
+    head AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, w ASC LIMIT {_IDX_TERMS})
+    ),
+    p AS (
+      SELECT tok.w AS term, tok.doc_id, count(*) AS tf,
+             min(tok.pos) AS first_pos
+      FROM tok JOIN head ON head.w = tok.w
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT term, doc_id, tf, first_pos,
+             row_number() OVER (ORDER BY term ASC, tf DESC, doc_id ASC)
+               AS rn
+      FROM p
+    )
+    SELECT term, doc_id, CAST(tf AS BIGINT) AS tf,
+           CAST(first_pos AS BIGINT) AS first_pos
+    FROM r WHERE rn <= {_IDX_ROWS}
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build for the corpus head: per (term, doc)
+    posting rows — term frequency and first position — for the
+    top-{_IDX_TERMS} terms, reported as the first {_IDX_ROWS} postings
+    in (term, tf-descending) index order. This is the construction
+    shape behind every sparse-retrieval serving index (and behind
+    BM25/QLM above, which consume exactly these statistics): explode
+    to a position stream, select the dictionary, aggregate postings.
+
+    Scale shape: the position explode is linear; the dictionary
+    selection is a TakeOrderedAndProject heap over term counts; the
+    posting aggregate map-side combines on (term, doc) and — the
+    production point — is naturally SORTED by the shuffle key, which
+    is what makes postings write out as contiguous runs at 100 TB.
+    The report cap bounds the output, not the index."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(X.tokens(F.lower(F.col("text")))).alias("pos0", "w"),
+    ).select("doc_id", "w", (F.col("pos0") + 1).alias("pos"))
+    head = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_IDX_TERMS)
+        .select("w")
+    )
+    p = (
+        tok.join(F.broadcast(head), "w")
+        .groupBy(F.col("w").alias("term"), F.col("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+        )
+    )
+    return (
+        p.orderBy(F.asc("term"), F.desc("tf"), F.asc("doc_id"))
+        .limit(_IDX_ROWS)
+        .select(
+            "term",
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+    )
