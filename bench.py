@@ -154,6 +154,8 @@ HEADLINE = [
     "seasonal_decompose_daily",
     "inverted_index_postings",
     "cardinality_estimate_audit",
+    "quality_token_budget_curve",
+    "embedding_label_separation",
 ]
 
 

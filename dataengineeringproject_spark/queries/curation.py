@@ -2329,3 +2329,102 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --- token-budget selection curve over quality rank ----------------------------
+
+
+@register(
+    "quality_token_budget_curve",
+    oracle=f"""
+    WITH f AS (
+      SELECT round(1e0 / (1e0 + exp(-({_PARETO_Z}))), 4) AS q,
+             len({X.tokens_sql('text')}) AS toks
+      FROM documents
+    ),
+    g AS (SELECT q, count(*) AS docs, sum(toks) AS tk FROM f GROUP BY 1),
+    c AS (
+      SELECT q,
+             sum(docs) OVER (ORDER BY q DESC) AS cum_docs,
+             sum(tk) OVER (ORDER BY q DESC) AS cum_toks
+      FROM g
+    ),
+    t AS (SELECT sum(docs) AS n, sum(tk) AS tt FROM g),
+    b AS (
+      SELECT d.d AS decile, min(c.cum_docs) AS cd
+      FROM (SELECT unnest(range(1, 11)) AS d) d
+      CROSS JOIN t
+      JOIN c ON c.cum_docs >= (d.d * t.n + 9) // 10
+      GROUP BY 1
+    )
+    SELECT CAST(b.decile AS BIGINT) AS decile,
+           CAST(b.cd AS BIGINT) AS cum_docs,
+           CAST(c.cum_toks AS BIGINT) AS cum_tokens,
+           c.q AS min_quality,
+           round(c.cum_toks * 1e0 / t.tt, 6) AS token_share
+    FROM b JOIN c ON c.cum_docs = b.cd CROSS JOIN t
+    """,
+)
+def quality_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-vs-token-budget selection curve: walk the corpus
+    from the highest-quality document down and report, at each decile
+    of documents admitted, the cumulative token count and share plus
+    the quality score at the boundary — the curve a curation pass
+    reads to convert "we can afford N tokens" into a quality
+    threshold. Cumulation runs on the 4dp score GRID (counts and token
+    sums per distinct score), so the running sums are integer-exact
+    and the windowed frame is bounded by the grid, not the corpus;
+    decile boundaries use integer ceil arithmetic.
+
+    Scale shape: one map-side-combined groupBy on the score grid, one
+    running-sum window over the <= 10^4-row grid, a 10-row decile
+    cross join. The corpus is scanned once."""
+    d = _docs(spark, sf_dir)
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    f = d.select(
+        F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("q"),
+        F.size(X.tokens("text")).alias("toks"),
+    )
+    g = f.groupBy("q").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("toks").alias("tk")
+    )
+    w = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "q",
+        F.sum("docs").over(w).alias("cum_docs"),
+        F.sum("tk").over(w).alias("cum_toks"),
+    )
+    t = g.agg(F.sum("docs").alias("n"), F.sum("tk").alias("tt"))
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    b = (
+        deciles.crossJoin(F.broadcast(t))
+        .join(
+            c,
+            F.col("cum_docs")
+            >= F.expr("(decile * n + 9) div 10"),
+        )
+        .groupBy("decile")
+        .agg(F.min("cum_docs").alias("cd"))
+    )
+    return (
+        b.join(c, F.col("cum_docs") == F.col("cd"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("cd").cast("long").alias("cum_docs"),
+            F.col("cum_toks").cast("long").alias("cum_tokens"),
+            F.col("q").alias("min_quality"),
+            F.round(F.col("cum_toks") * F.lit(1.0) / F.col("tt"), 6).alias(
+                "token_share"
+            ),
+        )
+    )

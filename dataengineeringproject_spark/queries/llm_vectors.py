@@ -2827,3 +2827,139 @@ def ann_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s") * F.lit(1.0) / F.col("nq") / F.lit(1e6), 6
         ).alias("mrr"),
     )
+
+
+# --- silhouette-lite label separation in embedding space -----------------------
+
+
+@register(
+    "embedding_label_separation",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, label, i - 1 AS i,
+             CAST(round(x * {_OUT_Q}) AS BIGINT) AS q
+      FROM (SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    c AS (SELECT label, i, sum(q) AS s FROM t GROUP BY 1, 2),
+    cn AS (SELECT label, sum(s * s) AS ns FROM c GROUP BY 1),
+    vn AS (SELECT vec_id, sum(q * q) AS nq FROM t GROUP BY 1),
+    dot AS (
+      SELECT t.vec_id, t.label AS vlabel, c.label AS clabel,
+             sum(t.q * c.s) AS d
+      FROM t JOIN c ON c.i = t.i
+      GROUP BY 1, 2, 3
+    ),
+    cos AS (
+      SELECT dot.vec_id, dot.vlabel, dot.clabel,
+             CAST(round(dot.d / sqrt(CAST(vn.nq AS DOUBLE)
+                                     * CAST(cn.ns AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS cu
+      FROM dot
+      JOIN vn ON vn.vec_id = dot.vec_id
+      JOIN cn ON cn.label = dot.clabel
+    ),
+    per AS (
+      SELECT vec_id, vlabel,
+             max(CASE WHEN clabel = vlabel THEN cu END) AS own,
+             max(CASE WHEN clabel <> vlabel THEN cu END) AS rival
+      FROM cos GROUP BY 1, 2
+    )
+    SELECT CAST(vlabel AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(sum(own) * 1e0 / count(*) / 1e6, 6) AS mean_intra,
+           round(sum(rival) * 1e0 / count(*) / 1e6, 6) AS mean_rival,
+           round((sum(own) - sum(rival)) * 1e0 / count(*) / 1e6, 6)
+             AS separation
+    FROM per GROUP BY 1
+    """,
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-lite cluster-quality report per label: each vector's
+    cosine to its OWN label centroid vs its closest RIVAL centroid,
+    averaged per label — separation <= 0 means the label's members sit
+    closer to another class's center than their own (label noise, or
+    classes the embedding can't separate; run before trusting labels
+    for training). Cosines are scale-invariant, so centroids are used
+    UN-normalized as integer component sums: every dot product and
+    squared norm is exact int64, the one sqrt+divide per
+    (vector, centroid) sees identical inputs in both engines, and
+    per-member cosines re-quantize to micro-units before the label
+    mean.
+
+    Scale shape: centroids are one map-side-combined |labels|x64
+    aggregate broadcast back; the dot-product stream is
+    |corpus|x|labels| rows (labels bounded), collapsed map-side; no
+    all-pairs anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.round(F.col("x") * _OUT_Q).cast("long").alias("q"),
+    )
+    c = t.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("q").alias("s")
+    )
+    cn = c.groupBy("clabel").agg(F.sum(F.col("s") * F.col("s")).alias("ns"))
+    vn = t.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("nq"))
+    dot = (
+        t.join(F.broadcast(c), "i")
+        .groupBy("vec_id", F.col("label").alias("vlabel"), "clabel")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("d"))
+    )
+    cos = (
+        dot.join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .select(
+            "vec_id",
+            "vlabel",
+            "clabel",
+            F.round(
+                F.col("d")
+                / F.sqrt(
+                    F.col("nq").cast("double") * F.col("ns").cast("double")
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("cu"),
+        )
+    )
+    per = cos.groupBy("vec_id", "vlabel").agg(
+        F.max(F.when(F.col("clabel") == F.col("vlabel"), F.col("cu"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("vlabel"), F.col("cu"))).alias(
+            "rival"
+        ),
+    )
+    return per.groupBy("vlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.sum("own") * F.lit(1.0) / F.count(F.lit(1)) / 1e6, 6).alias(
+            "mean_intra"
+        ),
+        F.round(
+            F.sum("rival") * F.lit(1.0) / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_rival"),
+        F.round(
+            (F.sum("own") - F.sum("rival")) * F.lit(1.0)
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("separation"),
+    ).select(
+        F.col("vlabel").cast("long").alias("label"),
+        "n_members",
+        "mean_intra",
+        "mean_rival",
+        "separation",
+    )
