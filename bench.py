@@ -156,6 +156,8 @@ HEADLINE = [
     "cardinality_estimate_audit",
     "quality_token_budget_curve",
     "embedding_label_separation",
+    "twap_daily_value",
+    "table_checksum_by_day",
 ]
 
 

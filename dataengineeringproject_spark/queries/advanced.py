@@ -5890,3 +5890,151 @@ def cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- time-weighted average (TWAP) of the value series ---------------------------
+# Weights come from wall-clock seconds-since-midnight (hour/minute/
+# second fields), never epoch arithmetic: field extraction is identical
+# in both engines and immune to session-timezone offsets.
+
+
+@register(
+    "twap_daily_value",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(round(value * 1e3) AS BIGINT) AS vu,
+             hour(ts) * 3600 + minute(ts) * 60
+               + CAST(floor(second(ts)) AS BIGINT) AS ssm,
+             event_id
+      FROM events
+    ),
+    w AS (
+      SELECT day, vu,
+             coalesce(lead(ssm) OVER (PARTITION BY day
+                                      ORDER BY ssm ASC, event_id ASC),
+                      86400) - ssm AS dur
+      FROM e
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dur) AS BIGINT) AS covered_s,
+           round(sum(vu * dur) * 1e0 / sum(dur) / 1e3, 6) AS twap,
+           round(sum(vu) * 1e0 / count(*) / 1e3, 6) AS mean_value
+    FROM w GROUP BY 1
+    """,
+)
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average (TWAP) of the value series — each
+    event's value holds until the next event (last one holds to
+    midnight), so bursty periods stop dominating the average the way
+    they do the plain mean (reported beside it for exactly that
+    contrast). The hold durations come from lead() over the per-day
+    (seconds-since-midnight, event_id) order; value*duration products
+    and the duration sums are exact integers, so the weighted mean is
+    two integer sums and one division. Seconds-since-midnight is
+    wall-clock FIELD arithmetic (hour/minute/second), deliberately not
+    epoch math: a session-timezone offset shifts every epoch value but
+    no field value.
+
+    Scale shape: one shuffle on day for the lead() window (day is the
+    partition key at 100 TB, making the sort partition-local), then a
+    map-side-combined daily aggregate."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(ts_to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        (
+            F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.floor(F.second("ts")).cast("long")
+        ).alias("ssm"),
+        "event_id",
+    )
+    w = Window.partitionBy("day").orderBy(F.asc("ssm"), F.asc("event_id"))
+    d = ev.select(
+        "day",
+        "vu",
+        (
+            F.coalesce(F.lead("ssm").over(w), F.lit(86400)) - F.col("ssm")
+        ).alias("dur"),
+    )
+    return d.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dur").cast("long").alias("covered_s"),
+        F.round(
+            F.sum(F.col("vu") * F.col("dur")) * F.lit(1.0)
+            / F.sum("dur")
+            / F.lit(1e3),
+            6,
+        ).alias("twap"),
+        F.round(
+            F.sum("vu") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e3), 6
+        ).alias("mean_value"),
+    )
+
+
+# --- anti-entropy: order-independent per-day table checksum ---------------------
+
+from dataengineeringproject_spark.functions import text as X  # noqa: E402
+
+_CK_ROW_SQL = (
+    "concat_ws('|', CAST(event_id AS VARCHAR), strftime(ts, '%Y-%m-%d %H:%M:%S'), "
+    "CAST(user_id AS VARCHAR), event_type, "
+    "CAST(CAST(round(value * 1e3) AS BIGINT) AS VARCHAR), coalesce(props, ''))"
+)
+
+
+@register(
+    "table_checksum_by_day",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({X.token_hash_sql(_CK_ROW_SQL, seed='ck-v1')} % 4294967296)
+                AS BIGINT) AS checksum
+    FROM events GROUP BY 1
+    """,
+)
+def table_checksum_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table digest: an ORDER-INDEPENDENT per-day
+    checksum (sum of seeded 32-bit row hashes over a canonical row
+    string) plus row count — the cheap comparison two replicas, two
+    engines, or two pipeline versions exchange to find which
+    partitions disagree before diffing any rows (the Merkle-leaf level
+    of Cassandra/Dynamo-style repair, and exactly how a migration
+    validates a backfill). Summation makes it insensitive to row
+    order and partitioning; the canonical string pins float formatting
+    (milli-unit integers) and second-level timestamps so both engines
+    hash identical bytes. This query literally runs the comparison:
+    the oracle computes the digest in DuckDB and the driver asserts
+    equality.
+
+    Scale shape: a pure projection (concat + md5) into a
+    map-side-combined per-day aggregate; one tiny shuffle. At 100 TB
+    you'd fold in a second level (per day x bucket) to narrow repairs;
+    same plan, one more group key."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    row = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.round(F.col("value") * 1e3).cast("long").cast("string"),
+        F.coalesce(F.col("props"), F.lit("")),
+    )
+    return (
+        ev.select(
+            F.date_format(ts_to_date("ts"), "yyyy-MM-dd").alias("day"),
+            (X.token_hash(row, seed="ck-v1") % F.lit(4294967296)).alias("h"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("h").cast("long").alias("checksum"),
+        )
+    )
