@@ -158,6 +158,7 @@ HEADLINE = [
     "embedding_label_separation",
     "twap_daily_value",
     "table_checksum_by_day",
+    "streaming_bm25_stats",
 ]
 
 

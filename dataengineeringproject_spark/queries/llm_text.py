@@ -3581,3 +3581,121 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_pos").cast("long").alias("first_pos"),
         )
     )
+
+
+# --- STREAMING retrieval-index statistics (retrieval family symmetry) --------
+
+
+def _bm25_stats_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter({_LTOKS}, w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    branches = []
+    for i, t in enumerate(_BM25_TERMS):
+        branches.append(
+            f"""SELECT '{t}' AS term, CAST(s.n AS BIGINT) AS n_docs,
+            CAST(s.df_{i} AS BIGINT) AS df, CAST(s.ctf_{i} AS BIGINT) AS ctf,
+            round(s.tdl * 1e0 / s.n, 6) AS avgdl,
+            round(ln(1e0 + (s.n - s.df_{i} + 0.5e0) / (s.df_{i} + 0.5e0)), 6)
+              AS idf
+            FROM s"""
+        )
+    agg = ", ".join(
+        [
+            "count(*) AS n",
+            "sum(dl) AS tdl",
+        ]
+        + [
+            f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}, "
+            f"sum(tf_{i}) AS ctf_{i}"
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    return f"""
+    WITH f AS (SELECT len({_LTOKS}) AS dl, {tf_cols} FROM documents),
+    s AS (SELECT {agg} FROM f)
+    {' UNION ALL '.join(branches)}
+    """
+
+
+@register("streaming_bm25_stats", oracle=_bm25_stats_sql())
+def streaming_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin for the RETRIEVAL family (the seventh family
+    with batch/streaming symmetry): the BM25/QLM collection statistics
+    — doc count, total/average doc length, per-term document and
+    collection frequencies, smoothed IDF — maintained ONLINE as a
+    native GLOBAL streaming aggregation (no group key: state is ONE
+    row of partial sums forever) over the same file-drop document
+    landing zone the quality gate watches. This is how a serving
+    index keeps its scoring statistics current between full rebuilds:
+    every statistic BM25/QLM needs is an associative sum, so ingest
+    maintains them incrementally and scoring reads them as constants.
+    Converged complete-mode state equals the batch aggregate — the
+    oracle recomputes it from scratch; the idf/avgdl derivations run
+    at read-back on exact integer sums."""
+    from dataengineeringproject_spark.queries.curation import (
+        _staged_docs_land,
+    )
+    from dataengineeringproject_spark.queries.streaming_q import (
+        _pinned_shuffle_partitions,
+        _RUN_ID,
+    )
+    from dataengineeringproject_spark.streaming.daily import run_to_memory
+
+    d = _docs(spark, sf_dir)
+    land = _staged_docs_land(spark, sf_dir)
+    name = f"bm25s_q_{next(_RUN_ID)}"
+    with _pinned_shuffle_partitions(spark, 8):
+        src = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        toks = X.tokens(F.lower(F.col("text")))
+        f = src.select(F.col("doc_id"), toks.alias("toks")).select(
+            F.size("toks").alias("dl"),
+            *[
+                F.expr(f"size(filter(toks, w -> w = '{t}'))").alias(f"tf_{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("tdl"),
+        ]
+        for i in range(len(_BM25_TERMS)):
+            aggs.append(
+                F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(
+                    f"df_{i}"
+                )
+            )
+            aggs.append(F.sum(f"tf_{i}").alias(f"ctf_{i}"))
+        agg = f.agg(*aggs)
+        run_to_memory(agg, name, output_mode="complete")
+    s = spark.table(name)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.col("n").cast("long").alias("n_docs"),
+                F.col(f"df_{i}").cast("long").alias("df"),
+                F.col(f"ctf_{i}").cast("long").alias("ctf"),
+                F.round(F.col("tdl") * F.lit(1.0) / F.col("n"), 6).alias(
+                    "avgdl"
+                ),
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n") - F.col(f"df_{i}") + F.lit(0.5))
+                        / (F.col(f"df_{i}") + F.lit(0.5))
+                    ),
+                    6,
+                ).alias("idf"),
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    return s.select(F.explode(rows).alias("r")).select(
+        "r.term", "r.n_docs", "r.df", "r.ctf", "r.avgdl", "r.idf"
+    )

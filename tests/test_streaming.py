@@ -579,3 +579,65 @@ def test_streaming_binned_quantiles_match_batch_twin(spark):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_streaming_bm25_stats_matches_batch_recompute(spark):
+    """Batch/streaming symmetry for the RETRIEVAL family: the ONLINE
+    global aggregation of BM25 collection statistics (one-row state,
+    complete mode, 3 micro-batches) must converge to exactly the
+    statistics a from-scratch batch pass computes over the same
+    corpus — same df/ctf/avgdl/idf per query term — and every query
+    term must be present with a positive document frequency (the
+    fixture corpus contains both terms, so a zero df means the online
+    path dropped a micro-batch)."""
+    from pyspark.sql import functions as SF
+
+    from dataengineeringproject_spark.queries import llm_text
+    from dataengineeringproject_spark.schemas import load_table
+    from dataengineeringproject_spark.functions import text as X
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        tuple(r)
+        for r in llm_text.streaming_bm25_stats(spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    toks = X.tokens(SF.lower(SF.col("text")))
+    f = d.select(SF.col("doc_id"), toks.alias("toks")).select(
+        SF.size("toks").alias("dl"),
+        *[
+            SF.expr(f"size(filter(toks, w -> w = '{t}'))").alias(f"tf_{i}")
+            for i, t in enumerate(llm_text._BM25_TERMS)
+        ],
+    )
+    row = f.agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.sum("dl").alias("tdl"),
+        *[
+            a
+            for i in range(len(llm_text._BM25_TERMS))
+            for a in (
+                SF.sum(
+                    SF.when(SF.col(f"tf_{i}") > 0, 1).otherwise(0)
+                ).alias(f"df_{i}"),
+                SF.sum(f"tf_{i}").alias(f"ctf_{i}"),
+            )
+        ],
+    ).collect()[0]
+    batch = set()
+    for i, t in enumerate(llm_text._BM25_TERMS):
+        import math
+
+        n, df = row["n"], row[f"df_{i}"]
+        batch.add(
+            (
+                t,
+                n,
+                df,
+                row[f"ctf_{i}"],
+                round(row["tdl"] / n, 6),
+                round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 6),
+            )
+        )
+    assert stream == batch
+    assert all(r[2] > 0 for r in stream)  # df > 0 for every query term
