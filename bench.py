@@ -159,6 +159,8 @@ HEADLINE = [
     "twap_daily_value",
     "table_checksum_by_day",
     "streaming_bm25_stats",
+    "abtest_two_proportion",
+    "wow_growth_by_type",
 ]
 
 

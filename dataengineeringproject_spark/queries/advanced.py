@@ -6038,3 +6038,181 @@ def table_checksum_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("long").alias("checksum"),
         )
     )
+
+
+# --- two-proportion z-test over a hash-assigned experiment ----------------------
+
+_AB_SEED = "ab-v1"
+_AB_CONV_EVENT = "purchase"
+_AB_CONV_MIN_VALUE = 150  # conversion = a purchase above this value
+
+
+@register(
+    "abtest_two_proportion",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_AB_SEED)} % 2
+               AS variant,
+             max(CASE WHEN event_type = '{_AB_CONV_EVENT}'
+                      AND value > {_AB_CONV_MIN_VALUE} THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS ca,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS cb
+      FROM u
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           round(ca * 1e0 / na, 6) AS rate_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           round(cb * 1e0 / nb, 6) AS rate_b,
+           round((ca * 1e0 / na - cb * 1e0 / nb)
+                 / sqrt(((ca + cb) * 1e0 / (na + nb))
+                        * (1e0 - (ca + cb) * 1e0 / (na + nb))
+                        * (1e0 / na + 1e0 / nb)), 6) AS z_score
+    FROM s
+    """,
+)
+def abtest_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the A/B experimentation primitive:
+    users are hash-assigned to variants (seeded doc-hash mod 2, the
+    engine's standard reproducible randomization — the SAME assignment
+    every run, engine, and cluster size, which is what makes an
+    experiment auditable), conversion is "user ever fired a
+    {_AB_CONV_EVENT} event above value {_AB_CONV_MIN_VALUE}" (the threshold
+    keeps the rate mid-range so the pooled variance is non-degenerate), and the pooled-variance z-score tests the
+    rate difference. Completes the inference family: ANOVA for k-group
+    means, Mann-Whitney/KS for distributions, chi-square for mixes,
+    now proportions for experiments. All counts are exact integers;
+    the z arithmetic is fixed-operand IEEE, identical in both engines.
+
+    Scale shape: one map-side-combined per-user aggregate (the only
+    shuffle, on the natural user key), then a 4-integer single-row
+    reduce. Free at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == _AB_CONV_EVENT)
+                & (F.col("value") > _AB_CONV_MIN_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (X.token_hash(F.col("user_id").cast("string"), seed=_AB_SEED) % 2)
+        .alias("variant"),
+        "conv",
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .alias("cb"),
+    )
+    ra = F.col("ca") * F.lit(1.0) / F.col("na")
+    rb = F.col("cb") * F.lit(1.0) / F.col("nb")
+    p = (F.col("ca") + F.col("cb")) * F.lit(1.0) / (F.col("na") + F.col("nb"))
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.round(ra, 6).alias("rate_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(
+            (ra - rb)
+            / F.sqrt(
+                p
+                * (F.lit(1.0) - p)
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# --- week-over-week growth by event type ---------------------------------------
+
+
+@register(
+    "wow_growth_by_type",
+    oracle=f"""
+    WITH e AS (
+      SELECT datediff('day', DATE '{_STL_ANCHOR}', CAST(ts AS DATE)) // 7
+               AS week_idx,
+             event_type,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    w AS (
+      SELECT week_idx, event_type, count(*) AS n, sum(vu) AS svu
+      FROM e GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT week_idx, event_type, n, svu,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week_idx) AS pn,
+             lag(svu) OVER (PARTITION BY event_type ORDER BY week_idx)
+               AS psvu
+      FROM w
+    )
+    SELECT CAST(week_idx AS BIGINT) AS week_idx, event_type,
+           CAST(n AS BIGINT) AS n,
+           round(svu / 1e3 / n, 6) AS mean_value,
+           round((n - pn) * 1e0 / pn, 6) AS count_growth,
+           round((svu * 1e0 / n - psvu * 1e0 / pn)
+                 / (psvu * 1e0 / pn), 6) AS mean_growth
+    FROM g
+    """,
+)
+def wow_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth report per event type: count growth and
+    mean-value growth against the previous week, the
+    period-over-period BI primitive. Week index is integer
+    datediff-div-7 from the fixed Monday anchor (no engine ISO-week
+    conventions), growth divides exact integer aggregates, and the
+    first week reports NULL growth rather than a fake zero.
+
+    Scale shape: one map-side-combined groupBy to |weeks|x|types|
+    rows; the lag() window runs on that tiny frame."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        ts_to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+    ).select(
+        F.expr(
+            f"datediff(day, date'{_STL_ANCHOR}') div 7"
+        ).alias("week_idx"),
+        "event_type",
+        "vu",
+    )
+    w = ev.groupBy("week_idx", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vu").alias("svu")
+    )
+    lw = Window.partitionBy("event_type").orderBy("week_idx")
+    g = w.select(
+        "week_idx", "event_type", "n", "svu",
+        F.lag("n").over(lw).alias("pn"),
+        F.lag("svu").over(lw).alias("psvu"),
+    )
+    mean_now = F.col("svu") * F.lit(1.0) / F.col("n")
+    mean_prev = F.col("psvu") * F.lit(1.0) / F.col("pn")
+    return g.select(
+        F.col("week_idx").cast("long").alias("week_idx"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("svu") / F.lit(1e3) / F.col("n"), 6).alias(
+            "mean_value"
+        ),
+        F.round((F.col("n") - F.col("pn")) * F.lit(1.0) / F.col("pn"), 6)
+        .alias("count_growth"),
+        F.round((mean_now - mean_prev) / mean_prev, 6).alias("mean_growth"),
+    )
