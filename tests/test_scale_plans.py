@@ -395,3 +395,53 @@ def test_salted_skew_join_salts_fact_and_replicates_dim(spark):
     assert "__salt" in join_line, join_line
     assert "Generate explode" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_frequent_itemsets_prunes_before_wedges(spark):
+    """frequent_itemsets_triples must exhibit Apriori downward closure
+    in the plan: the incidence scan is filtered through the frequent-
+    singleton join BEFORE any pair/wedge join (at least three joins in
+    the tree: f1 semi-filter, f2 candidate check, f2 closing-edge
+    check), counts collapse in HashAggregates, and the final top-K is
+    TakeOrderedAndProject — never a global sort of the triple frame."""
+    plan = _physical_plan(spark, "frequent_itemsets_triples")
+    assert "TakeOrderedAndProject" in plan, plan
+    joins = len(re.findall(r"Join", plan))
+    assert joins >= 3, f"expected Apriori's pruning joins, got {joins}\n{plan}"
+    assert _AGG_RE.search(plan), plan
+
+
+def test_pareto_front_grid_bounded_window(spark):
+    """pareto_front_quality_length's running-max window must run over
+    the aggregated score grid, never the raw documents scan, and the
+    doc-id recovery join must broadcast the frontier."""
+    plan = _physical_plan(spark, "pareto_front_quality_length")
+    bad = _sorts_only_over_aggregates(plan)
+    assert not bad, f"sort over un-aggregated scan: {bad}\n{plan}"
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_inverted_index_broadcasts_dictionary(spark):
+    """inverted_index_postings: the dictionary head is a
+    TakeOrderedAndProject heap broadcast onto the token stream; the
+    posting aggregate is a hash aggregate on (term, doc)."""
+    plan = _physical_plan(spark, "inverted_index_postings")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert _AGG_RE.search(plan), plan
+
+
+def test_label_separation_broadcasts_centroids(spark):
+    """embedding_label_separation: the centroid and centroid-norm
+    frames broadcast back onto the exploded corpus stream — the
+    corpus-sized side must never shuffle into a SortMergeJoin."""
+    plan = _physical_plan(spark, "embedding_label_separation")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_budget_curve_windows_grid_only(spark):
+    """quality_token_budget_curve: the cumulative window runs on the
+    score-grid aggregate, never the raw corpus scan."""
+    plan = _physical_plan(spark, "quality_token_budget_curve")
+    bad = _sorts_only_over_aggregates(plan)
+    assert not bad, f"sort over un-aggregated scan: {bad}\n{plan}"
