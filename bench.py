@@ -161,6 +161,8 @@ HEADLINE = [
     "streaming_bm25_stats",
     "abtest_two_proportion",
     "wow_growth_by_type",
+    "oov_rate_by_source",
+    "dpp_join_prune",
 ]
 
 

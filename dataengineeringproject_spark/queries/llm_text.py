@@ -3699,3 +3699,67 @@ def streaming_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(rows).alias("r")).select(
         "r.term", "r.n_docs", "r.df", "r.ctf", "r.avgdl", "r.idf"
     )
+
+
+# --- OOV rate per source against the corpus-head vocabulary -------------------
+
+_OOV_VOCAB = 20  # train vocabulary = top-N tokens by corpus frequency
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_LTOKS}) AS w FROM documents
+    ),
+    voc AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, w ASC LIMIT {_OOV_VOCAB})
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN voc ON voc.w = tok.w
+    GROUP BY 1
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a fixed-size
+    training vocabulary (the top-{_OOV_VOCAB} corpus tokens): the
+    share of a source's token mass a vocab-limited model would map to
+    <unk> — the coverage complement of `vocab_coverage_topk` broken
+    down by WHERE the uncovered mass lives (a source with an outlier
+    OOV rate is out-of-domain for the tokenizer/model the vocabulary
+    belongs to).
+
+    Scale shape: token explode, a TakeOrderedAndProject heap for the
+    vocabulary, a broadcast left anti-style membership join, one
+    map-side-combined per-source aggregate."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    voc = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_OOV_VOCAB)
+        .select(F.col("w").alias("vw"))
+    )
+    j = tok.join(F.broadcast(voc), F.col("w") == F.col("vw"), "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -428,3 +428,73 @@ def bucketed_join_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# --- dynamic partition pruning exhibit ----------------------------------------
+
+_DPP_MIN_MEAN = 50  # dim selection: event types whose mean value exceeds this
+# (per-type means hover around 50, so the qualifying set differs by
+# scale factor — the selection is genuinely runtime-only, never
+# statically prunable)
+
+
+@register(
+    "dpp_join_prune",
+    oracle=f"""
+    WITH dim AS (
+      SELECT event_type FROM events
+      GROUP BY 1 HAVING sum(CAST(round(value * 1e3) AS BIGINT)) / 1e3
+                        / count(*) > {_DPP_MIN_MEAN}
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(e.value * 1e3) AS BIGINT)) / 1e3
+                 / count(*), 6) AS mean_value
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY 1
+    """,
+)
+def dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning exhibit: the fact side is the
+    HIVE-PARTITIONED events copy (partitioned by event_type) and the
+    dim side is a RUNTIME-computed set of event types (mean value >
+    {_DPP_MIN_MEAN} — not knowable at plan time), joined on the
+    partition column. Spark injects a dynamicpruning subquery into the
+    partitioned scan so only the qualifying partitions are ever read —
+    the optimization that makes star-schema joins on a 100 TB
+    partitioned fact read the 3 partitions the dim selects instead of
+    all of them. Static pruning is `partition_prune_readback`; this is
+    its runtime sibling, and tests/test_scale_plans.py pins the
+    dynamicpruning expression in the scan.
+
+    The oracle replays the semantics on the original table (DPP is a
+    physical optimization; the answer is a plain dim-filtered join).
+    Values go through the same milli-unit quantization both sides so
+    the HAVING threshold and the mean agree exactly."""
+    from dataengineeringproject_spark.schemas import load_table
+
+    land = _staged_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(land)
+    base = load_table(spark, sf_dir, "events")
+    vu = F.round(F.col("value") * 1e3).cast("long")
+    dim = (
+        base.groupBy("event_type")
+        .agg(
+            (F.sum(vu) / F.lit(1e3) / F.count(F.lit(1))).alias("mean_value")
+        )
+        .filter(F.col("mean_value") > _DPP_MIN_MEAN)
+        .select("event_type")
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1e3).cast("long"))
+                / F.lit(1e3)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_value"),
+        )
+    )

@@ -445,3 +445,12 @@ def test_budget_curve_windows_grid_only(spark):
     plan = _physical_plan(spark, "quality_token_budget_curve")
     bad = _sorts_only_over_aggregates(plan)
     assert not bad, f"sort over un-aggregated scan: {bad}\n{plan}"
+
+
+def test_dpp_join_prune_injects_dynamic_pruning(spark):
+    """dpp_join_prune: the partitioned fact scan must carry a
+    dynamicpruning PartitionFilter fed by the broadcast dim subquery —
+    the runtime sibling of partition_prune_readback's static prune. If
+    this disappears, the join silently reads every partition."""
+    plan = _physical_plan(spark, "dpp_join_prune")
+    assert "dynamicpruning" in plan, plan
