@@ -163,6 +163,7 @@ HEADLINE = [
     "wow_growth_by_type",
     "oov_rate_by_source",
     "dpp_join_prune",
+    "changepoint_single_split",
 ]
 
 

@@ -6216,3 +6216,109 @@ def wow_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("count_growth"),
         F.round((mean_now - mean_prev) / mean_prev, 6).alias("mean_growth"),
     )
+
+
+# --- change-point detection: best single split of the daily series -------------
+
+
+@register(
+    "changepoint_single_split",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    d AS (SELECT day, sum(vu) AS s, count(*) AS n FROM e GROUP BY 1),
+    p AS (
+      SELECT day,
+             sum(s) OVER (ORDER BY day) AS cs,
+             sum(n) OVER (ORDER BY day) AS cn,
+             sum(s) OVER () AS ts, sum(n) OVER () AS tn,
+             row_number() OVER (ORDER BY day) AS rn,
+             count(*) OVER () AS nd
+      FROM d
+    ),
+    g AS (
+      SELECT day, cs, cn, ts, tn,
+             CAST(round(CAST(cs AS DOUBLE) * cs / cn) AS BIGINT)
+             + CAST(round(CAST(ts - cs AS DOUBLE) * (ts - cs) / (tn - cn))
+                    AS BIGINT)
+             - CAST(round(CAST(ts AS DOUBLE) * ts / tn) AS BIGINT) AS gain
+      FROM p WHERE rn < nd
+    )
+    SELECT day AS split_day,
+           round(gain / 1e6, 6) AS sse_gain,
+           CAST(cn AS BIGINT) AS n_left,
+           CAST(tn - cn AS BIGINT) AS n_right,
+           round(cs * 1e0 / cn / 1e3, 6) AS mean_left,
+           round((ts - cs) * 1e0 / (tn - cn) / 1e3, 6) AS mean_right
+    FROM g ORDER BY gain DESC, split_day ASC LIMIT 1
+    """,
+)
+def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection, binary-segmentation step: the single
+    split of the daily value series that maximally reduces the sum of
+    squared error — equivalently maximizes S_L^2/N_L + S_R^2/N_R -
+    S^2/N over all prefix/suffix splits (the recursion step of binary
+    segmentation, and the offline complement of the streaming CUSUM
+    detector). Each squared-sum term is re-quantized to an integer
+    (the ANOVA trick) so the argmax compares exact integers and the
+    earliest-day tie-break is deterministic.
+
+    Scale shape: one map-side-combined daily rollup; prefix sums,
+    candidate gains, and the argmax all run on the |days| frame."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(ts_to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+    )
+    d = ev.groupBy("day").agg(
+        F.sum("vu").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = d.select(
+        "day",
+        F.sum("s").over(wc).alias("cs"),
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("s").over(wa).alias("ts"),
+        F.sum("n").over(wa).alias("tn"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("nd"),
+    )
+
+    def _q(num, den):
+        return F.round(num.cast("double") * num / den).cast("long")
+
+    g = p.filter(F.col("rn") < F.col("nd")).select(
+        "day", "cs", "cn", "ts", "tn",
+        (
+            _q(F.col("cs"), F.col("cn"))
+            + _q(F.col("ts") - F.col("cs"), F.col("tn") - F.col("cn"))
+            - _q(F.col("ts"), F.col("tn"))
+        ).alias("gain"),
+    )
+    return (
+        g.orderBy(F.desc("gain"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.round(F.col("gain") / F.lit(1e6), 6).alias("sse_gain"),
+            F.col("cn").cast("long").alias("n_left"),
+            (F.col("tn") - F.col("cn")).cast("long").alias("n_right"),
+            F.round(F.col("cs") * F.lit(1.0) / F.col("cn") / 1e3, 6).alias(
+                "mean_left"
+            ),
+            F.round(
+                (F.col("ts") - F.col("cs")) * F.lit(1.0)
+                / (F.col("tn") - F.col("cn"))
+                / 1e3,
+                6,
+            ).alias("mean_right"),
+        )
+    )
