@@ -164,6 +164,8 @@ HEADLINE = [
     "oov_rate_by_source",
     "dpp_join_prune",
     "changepoint_single_split",
+    "minhash_estimator_calibration",
+    "abtest_power_analysis",
 ]
 
 

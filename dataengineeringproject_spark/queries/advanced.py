@@ -6322,3 +6322,105 @@ def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_right"),
         )
     )
+
+
+# --- power analysis for the A/B test --------------------------------------------
+# Normal-approximation constants precomputed in Python and repr-embedded
+# in both engines (the DP-noise precedent: no per-engine inverse-normal).
+
+_PWR_Z_ALPHA = "1.959963984540054"   # z_{0.025}: two-sided alpha = 5%
+_PWR_Z_BETA = "0.8416212335729143"   # z_{0.80}: power = 80%
+
+
+@register(
+    "abtest_power_analysis",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_AB_SEED)} % 2
+               AS variant,
+             max(CASE WHEN event_type = '{_AB_CONV_EVENT}'
+                      AND value > {_AB_CONV_MIN_VALUE} THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS ca,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS cb
+      FROM u
+    ),
+    p AS (
+      SELECT ca * 1e0 / na AS p1, cb * 1e0 / nb AS p2,
+             (ca + cb) * 1e0 / (na + nb) AS pp,
+             na, nb
+      FROM s
+    )
+    SELECT round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
+           round(abs(p1 - p2), 6) AS abs_diff,
+           CAST(na AS BIGINT) AS n_a_have,
+           CAST(nb AS BIGINT) AS n_b_have,
+           round(pow({_PWR_Z_ALPHA} * sqrt(2e0 * pp * (1e0 - pp))
+                     + {_PWR_Z_BETA} * sqrt(p1 * (1e0 - p1)
+                                            + p2 * (1e0 - p2)), 2)
+                 / NULLIF((p1 - p2) * (p1 - p2), 0), 6)
+             AS n_required_per_arm
+    FROM p
+    """,
+)
+def abtest_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for `abtest_two_proportion`: the sample size each
+    arm would need to detect the OBSERVED rate difference with 80%%
+    power at two-sided alpha 5%% (normal approximation,
+    n = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1*q1 + p2*q2))^2 / delta^2)
+    next to the traffic actually collected — the "is this experiment
+    even big enough" report every platform pairs with the z-test. The
+    z constants are Python-precomputed repr literals so neither engine
+    runs an inverse normal; NULL when the observed rates are exactly
+    equal (infinite n).
+
+    Scale shape: identical to the z-test — one per-user aggregate,
+    one 4-integer reduce, closed-form arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == _AB_CONV_EVENT)
+                & (F.col("value") > _AB_CONV_MIN_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (X.token_hash(F.col("user_id").cast("string"), seed=_AB_SEED) % 2)
+        .alias("variant"),
+        "conv",
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .alias("cb"),
+    )
+    p1 = F.col("ca") * F.lit(1.0) / F.col("na")
+    p2 = F.col("cb") * F.lit(1.0) / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")) * F.lit(1.0) / (F.col("na") + F.col("nb"))
+    za, zb = float(_PWR_Z_ALPHA), float(_PWR_Z_BETA)
+    num = F.pow(
+        F.lit(za) * F.sqrt(F.lit(2.0) * pp * (F.lit(1.0) - pp))
+        + F.lit(zb)
+        * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)),
+        2,
+    )
+    return s.select(
+        F.round(p1, 6).alias("rate_a"),
+        F.round(p2, 6).alias("rate_b"),
+        F.round(F.abs(p1 - p2), 6).alias("abs_diff"),
+        F.col("na").cast("long").alias("n_a_have"),
+        F.col("nb").cast("long").alias("n_b_have"),
+        F.round(
+            num / F.nullif((p1 - p2) * (p1 - p2), F.lit(0.0)), 6
+        ).alias("n_required_per_arm"),
+    )

@@ -3763,3 +3763,116 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+# --- MinHash estimator calibration over LSH candidates -------------------------
+
+
+def _mh_calib_sql() -> str:
+    sh = D.shingles_sql(_TOKS, _SHINGLE_K)
+    mh = _mh_exprs()
+    rows_per_band = _N_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sx.mh_{j} = sy.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(_N_HASHES)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+    hb AS (SELECT doc_id,
+           list_transform(sh, s -> {X.token_hash_sql('s')} % {D.MINHASH_P}) AS h
+           FROM sh),
+    sigs AS (SELECT doc_id, {mh} FROM hb),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             CAST(round(len(list_intersect(x.sh, y.sh)) * 1e6 /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))))
+               AS BIGINT) AS jacu,
+             ({agree}) AS n_agree
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+      JOIN sigs sx ON sx.doc_id = c.id_a
+      JOIN sigs sy ON sy.doc_id = c.id_b
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(n_agree * 1e0 / {_N_HASHES}, 6) AS est_jaccard,
+           round(sum(jacu) * 1e0 / count(*) / 1e6, 6) AS mean_exact_jaccard
+    FROM j GROUP BY n_agree
+    """
+
+
+@register("minhash_estimator_calibration", oracle=_mh_calib_sql())
+def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration at PAIR grain: for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (agreeing components / {_N_HASHES}) next to the exact shingle
+    Jaccard, histogrammed by agreement level — the pair-level honesty
+    check beneath `corpus_similarity_minhash`'s corpus-level one, and
+    the empirical answer to "how wrong is an {_N_HASHES}-hash
+    signature" before trusting it to rank near-dups. Exact Jaccards
+    quantize to micro-units before the per-level mean.
+
+    Scale shape: identical to dedup_minhash_lsh's candidate stage
+    (bucket-bounded, never corpus^2) plus one broadcast join of the
+    signature table onto the candidate pairs and a <= {_N_HASHES}+1
+    row aggregate."""
+    d = _docs(spark, sf_dir)
+    sh = D.shingle_table(d, "doc_id", "text", k=_SHINGLE_K).cache()
+    sigs = D.minhash_signatures(
+        d, "doc_id", "text", n_hashes=_N_HASHES, k=_SHINGLE_K, shingles_df=sh
+    )
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS)
+    j = D.jaccard_on_pairs(
+        cand, d, "doc_id", "text", k=_SHINGLE_K, threshold=0.0, shingles_df=sh
+    )
+    sx = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"ax_{i}") for i in range(_N_HASHES)],
+    )
+    sy = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"by_{i}") for i in range(_N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"ax_{i}") == F.col(f"by_{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    per = (
+        j.join(F.broadcast(sx), "id_a")
+        .join(F.broadcast(sy), "id_b")
+        .select(
+            agree.alias("n_agree"),
+            F.round(F.col("jaccard") * F.lit(1e6)).cast("long").alias("jacu"),
+        )
+    )
+    return per.groupBy("n_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.col("n_agree") * F.lit(1.0) / _N_HASHES, 6).alias(
+            "est_jaccard"
+        ),
+        F.round(
+            F.sum("jacu") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e6), 6
+        ).alias("mean_exact_jaccard"),
+    ).select(
+        F.col("n_agree").cast("long").alias("n_agree"),
+        "n_pairs",
+        "est_jaccard",
+        "mean_exact_jaccard",
+    )
