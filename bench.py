@@ -166,6 +166,8 @@ HEADLINE = [
     "changepoint_single_split",
     "minhash_estimator_calibration",
     "abtest_power_analysis",
+    "simpsons_paradox_audit",
+    "chi2_cell_residuals",
 ]
 
 

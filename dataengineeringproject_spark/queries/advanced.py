@@ -6424,3 +6424,137 @@ def abtest_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.nullif((p1 - p2) * (p1 - p2), F.lit(0.0)), 6
         ).alias("n_required_per_arm"),
     )
+
+
+# --- Simpson's paradox audit ------------------------------------------------
+
+
+@register(
+    "simpsons_paradox_audit",
+    oracle="""
+    WITH q AS (
+      SELECT p.p_brand AS g,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(round(l.l_quantity * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM q GROUP BY 1
+    ),
+    c AS (
+      SELECT g, n,
+             round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)
+                                 * (CAST(n AS DOUBLE) * syy
+                                    - CAST(sy AS DOUBLE) * sy)), 0), 6)
+               AS r
+      FROM s
+    ),
+    t AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy,
+             sum(sxx) AS sxx, sum(syy) AS syy
+      FROM s
+    ),
+    o AS (
+      SELECT round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)
+                                 * (CAST(n AS DOUBLE) * syy
+                                    - CAST(sy AS DOUBLE) * sy)), 0), 6)
+               AS r_all
+      FROM t
+    )
+    SELECT o.r_all AS overall_corr,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN c.r * o.r_all < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_opposite_sign,
+           CAST(sum(CASE WHEN c.r * o.r_all < 0 THEN c.n ELSE 0 END)
+                AS BIGINT) AS rows_in_opposite,
+           (sum(CASE WHEN c.r * o.r_all < 0 THEN c.n ELSE 0 END) * 2
+              > (SELECT n FROM t)) AS paradox
+    FROM c CROSS JOIN o
+    GROUP BY o.r_all
+    """,
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the discount->quantity relationship:
+    the POOLED Pearson correlation next to how many per-brand strata
+    correlate with the OPPOSITE sign (and how much row mass they
+    carry; paradox = a majority of rows live in opposite-sign strata).
+    This is the classic aggregation trap every analytics engine should
+    ship a detector for — a pooled trend that reverses within every
+    stratum is a confounder artifact, not a finding. All sufficient
+    statistics are exact integers (cent-unit quantization); the pooled
+    statistics are the SUMS of the per-group ones, so the two levels
+    can never disagree on the data they describe.
+
+    Scale shape: one fact-dim broadcast join, one map-side-combined
+    groupBy to |brands| statistic rows, closed-form arithmetic on that
+    tiny frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = li.join(
+        F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_brand").alias("g"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("y"),
+    )
+    s = q.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def _corr(df: DataFrame) -> F.Column:
+        n = F.col("n").cast("double")
+        num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sx").cast("double")
+        vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        return F.round(num / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6)
+
+    c = s.select("g", "n", _corr(s).alias("r"))
+    t = s.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+    )
+    o = t.select(_corr(t).alias("r_all"), F.col("n").alias("n_total"))
+    opp = F.col("r") * F.col("r_all") < 0
+    return (
+        c.crossJoin(F.broadcast(o))
+        .groupBy("r_all", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(opp, 1).otherwise(0))
+            .cast("long")
+            .alias("n_opposite_sign"),
+            F.sum(F.when(opp, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_opposite"),
+        )
+        .select(
+            F.col("r_all").alias("overall_corr"),
+            "n_groups",
+            "n_opposite_sign",
+            "rows_in_opposite",
+            (F.col("rows_in_opposite") * 2 > F.col("n_total")).alias(
+                "paradox"
+            ),
+        )
+    )

@@ -3876,3 +3876,74 @@ def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         "est_jaccard",
         "mean_exact_jaccard",
     )
+
+
+# --- chi-square cell residuals: WHICH cells drive the mix drift ----------------
+
+
+@register(
+    "chi2_cell_residuals",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rs AS (SELECT source, sum(o) AS rn FROM c GROUP BY 1),
+    cs AS (SELECT lang, sum(o) AS cn FROM c GROUP BY 1),
+    t AS (SELECT sum(o) AS n FROM c),
+    g AS (
+      SELECT r.source, col.lang, coalesce(c.o, 0) AS o,
+             rs.rn * 1e0 * cs.cn / t.n AS e
+      FROM (SELECT DISTINCT source FROM c) r
+      CROSS JOIN (SELECT DISTINCT lang FROM c) col
+      LEFT JOIN c ON c.source = r.source AND c.lang = col.lang
+      JOIN rs ON rs.source = r.source
+      JOIN cs ON cs.lang = col.lang
+      CROSS JOIN t
+    )
+    SELECT source, lang, CAST(o AS BIGINT) AS observed,
+           round(e, 6) AS expected,
+           round((o - e) / sqrt(e), 6) AS std_residual
+    FROM g
+    """,
+)
+def chi2_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized residuals (o - e)/sqrt(e) for every cell of the
+    source x language contingency table — the DIAGNOSIS layer under
+    `drift_chi2_event_mix`'s single test statistic: the chi-square
+    says THE mix changed; the residual grid says WHICH source's WHICH
+    language is over/under-represented (|residual| > 2 is the usual
+    flag). Absent combinations are materialized with observed = 0 via
+    the margin cross join, because a cell that vanished entirely is
+    exactly the finding. Margins and totals are exact integers; each
+    cell's expectation divides them once.
+
+    Scale shape: one map-side-combined groupBy to the contingency
+    cells, two margin aggregates of that tiny frame, one
+    margins-sized cross join. The corpus is scanned once."""
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rs = c.groupBy("source").agg(F.sum("o").alias("rn"))
+    cs = c.groupBy("lang").agg(F.sum("o").alias("cn"))
+    t = c.agg(F.sum("o").alias("n"))
+    grid = (
+        rs.crossJoin(F.broadcast(cs))
+        .join(F.broadcast(c), ["source", "lang"], "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "lang",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (
+                F.col("rn") * F.lit(1.0) * F.col("cn") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    return grid.select(
+        "source",
+        "lang",
+        F.col("o").cast("long").alias("observed"),
+        F.round(F.col("e"), 6).alias("expected"),
+        F.round((F.col("o") - F.col("e")) / F.sqrt(F.col("e")), 6).alias(
+            "std_residual"
+        ),
+    )
