@@ -168,6 +168,8 @@ HEADLINE = [
     "abtest_power_analysis",
     "simpsons_paradox_audit",
     "chi2_cell_residuals",
+    "ccf_click_purchase",
+    "split_balance_audit",
 ]
 
 

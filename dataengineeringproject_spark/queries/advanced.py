@@ -6558,3 +6558,119 @@ def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- cross-correlation between two daily series ---------------------------------
+
+_CCF_A, _CCF_B = "click", "purchase"
+_CCF_MAX_LAG = 3
+
+
+@register(
+    "ccf_click_purchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events WHERE event_type IN ('{_CCF_A}', '{_CCF_B}')
+    ),
+    d AS (
+      SELECT day, event_type, sum(vu) AS s, count(*) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    a AS (SELECT day, CAST(round(s * 1e3 / n) AS BIGINT) AS xu
+          FROM d WHERE event_type = '{_CCF_A}'),
+    b AS (SELECT day, CAST(round(s * 1e3 / n) AS BIGINT) AS yu
+          FROM d WHERE event_type = '{_CCF_B}'),
+    lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1}))
+               AS lag),
+    p AS (
+      SELECT l.lag, a.xu, b.yu
+      FROM lags l
+      JOIN a ON TRUE
+      JOIN b ON b.day = a.day + to_days(CAST(l.lag AS INTEGER))
+    ),
+    s AS (
+      SELECT lag, count(*) AS n, sum(xu) AS sx, sum(yu) AS sy,
+             sum(xu * yu) AS sxy, sum(xu * xu) AS sxx, sum(yu * yu) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0), 6)
+             AS ccf
+    FROM s
+    """,
+)
+def ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily mean-value series
+    of '{_CCF_A}' and '{_CCF_B}' at lags -{_CCF_MAX_LAG}..{_CCF_MAX_LAG}
+    — the lead/lag diagnostic ACF/PACF can't answer: does one series
+    MOVE BEFORE the other (peak at a nonzero lag = predictive lead,
+    the thing a forecaster or causal analysis reaches for first).
+    Daily means are re-quantized to micro-unit integers before the
+    lagged pairing, so every per-lag Pearson runs on exact integer
+    sufficient statistics; day pairing is calendar DATE arithmetic.
+
+    Scale shape: one map-side-combined daily rollup; the lag
+    cross-join and the per-lag statistics run on the |days| frame."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_CCF_A, _CCF_B))
+        .select(
+            ts_to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        )
+    )
+    d = ev.groupBy("day", "event_type").agg(
+        F.sum("vu").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mu = F.round(F.col("s") * 1e3 / F.col("n")).cast("long")
+    a = d.filter(F.col("event_type") == _CCF_A).select(
+        F.col("day").alias("da"), mu.alias("xu")
+    )
+    b = d.filter(F.col("event_type") == _CCF_B).select(
+        F.col("day").alias("db"), mu.alias("yu")
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    p = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("db") == F.date_add(F.col("da"), F.col("lag")),
+        )
+        .select("lag", "xu", "yu")
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("xu") * F.col("xu")).alias("sxx"),
+        F.sum(F.col("yu") * F.col("yu")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(num / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6).alias(
+            "ccf"
+        ),
+    )

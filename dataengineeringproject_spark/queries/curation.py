@@ -2428,3 +2428,93 @@ def quality_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- split composition audit (stratification sanity) ---------------------------
+
+
+@register(
+    "split_balance_audit",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN {_bucket_sql('doc_id')} < {SPLIT_TRAIN} THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split,
+             source,
+             CAST(round(1e6 / (1e0 + exp(-({_PARETO_Z})))) AS BIGINT) AS qu
+      FROM documents
+    ),
+    t AS (SELECT count(*) AS n FROM f),
+    sc AS (
+      SELECT split, source, count(*) AS ns FROM f GROUP BY 1, 2
+    ),
+    m AS (SELECT split, max(ns) AS mx FROM sc GROUP BY 1)
+    SELECT f.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1e0 / t.n, 6) AS doc_share,
+           round(sum(qu) * 1e0 / count(*) / 1e6, 6) AS mean_quality,
+           CAST(count(DISTINCT f.source) AS BIGINT) AS n_sources,
+           round(m.mx * 1e0 / count(*), 6) AS top_source_share
+    FROM f CROSS JOIN t JOIN m ON m.split = f.split
+    GROUP BY f.split, t.n, m.mx
+    """,
+)
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition audit of the train/val/test splits: per split the
+    document share (should track the 80/10/10 design), the mean
+    quality score, the source count, and the largest source's share —
+    the stratification sanity check run before trusting an eval split
+    (a val set whose quality or source mix drifts from train measures
+    the drift, not the model). Uses the SAME id-hash split rule as
+    `split_train_val_test`, so it audits the split actually shipped;
+    quality re-quantizes to micro-unit integers before the per-split
+    mean.
+
+    Scale shape: one projection pass, one map-side-combined
+    (split, source) aggregate and a 3-row summary — free at 100 TB."""
+    d = _docs(spark, sf_dir)
+    b = _bucket("doc_id")
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    f = d.select(
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+        "source",
+        F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-z)))
+        .cast("long")
+        .alias("qu"),
+    )
+    t = f.agg(F.count(F.lit(1)).alias("n"))
+    sc = f.groupBy("split", "source").agg(F.count(F.lit(1)).alias("ns"))
+    m = sc.groupBy("split").agg(F.max("ns").alias("mx"))
+    g = f.groupBy("split").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("qu").alias("sq"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        g.join(F.broadcast(m), "split")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "split",
+            F.col("nd").cast("long").alias("n_docs"),
+            F.round(F.col("nd") * F.lit(1.0) / F.col("n"), 6).alias(
+                "doc_share"
+            ),
+            F.round(
+                F.col("sq") * F.lit(1.0) / F.col("nd") / F.lit(1e6), 6
+            ).alias("mean_quality"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.round(F.col("mx") * F.lit(1.0) / F.col("nd"), 6).alias(
+                "top_source_share"
+            ),
+        )
+    )
