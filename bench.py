@@ -170,6 +170,8 @@ HEADLINE = [
     "chi2_cell_residuals",
     "ccf_click_purchase",
     "split_balance_audit",
+    "functional_dependency_audit",
+    "out_of_order_audit",
 ]
 
 

@@ -6674,3 +6674,155 @@ def ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ccf"
         ),
     )
+
+
+# --- functional-dependency audit -------------------------------------------------
+
+_FD_CANDIDATES = [
+    # (name, table, determinant, dependent)
+    ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("cust_nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+    ("order_cust_to_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("line_order_to_supp", "lineitem", "l_orderkey", "l_suppkey"),
+]
+
+
+def _fd_oracle() -> str:
+    branches = []
+    for name, tbl, det, dep in _FD_CANDIDATES:
+        branches.append(f"""
+        SELECT '{name}' AS fd,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_keys,
+               CAST(max(nd) AS BIGINT) AS max_distinct,
+               (max(nd) = 1) AS holds
+        FROM (SELECT {det} AS k, count(DISTINCT {dep}) AS nd
+              FROM {tbl} GROUP BY 1)
+        """)
+    return " UNION ALL ".join(branches)
+
+
+@register("functional_dependency_audit", oracle=_fd_oracle())
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over candidate determinant ->
+    dependent pairs: per candidate, how many determinant values map to
+    MORE than one dependent value (zero = the FD holds; the schema
+    really is normalized on that path). This is the profiling pass
+    schema-discovery and normalization tools run, and the data-quality
+    gate for "this column should be derivable" assumptions — the
+    complement of `fk_integrity_audit`'s inclusion checks. All counts
+    are exact integers.
+
+    Scale shape: per candidate one map-side-combined
+    groupBy(determinant).countDistinct(dependent) and a 1-row summary
+    — dependent cardinality per key is bounded, so partial aggregation
+    carries tiny state."""
+    out = None
+    for name, tbl, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(F.col(det).alias("k")).agg(
+            F.countDistinct(dep).alias("nd")
+        )
+        row = g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.max("nd").cast("long").alias("max_distinct"),
+            (F.max("nd") == 1).alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# --- out-of-orderness audit (watermark design) -----------------------------------
+
+_OOO_THRESH_S = (600, 3600)  # lateness thresholds: 10 min, 1 h
+
+
+@register(
+    "out_of_order_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             hour(ts) * 3600 + minute(ts) * 60
+               + CAST(floor(second(ts)) AS BIGINT) AS ssm,
+             event_id
+      FROM events
+    ),
+    l AS (
+      SELECT day,
+             greatest(max(ssm) OVER (PARTITION BY day
+                                     ORDER BY event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - ssm, 0) AS late_s
+      FROM e
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           round(sum(late_s) * 1e0 / count(*), 6) AS mean_late_s,
+           round(sum(CASE WHEN late_s > {_OOO_THRESH_S[0]} THEN 1 ELSE 0 END)
+                 * 1e0 / count(*), 6) AS share_late_10m,
+           round(sum(CASE WHEN late_s > {_OOO_THRESH_S[1]} THEN 1 ELSE 0 END)
+                 * 1e0 / count(*), 6) AS share_late_1h
+    FROM l GROUP BY 1
+    """,
+)
+def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement a streaming watermark
+    is DESIGNED from: treating event_id as arrival order, each event's
+    lateness is how far its event time sits behind the running maximum
+    event time already seen that day; the per-day lateness profile
+    (max, mean, share beyond 10 min / 1 h) says what
+    withWatermark("10 minutes") would actually drop before you deploy
+    it. The streaming family assumes a watermark; this query is how
+    you pick one from the batch history. Lateness is wall-clock field
+    arithmetic (seconds-since-midnight), immune to session-timezone
+    offsets.
+
+    Scale shape: one shuffle on day for the running-max window (the
+    arrival-order sort is partition-local), then a map-side-combined
+    daily aggregate."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(ts_to_date("ts"), "yyyy-MM-dd").alias("day"),
+        (
+            F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.floor(F.second("ts")).cast("long")
+        ).alias("ssm"),
+        "event_id",
+    )
+    w = Window.partitionBy("day").orderBy(F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    l = ev.select(
+        "day",
+        F.greatest(
+            F.max("ssm").over(w) - F.col("ssm"), F.lit(0)
+        ).alias("late_s"),
+    )
+    return l.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+        F.round(F.sum("late_s") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "mean_late_s"
+        ),
+        F.round(
+            F.sum(F.when(F.col("late_s") > _OOO_THRESH_S[0], 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("share_late_10m"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > _OOO_THRESH_S[1], 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("share_late_1h"),
+    )
