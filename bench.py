@@ -172,6 +172,7 @@ HEADLINE = [
     "split_balance_audit",
     "functional_dependency_audit",
     "out_of_order_audit",
+    "ann_ndcg_lsh",
 ]
 
 

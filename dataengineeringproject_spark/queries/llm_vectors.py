@@ -2963,3 +2963,141 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_rival",
         "separation",
     )
+
+
+# --- nDCG@3 of the LSH index (ranking-quality companion) -----------------------
+
+# log2(pos+1) discount denominators, Python-precomputed repr literals
+# so neither engine computes a log at query time.
+_NDCG_DISC = {p: repr(__import__("math").log2(p + 1)) for p in (1, 2, 3)}
+
+
+def _ndcg_case(pos_col: str) -> str:
+    return (
+        f"CASE {pos_col} "
+        + " ".join(f"WHEN {p} THEN {d}" for p, d in _NDCG_DISC.items())
+        + " END"
+    )
+
+
+@register(
+    "ann_ndcg_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])', S.hyperplanes(_N_PLANES, _N_DIMS))} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+          FROM v WHERE vec_id IN ({_QID_LIST})),
+    ascored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
+      FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
+    ),
+    atop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ascored) WHERE rank <= 3
+    ),
+    es AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(CASE WHEN list_inner_product(q.qemb, q.qemb) = 0 OR list_inner_product(v.emb, v.emb) = 0 THEN NULL ELSE list_cosine_similarity(q.qemb, v.emb) END, 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    etop AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM es) WHERE rank <= 3
+    ),
+    dcg AS (
+      SELECT a.query_id,
+             CAST(round(sum((4 - e.rank) / ({_ndcg_case('a.rank')}))
+                        * 1e6) AS BIGINT) AS dcgu
+      FROM atop a JOIN etop e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    ),
+    ideal AS (
+      SELECT query_id,
+             CAST(round(sum((4 - rank) / ({_ndcg_case('rank')})) * 1e6)
+                  AS BIGINT) AS idcgu
+      FROM etop GROUP BY 1
+    )
+    SELECT i.query_id,
+           round(coalesce(d.dcgu, 0) / 1e6, 6) AS dcg,
+           round(i.idcgu / 1e6, 6) AS idcg,
+           round(coalesce(d.dcgu, 0) * 1e0 / i.idcgu, 6) AS ndcg
+    FROM ideal i LEFT JOIN dcg d USING (query_id)
+    """,
+)
+def ann_ndcg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@3 of the hyperplane-LSH index against the exact cosine
+    ranking — the third leg of the ranking-eval triple: recall@3
+    (set overlap), MRR (where the single true NN lands), and now nDCG
+    (POSITION-WEIGHTED credit for the whole list: graded relevance
+    4 - exact_rank, discounted by log2(position+1)). The discount
+    denominators are Python-precomputed repr literals; per-query DCG
+    sums quantize to micro-units, so the metric is engine-exact.
+
+    Scale shape: identical to the recall/MRR queries — broadcast query
+    rows, bucket-probed approx side, anchor-bounded exact side; the
+    metric reduce runs on <= |Q| x 3 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, "vec_id", "embedding", _QUERY_IDS, k=3)
+    approx = S.lsh_cosine_topk(
+        emb, "vec_id", "embedding", _QUERY_IDS, n_planes=_N_PLANES, k=3,
+        n_dims=_N_DIMS,
+    )
+    disc = F.coalesce(
+        *[
+            F.when(F.col("arank") == p, F.lit(float(d)))
+            for p, d in _NDCG_DISC.items()
+        ]
+    )
+    e = exact.select(
+        F.col("query_id").alias("eq"),
+        F.col("neighbor_id").alias("en"),
+        F.col("rank").alias("erank"),
+    )
+    a = approx.select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("rank").alias("arank"),
+    )
+    dcg = (
+        a.join(e, (F.col("eq") == F.col("aq")) & (F.col("en") == F.col("an")))
+        .groupBy(F.col("aq").alias("query_id"))
+        .agg(
+            F.round(
+                F.sum((F.lit(4) - F.col("erank")) / disc) * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("dcgu")
+        )
+    )
+    idisc = F.coalesce(
+        *[
+            F.when(F.col("erank") == p, F.lit(float(d)))
+            for p, d in _NDCG_DISC.items()
+        ]
+    )
+    ideal = e.groupBy(F.col("eq").alias("query_id")).agg(
+        F.round(F.sum((F.lit(4) - F.col("erank")) / idisc) * F.lit(1e6))
+        .cast("long")
+        .alias("idcgu")
+    )
+    return ideal.join(F.broadcast(dcg), "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("dcgu"), F.lit(0)) / F.lit(1e6), 6
+        ).alias("dcg"),
+        F.round(F.col("idcgu") / F.lit(1e6), 6).alias("idcg"),
+        F.round(
+            F.coalesce(F.col("dcgu"), F.lit(0)) * F.lit(1.0)
+            / F.col("idcgu"),
+            6,
+        ).alias("ndcg"),
+    )
