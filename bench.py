@@ -173,6 +173,7 @@ HEADLINE = [
     "functional_dependency_audit",
     "out_of_order_audit",
     "ann_ndcg_lsh",
+    "order_total_reconciliation",
 ]
 
 

@@ -6826,3 +6826,83 @@ def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_late_1h"),
     )
+
+
+# --- order-total reconciliation (finance-close audit) ---------------------------
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH r AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS tp_c,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                            * (1 + l.l_tax) * 100) AS BIGINT)) AS rc_c
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN rc_c <> tp_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           round(sum(CASE WHEN rc_c <> tp_c THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS mismatch_rate,
+           round(sum(abs(rc_c - tp_c)) / 1e2 / count(*), 6)
+             AS mean_abs_diff,
+           round(max(abs(rc_c - tp_c)) / 1e2, 6) AS max_abs_diff
+    FROM r
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-total reconciliation — the finance-close audit: recompute
+    each order's total from its line items
+    (sum of extendedprice*(1-discount)*(1+tax)) and compare against
+    the stored o_totalprice at cent grain. Each LINE charge quantizes
+    to cents BEFORE the order sum — ledger arithmetic, and the integer
+    sum is partitioning-exact where a rounded double sum is not. On this synthetic data the
+    answer is that NOTHING reconciles (the generator draws totalprice
+    independently) — which is exactly what the audit exists to say
+    out loud before anyone joins revenue to line grain. Comparison and
+    aggregation run on cent-quantized integers.
+
+    Scale shape: one fact-fact join on the order key (co-partitioned/
+    bucketed at 100 TB), one map-side-combined per-order aggregate,
+    one 1-row summary."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tp_c"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    r = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("long")
+            ).alias("rc_c")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    mism = F.col("rc_c") != F.col("tp_c")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(mism, 1).otherwise(0)).cast("long").alias("n_mismatch"),
+        F.round(
+            F.sum(F.when(mism, 1).otherwise(0)) * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mismatch_rate"),
+        F.round(
+            F.sum(F.abs(F.col("rc_c") - F.col("tp_c")))
+            / F.lit(1e2)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_diff"),
+        F.round(
+            F.max(F.abs(F.col("rc_c") - F.col("tp_c"))) / F.lit(1e2), 6
+        ).alias("max_abs_diff"),
+    )
