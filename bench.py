@@ -174,6 +174,7 @@ HEADLINE = [
     "out_of_order_audit",
     "ann_ndcg_lsh",
     "order_total_reconciliation",
+    "source_centroid_similarity",
 ]
 
 

@@ -3101,3 +3101,93 @@ def ann_ndcg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+# --- embedding-space source similarity (centroid cosine matrix) ----------------
+
+
+@register(
+    "source_centroid_similarity",
+    oracle=f"""
+    WITH t AS (
+      SELECT d.source, CAST(round(x * {_OUT_Q}) AS BIGINT) AS q,
+             i - 1 AS i
+      FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) e
+      JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    c AS (SELECT source, i, sum(q) AS s FROM t GROUP BY 1, 2),
+    n AS (SELECT source, sum(s * s) AS ns FROM c GROUP BY 1),
+    dots AS (
+      SELECT a.source AS sa, b.source AS sb, sum(a.s * b.s) AS d
+      FROM c a JOIN c b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT dots.sa AS source_a, dots.sb AS source_b,
+           round(dots.d / sqrt(CAST(na.ns AS DOUBLE)
+                               * CAST(nb.ns AS DOUBLE)), 6) AS cosine
+    FROM dots
+    JOIN n na ON na.source = dots.sa
+    JOIN n nb ON nb.source = dots.sb
+    """,
+)
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space source similarity: pairwise cosine between
+    per-source centroid embeddings — the SEMANTIC twin of
+    `corpus_similarity_minhash` (which compares sources by shingle
+    sets): the two matrices disagreeing is itself the finding (same
+    words, different meaning — or paraphrased content the lexical
+    signature can't see). Cosine is scale-invariant, so centroids stay
+    UN-normalized integer component sums: dots and norms are exact
+    int64, one sqrt+divide per pair.
+
+    Scale shape: one embeddings-documents join, one map-side-combined
+    |sources|x64 aggregate; the pair matrix is arithmetic on that tiny
+    frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    t = (
+        emb.join(docs, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "source",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            ),
+        )
+        .select(
+            "source", "i", F.round(F.col("x") * _OUT_Q).cast("long").alias("q")
+        )
+    )
+    c = t.groupBy("source", "i").agg(F.sum("q").alias("s"))
+    n = c.groupBy("source").agg(F.sum(F.col("s") * F.col("s")).alias("ns"))
+    a = c.select(
+        F.col("source").alias("sa"), F.col("i").alias("ia"), F.col("s").alias("as_")
+    )
+    b = c.select(
+        F.col("source").alias("sb"), F.col("i").alias("ib"), F.col("s").alias("bs")
+    )
+    dots = (
+        a.join(
+            b, (F.col("ia") == F.col("ib")) & (F.col("sa") < F.col("sb"))
+        )
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("as_") * F.col("bs")).alias("d"))
+    )
+    na = n.select(F.col("source").alias("sa"), F.col("ns").alias("nsa"))
+    nb = n.select(F.col("source").alias("sb"), F.col("ns").alias("nsb"))
+    return (
+        dots.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.round(
+                F.col("d")
+                / F.sqrt(
+                    F.col("nsa").cast("double") * F.col("nsb").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
