@@ -175,6 +175,8 @@ HEADLINE = [
     "ann_ndcg_lsh",
     "order_total_reconciliation",
     "source_centroid_similarity",
+    "readability_scores_by_source",
+    "split_by_user_audit",
 ]
 
 

@@ -2518,3 +2518,86 @@ def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- group-aware split: all of a user's events share one split ------------------
+
+_GSPLIT_SEED = "usplit-v1"
+
+
+@register(
+    "split_by_user_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CASE WHEN {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GSPLIT_SEED)} % 100
+                    < {SPLIT_TRAIN} THEN 'train'
+                  WHEN {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GSPLIT_SEED)} % 100
+                    < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, count(DISTINCT split) AS nsp, any_value(split) AS split,
+             count(*) AS ne
+      FROM e GROUP BY 1
+    ),
+    t AS (SELECT count(*) AS n FROM e)
+    SELECT u.split,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u.ne) AS BIGINT) AS n_events,
+           round(sum(u.ne) * 1e0 / t.n, 6) AS event_share,
+           CAST(max(u.nsp) AS BIGINT) AS max_splits_per_user
+    FROM u CROSS JOIN t
+    GROUP BY u.split, t.n
+    """,
+)
+def split_by_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split over events: the split key is
+    the USER's id hash, not the row's, so every event of a user lands
+    in exactly one split — the GroupKFold discipline that prevents the
+    quietest leakage there is (the same user's behavior in both train
+    and eval). The audit reports per-split user/event counts and
+    shares AND verifies the grouping property in-band:
+    max_splits_per_user must be 1 (computed from the data, not assumed
+    from the rule). Note event shares may drift from 80/10/10 because
+    heavy users move whole — that visible drift is the honest cost of
+    group integrity, and the reason row-level shares should never be
+    the acceptance test for a grouped split.
+
+    Scale shape: a projection (hash when-chain), one map-side-combined
+    per-user aggregate (the only shuffle, on the natural user key),
+    then a 3-row summary."""
+    ev = load_table(spark, sf_dir, "events")
+    b = X.token_hash(F.col("user_id").cast("string"), seed=_GSPLIT_SEED) % 100
+    e = ev.select(
+        "user_id",
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.countDistinct("split").alias("nsp"),
+        F.any_value("split").alias("split"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    t = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        u.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("ne").cast("long").alias("n_events"),
+            F.max("nsp").cast("long").alias("max_splits_per_user"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events") * F.lit(1.0) / F.col("n"), 6).alias(
+                "event_share"
+            ),
+            "max_splits_per_user",
+        )
+    )

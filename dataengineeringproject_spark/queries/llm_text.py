@@ -3947,3 +3947,75 @@ def chi2_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "std_residual"
         ),
     )
+
+
+# --- readability scoring (Flesch-Kincaid style) --------------------------------
+
+_FK = ("0.39", "11.8", "15.59")  # canonical FK grade coefficients
+
+
+@register(
+    "readability_scores_by_source",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             len({_TOKS}) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS v
+      FROM documents
+    ),
+    d AS (
+      SELECT source,
+             CAST(round(({_FK[0]} * (w * 1e0 / s)
+                         + {_FK[1]} * (v * 1e0 / greatest(w, 1))
+                         - {_FK[2]}) * 1e6) AS BIGINT) AS fku,
+             w
+      FROM f WHERE w > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(fku) * 1e0 / count(*) / 1e6, 6) AS mean_fk_grade,
+           round(min(fku) / 1e6, 6) AS min_fk_grade,
+           round(max(fku) / 1e6, 6) AS max_fk_grade
+    FROM d GROUP BY 1
+    """,
+)
+def readability_scores_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability per source: grade =
+    0.39*(words/sentences) + 11.8*(syllables/words) - 15.59, with
+    syllables approximated by vowel-group counts and sentences by
+    [.!?]+ runs (clamped to 1 — this synthetic corpus has no sentence
+    punctuation, so the words/sentences term degenerates to document
+    length; on real text it is the standard filter). Readability is a
+    standing curation signal (C4 dropped pages outside a band; school-
+    grade targeting needs it). Per-doc grades quantize to micro-units
+    before the per-source mean, so the aggregate is order-exact; the
+    counts feeding each doc's grade are exact integers.
+
+    Scale shape: pure regex-count projection (codegen, no explode)
+    into one map-side-combined per-source aggregate."""
+    d = _docs(spark, sf_dir)
+    w = F.size(X.tokens("text"))
+    s = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    v = F.size(
+        F.regexp_extract_all("text", F.lit("[aeiouAEIOU]+"), F.lit(0))
+    )
+    fk = (
+        F.lit(float(_FK[0])) * (w * F.lit(1.0) / s)
+        + F.lit(float(_FK[1])) * (v * F.lit(1.0) / F.greatest(w, F.lit(1)))
+        - F.lit(float(_FK[2]))
+    )
+    dd = d.select(
+        "source", F.round(fk * F.lit(1e6)).cast("long").alias("fku"), w.alias("w")
+    ).filter(F.col("w") > 0)
+    return dd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("fku") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e6), 6
+        ).alias("mean_fk_grade"),
+        F.round(F.min("fku") / F.lit(1e6), 6).alias("min_fk_grade"),
+        F.round(F.max("fku") / F.lit(1e6), 6).alias("max_fk_grade"),
+    )
