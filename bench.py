@@ -177,6 +177,8 @@ HEADLINE = [
     "source_centroid_similarity",
     "readability_scores_by_source",
     "split_by_user_audit",
+    "split_temporal_audit",
+    "precision_audit_float32",
 ]
 
 

@@ -2601,3 +2601,89 @@ def split_by_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_splits_per_user",
         )
     )
+
+
+# --- temporal split audit (backtesting discipline) -------------------------------
+
+_TSPLIT_CUT = "2024-01-24"  # train strictly before; eval on/after
+
+
+@register(
+    "split_temporal_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_TSPLIT_CUT}'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM events
+    ),
+    s AS (
+      SELECT split, count(*) AS ne, count(DISTINCT user_id) AS nu
+      FROM e GROUP BY 1
+    ),
+    o AS (
+      SELECT count(*) AS n_overlap FROM (
+        SELECT user_id FROM e GROUP BY 1
+        HAVING count(DISTINCT split) = 2)
+    ),
+    t AS (SELECT count(*) AS n FROM e)
+    SELECT s.split, CAST(s.ne AS BIGINT) AS n_events,
+           round(s.ne * 1e0 / t.n, 6) AS event_share,
+           CAST(s.nu AS BIGINT) AS n_users,
+           CAST(o.n_overlap AS BIGINT) AS users_in_both,
+           round(o.n_overlap * 1e0 / s.nu, 6) AS overlap_vs_split_users
+    FROM s CROSS JOIN o CROSS JOIN t
+    """,
+)
+def split_temporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split audit — the backtesting discipline:
+    train strictly BEFORE {_TSPLIT_CUT}, evaluate on what comes after
+    (the only split that measures forecasting rather than
+    interpolation). Reports per-side event/user counts and — the
+    number this split is judged by — how many users appear on BOTH
+    sides of the boundary: expected and fine for behavior models,
+    disqualifying for anything claiming user-level generalization
+    (then you compose this with `split_by_user_audit`'s group rule).
+    Three split disciplines now ship side by side: row-hash
+    (split_train_val_test), group-hash (split_by_user_audit), and
+    temporal.
+
+    Scale shape: a date-comparison projection, one map-side-combined
+    per-split aggregate, one per-user two-split check on the user key
+    shuffle, 2-row output."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            ts_to_date("ts") < F.lit(_TSPLIT_CUT).cast("date"), "train"
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+    s = ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("ne"), F.countDistinct("user_id").alias("nu")
+    )
+    o = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("nsp"))
+        .filter(F.col("nsp") == 2)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    t = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        s.crossJoin(F.broadcast(o))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "split",
+            F.col("ne").cast("long").alias("n_events"),
+            F.round(F.col("ne") * F.lit(1.0) / F.col("n"), 6).alias(
+                "event_share"
+            ),
+            F.col("nu").cast("long").alias("n_users"),
+            F.col("n_overlap").cast("long").alias("users_in_both"),
+            F.round(
+                F.col("n_overlap") * F.lit(1.0) / F.col("nu"), 6
+            ).alias("overlap_vs_split_users"),
+        )
+    )

@@ -3191,3 +3191,58 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# --- float32 storage-precision audit --------------------------------------------
+
+
+@register(
+    "precision_audit_float32",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(round(value * 1e3) AS BIGINT) AS vu,
+             CAST(round(CAST(CAST(value AS REAL) AS DOUBLE) * 1e3)
+                  AS BIGINT) AS vu32
+      FROM events
+    )
+    SELECT 'events.value' AS column_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN vu <> vu32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lossy_at_3dp,
+           round(sum(CASE WHEN vu <> vu32 THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS lossy_rate
+    FROM q
+    """,
+)
+def precision_audit_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float32 storage-precision audit: if this DOUBLE column were
+    stored as float32 (the 2x-cheaper layout embeddings already use),
+    how many values would change at 3-decimal grain? The
+    quantization-decision twin of `embedding_quantize_int8`'s
+    reconstruction report, applied to the fact table: a zero lossy
+    rate is the green light to halve the column's storage; a high one
+    is why money stays DECIMAL. Both engines compute the identical
+    IEEE double->float->double round-trip, compared on milli-unit
+    integers.
+
+    Scale shape: a pure cast-and-compare projection into one 1-row
+    map-side-combined aggregate. Free at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    vu = F.round(F.col("value") * 1e3).cast("long")
+    vu32 = F.round(
+        F.col("value").cast("float").cast("double") * 1e3
+    ).cast("long")
+    q = ev.select(vu.alias("vu"), vu32.alias("vu32"))
+    lossy = F.col("vu") != F.col("vu32")
+    return q.agg(
+        F.lit("events.value").alias("column_name"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(lossy, 1).otherwise(0))
+        .cast("long")
+        .alias("n_lossy_at_3dp"),
+        F.round(
+            F.sum(F.when(lossy, 1).otherwise(0)) * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("lossy_rate"),
+    )
