@@ -179,6 +179,7 @@ HEADLINE = [
     "split_by_user_audit",
     "split_temporal_audit",
     "precision_audit_float32",
+    "association_rules_topk",
 ]
 
 

@@ -396,3 +396,129 @@ def frequent_itemsets_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("i1"), F.asc("i2"), F.asc("i3"))
         .limit(_FIS_TOPK)
     )
+
+
+# --- association rules from the frequent triples ---------------------------------
+
+_AR_TOPK = 30
+
+
+@register(
+    "association_rules_topk",
+    oracle=f"""
+    WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM s),
+    deg AS (SELECT l_suppkey, count(*) AS c FROM s GROUP BY 1),
+    p AS (
+      SELECT a.l_suppkey AS i1, b.l_suppkey AS i2, count(*) AS w2
+      FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT a.l_suppkey AS i1, b.l_suppkey AS i2, c.l_suppkey AS i3,
+             count(*) AS w3
+      FROM s a
+      JOIN s b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      JOIN s c ON a.l_orderkey = c.l_orderkey AND b.l_suppkey < c.l_suppkey
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= (SELECT {_FIS_WMIN} FROM n)
+    ),
+    r AS (
+      SELECT t.i1 AS ante_a, t.i2 AS ante_b, t.i3 AS conseq, t.w3,
+             p.w2 FROM t JOIN p ON p.i1 = t.i1 AND p.i2 = t.i2
+      UNION ALL
+      SELECT t.i1, t.i3, t.i2, t.w3, p.w2
+      FROM t JOIN p ON p.i1 = t.i1 AND p.i2 = t.i3
+      UNION ALL
+      SELECT t.i2, t.i3, t.i1, t.w3, p.w2
+      FROM t JOIN p ON p.i1 = t.i2 AND p.i2 = t.i3
+    )
+    SELECT r.ante_a, r.ante_b, r.conseq,
+           CAST(r.w3 AS BIGINT) AS support,
+           round(r.w3 * 1e0 / r.w2, 6) AS confidence,
+           round(r.w3 * 1e0 * n.nb / (r.w2 * deg.c), 6) AS lift
+    FROM r JOIN deg ON deg.l_suppkey = r.conseq CROSS JOIN n
+    ORDER BY lift DESC, ante_a, ante_b, conseq LIMIT {_AR_TOPK}
+    """,
+)
+def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (A, B) -> C from the frequent supplier
+    triples: confidence = supp(ABC)/supp(AB) and lift =
+    confidence / P(C) — the OUTPUT stage of Apriori that
+    `frequent_itemsets_triples` is the candidate pass for, and the
+    actual deliverable of market-basket analysis (rules you can act
+    on, not itemsets). Each surviving triple yields its three rules;
+    ranking uses rounded lift with full deterministic tie-breaks.
+
+    Scale shape: the triple and pair supports are the same
+    map-side-combined aggregates as the L2/L3 passes; rule expansion
+    is a 3-branch union over the (already tiny, min-support-bounded)
+    triple frame with broadcast support lookups; top-K is a heap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select("l_orderkey", "l_suppkey").distinct()
+    nb = s.agg(F.countDistinct("l_orderkey").alias("nb"))
+    wmin = F.expr(f"(nb * {_FIS_NUM} + {_FIS_DEN - 1}) div {_FIS_DEN}")
+    deg = s.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    a = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("i1"))
+    b = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("i2"))
+    c = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("i3"))
+    p = (
+        a.join(b, "ok")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("w2"))
+    )
+    t = (
+        a.join(b, "ok")
+        .filter(F.col("i1") < F.col("i2"))
+        .join(c, "ok")
+        .filter(F.col("i2") < F.col("i3"))
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("w3"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("w3") >= wmin)
+        .select("i1", "i2", "i3", "w3")
+    )
+    pr = lambda ca, cb: p.select(
+        F.col("i1").alias(ca), F.col("i2").alias(cb), "w2"
+    )
+    r = (
+        t.join(F.broadcast(pr("i1", "i2")), ["i1", "i2"]).select(
+            F.col("i1").alias("ante_a"), F.col("i2").alias("ante_b"),
+            F.col("i3").alias("conseq"), "w3", "w2",
+        )
+        .unionAll(
+            t.join(F.broadcast(pr("i1", "i3")), ["i1", "i3"]).select(
+                F.col("i1").alias("ante_a"), F.col("i3").alias("ante_b"),
+                F.col("i2").alias("conseq"), "w3", "w2",
+            )
+        )
+        .unionAll(
+            t.join(F.broadcast(pr("i2", "i3")), ["i2", "i3"]).select(
+                F.col("i2").alias("ante_a"), F.col("i3").alias("ante_b"),
+                F.col("i1").alias("conseq"), "w3", "w2",
+            )
+        )
+    )
+    dg = deg.select(F.col("l_suppkey").alias("conseq"), "c")
+    return (
+        r.join(F.broadcast(dg), "conseq")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante_a", "ante_b", "conseq",
+            F.col("w3").cast("long").alias("support"),
+            F.round(F.col("w3") * F.lit(1.0) / F.col("w2"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("w3") * F.lit(1.0) * F.col("nb")
+                / (F.col("w2") * F.col("c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.asc("ante_a"), F.asc("ante_b"), F.asc("conseq")
+        )
+        .limit(_AR_TOPK)
+    )
