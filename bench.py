@@ -180,6 +180,7 @@ HEADLINE = [
     "split_temporal_audit",
     "precision_audit_float32",
     "association_rules_topk",
+    "degree_assortativity",
 ]
 
 

@@ -522,3 +522,111 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_AR_TOPK)
     )
+
+
+# --- degree assortativity of the co-occurrence graph -----------------------------
+
+
+@register(
+    "degree_assortativity",
+    oracle="""
+    WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS sa, b.l_partkey AS sb
+      FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT sa AS node FROM p UNION ALL SELECT sb FROM p) GROUP BY 1
+    ),
+    e2 AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM p JOIN deg da ON da.node = p.sa JOIN deg db ON db.node = p.sb
+      UNION ALL
+      SELECT db.d, da.d
+      FROM p JOIN deg da ON da.node = p.sa JOIN deg db ON db.node = p.sb
+    ),
+    st AS (
+      SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+      FROM e2
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round(sx * 1e0 / n, 6) AS mean_endpoint_degree,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0), 6)
+             AS assortativity
+    FROM st
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the PART co-occurrence graph:
+    Pearson correlation of endpoint degrees over (both orientations
+    of) every distinct edge — the network-science statistic that says
+    whether hubs connect to hubs (positive, social-network-like) or to
+    the periphery (negative, internet/biology-like), which in a catalog
+    graph decides whether popular parts cluster into bundles or anchor
+    long-tail baskets. The supplier graph is deliberately NOT used: at
+    small scale it is complete (every degree equal), which makes the
+    statistic undefined — parts keep real degree variance at every
+    scale factor. All
+    sufficient statistics are exact integers over the doubled edge
+    list; the dedup'd pair pass is the same bounded per-basket
+    explosion as copurchase_lift_pairs.
+
+    Scale shape: one distinct-incidence shuffle, one bounded pair
+    aggregate, a broadcast degree lookup, a 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select("l_orderkey", "l_partkey").distinct()
+    a = s.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sa"))
+    b = s.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sb"))
+    p = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
+        .distinct()
+    )
+    deg = (
+        p.select(F.col("sa").alias("node"))
+        .unionAll(p.select(F.col("sb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("sa"), F.col("d").alias("dxa"))
+    db = deg.select(F.col("node").alias("sb"), F.col("d").alias("dxb"))
+    j = p.join(F.broadcast(da), "sa").join(F.broadcast(db), "sb")
+    e2 = j.select(
+        F.col("dxa").alias("dx"), F.col("dxb").alias("dy")
+    ).unionAll(j.select(F.col("dxb").alias("dx"), F.col("dxa").alias("dy")))
+    st = e2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return st.select(
+        F.expr("n div 2").cast("long").alias("n_edges"),
+        F.round(F.col("sx") * F.lit(1.0) / F.col("n"), 6).alias(
+            "mean_endpoint_degree"
+        ),
+        F.round(num / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6).alias(
+            "assortativity"
+        ),
+    )
