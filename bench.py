@@ -181,6 +181,8 @@ HEADLINE = [
     "precision_audit_float32",
     "association_rules_topk",
     "degree_assortativity",
+    "target_encode_loo",
+    "woe_iv_value_bins",
 ]
 
 

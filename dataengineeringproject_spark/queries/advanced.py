@@ -6906,3 +6906,164 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs(F.col("rc_c") - F.col("tp_c"))) / F.lit(1e2), 6
         ).alias("max_abs_diff"),
     )
+
+
+# --- leave-one-out target encoding ------------------------------------------------
+
+_TE_SMOOTH = 20  # pseudo-observations pulled toward the global prior
+_TE_TOPK = 50    # rows reported (full encoding is corpus-sized)
+
+
+@register(
+    "target_encode_loo",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_custkey, c_mktsegment AS g,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS y
+      FROM customer
+    ),
+    gs AS (SELECT g, count(*) AS n, sum(y) AS s FROM q GROUP BY 1),
+    t AS (SELECT count(*) AS n, sum(y) AS s FROM q)
+    SELECT q.c_custkey, q.g AS segment,
+           round((gs.s - q.y + {_TE_SMOOTH}e0 * t.s / t.n)
+                 / (gs.n - 1 + {_TE_SMOOTH}) / 1e2, 6) AS te_loo
+    FROM q JOIN gs USING (g) CROSS JOIN t
+    ORDER BY q.c_custkey LIMIT {_TE_TOPK}
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the market segment against
+    account balance — the categorical-feature encoder gradient-boosting
+    pipelines ship everywhere: each row's encoding is its CATEGORY's
+    target mean computed WITHOUT the row itself (the leakage guard) and
+    smoothed toward the global prior by {_TE_SMOOTH} pseudo-counts (the
+    rare-category guard). The whole encoder is one categorical-stats
+    broadcast back onto the rows: (sum_g - y_i + m*prior) /
+    (n_g - 1 + m), all from exact cent-unit integers.
+
+    Scale shape: one map-side-combined per-category aggregate
+    (|categories| rows) + a 1-row global, both broadcast into a pure
+    projection over the fact — the encoding never shuffles the data it
+    encodes. Output capped at {_TE_TOPK} rows for the report; the
+    transform itself is corpus-sized by design."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("y"),
+    )
+    gs = cust.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    t = cust.agg(F.count(F.lit(1)).alias("tn"), F.sum("y").alias("ts"))
+    prior = F.col("ts") * F.lit(1.0) / F.col("tn")
+    return (
+        cust.join(F.broadcast(gs), "g")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "c_custkey",
+            F.col("g").alias("segment"),
+            F.round(
+                (F.col("s") - F.col("y") + F.lit(float(_TE_SMOOTH)) * prior)
+                / (F.col("n") - 1 + _TE_SMOOTH)
+                / F.lit(1e2),
+                6,
+            ).alias("te_loo"),
+        )
+        .orderBy("c_custkey")
+        .limit(_TE_TOPK)
+    )
+
+
+# --- Weight of Evidence / Information Value binning --------------------------------
+
+_WOE_BINS = 10
+_WOE_EPS = "0.5"  # Laplace smoothing per bin side
+
+
+@register(
+    "woe_iv_value_bins",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS bad,
+             CAST(round(avg(value) * 1e3) AS BIGINT) AS vu
+      FROM events GROUP BY 1
+    ),
+    mm AS (SELECT min(vu) AS lo, max(vu) AS hi FROM u),
+    b AS (
+      SELECT least((vu - lo) * {_WOE_BINS} // (hi - lo + 1),
+                   {_WOE_BINS - 1}) AS bin,
+             bad
+      FROM u CROSS JOIN mm
+    ),
+    g AS (
+      SELECT bin, count(*) AS n, sum(bad) AS nb,
+             count(*) - sum(bad) AS ng
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT sum(nb) AS tb, sum(ng) AS tg FROM g)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(nb AS BIGINT) AS n_bad,
+           round(ln(((ng + {_WOE_EPS}e0) / (tg + {_WOE_EPS}e0 * {_WOE_BINS}))
+                    / ((nb + {_WOE_EPS}e0)
+                       / (tb + {_WOE_EPS}e0 * {_WOE_BINS}))), 6) AS woe,
+           round((((ng + {_WOE_EPS}e0) / (tg + {_WOE_EPS}e0 * {_WOE_BINS}))
+                  - ((nb + {_WOE_EPS}e0) / (tb + {_WOE_EPS}e0 * {_WOE_BINS})))
+                 * ln(((ng + {_WOE_EPS}e0)
+                       / (tg + {_WOE_EPS}e0 * {_WOE_BINS}))
+                      / ((nb + {_WOE_EPS}e0)
+                         / (tb + {_WOE_EPS}e0 * {_WOE_BINS}))), 6)
+             AS iv_term
+    FROM g CROSS JOIN t
+    """,
+)
+def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning — the
+    credit-scorecard feature screen: users binned by mean event value
+    on a {_WOE_BINS}-bin equal-width grid, per bin the smoothed
+    WOE = ln(P(bin|good)/P(bin|bad)) against the conversion label
+    (high-value purchase) and the IV term whose sum grades the
+    feature (rule of thumb: < 0.02 useless, > 0.3 strong). Laplace
+    +{_WOE_EPS} per bin side keeps empty cells finite, identically in
+    both engines; bin edges are integer arithmetic on milli-unit
+    means.
+
+    Scale shape: one per-user aggregate (the only data shuffle), a
+    2-value min/max broadcast, one map-side-combined bin aggregate,
+    arithmetic on {_WOE_BINS} rows."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+        F.round(F.avg("value") * 1e3).cast("long").alias("vu"),
+    )
+    mm = u.agg(F.min("vu").alias("lo"), F.max("vu").alias("hi"))
+    b = u.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.expr(f"((vu - lo) * {_WOE_BINS}) div (hi - lo + 1)"),
+            F.lit(_WOE_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "bad",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("nb"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("ng"),
+    )
+    t = g.agg(F.sum("nb").alias("tb"), F.sum("ng").alias("tg"))
+    eps = float(_WOE_EPS)
+    pg = (F.col("ng") + eps) / (F.col("tg") + eps * _WOE_BINS)
+    pb = (F.col("nb") + eps) / (F.col("tb") + eps * _WOE_BINS)
+    woe = F.log(pg / pb)
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("nb").cast("long").alias("n_bad"),
+        F.round(woe, 6).alias("woe"),
+        F.round((pg - pb) * woe, 6).alias("iv_term"),
+    )
