@@ -183,6 +183,7 @@ HEADLINE = [
     "degree_assortativity",
     "target_encode_loo",
     "woe_iv_value_bins",
+    "training_data_build_e2e",
 ]
 
 

@@ -2687,3 +2687,119 @@ def split_temporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_vs_split_users"),
         )
     )
+
+
+# --- end-to-end training-data build ----------------------------------------------
+
+
+@register(
+    "training_data_build_e2e",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, len({X.tokens_sql('text')}) AS n_tokens,
+             {X.md5_fingerprint_sql('text')} AS fp
+      FROM documents
+      WHERE 1e0 / (1e0 + exp(-({_PARETO_Z}))) >= 0.5e0
+    ),
+    keep AS (SELECT fp, min(doc_id) AS rep FROM q GROUP BY 1),
+    surv AS (
+      SELECT q.doc_id, q.source, q.n_tokens,
+             CASE WHEN {_bucket_sql('q.doc_id')} < {SPLIT_TRAIN} THEN 'train'
+                  WHEN {_bucket_sql('q.doc_id')} < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM q JOIN keep ON keep.fp = q.fp AND keep.rep = q.doc_id
+    )
+    SELECT doc_id, source, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN split = 'train'
+                THEN {X.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=_EPOCH_SEED + "-shard")} % {_N_SHARDS}
+                END AS BIGINT) AS shard,
+           CAST(CASE WHEN split = 'train' THEN
+             row_number() OVER (
+               PARTITION BY (CASE WHEN split = 'train'
+                 THEN {X.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=_EPOCH_SEED + "-shard")} % {_N_SHARDS}
+                 ELSE -1 END)
+               ORDER BY {X.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=_EPOCH_SEED + "-order")}, doc_id)
+             END AS BIGINT) AS pos
+    FROM surv
+    """,
+)
+def training_data_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data build END TO END in one lazy plan — the
+    composition that is this engine's reason to exist: quality gate
+    (logistic score >= 0.5) -> exact dedup (md5 fingerprint, min-id
+    representative survives) -> reproducible train/val/test split
+    (id-hash buckets) -> epoch-0 shard + position for the train shard
+    (the seeded two-hash shuffle of `epoch_shuffle_manifest`). The
+    output IS the manifest a training loader consumes: one row per
+    surviving document with its split, shard, and in-shard position
+    (NULL outside train). Every stage reuses the exact constants and
+    hash rules of its standalone query, so this composition can never
+    drift from the audited parts.
+
+    Scale shape: the quality gate fuses into the scan; dedup is one
+    fingerprint-keyed aggregate + join; split is a projection; the
+    epoch shuffle is one shard-key shuffle with per-shard sorts. No
+    stage sees more than the surviving corpus, and nothing global
+    ever sorts."""
+    d = _docs(spark, sf_dir)
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    q = d.filter(1.0 / (1.0 + F.exp(-z)) >= 0.5).select(
+        "doc_id",
+        "source",
+        F.size(X.tokens("text")).alias("n_tokens"),
+        X.md5_fingerprint("text").alias("fp"),
+    )
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("rep")).select(
+        F.col("fp").alias("kfp"), "rep"
+    )
+    b = _bucket("doc_id")
+    surv = q.join(
+        keep,
+        (F.col("fp") == F.col("kfp")) & (F.col("doc_id") == F.col("rep")),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    hs = X.token_hash(
+        F.col("doc_id").cast("string"), seed=_EPOCH_SEED + "-shard"
+    )
+    ho = X.token_hash(
+        F.col("doc_id").cast("string"), seed=_EPOCH_SEED + "-order"
+    )
+    m = surv.select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.col("split") == "train", hs % _N_SHARDS).alias("shard"),
+        F.when(F.col("split") == "train", ho).otherwise(F.lit(-1)).alias(
+            "ho"
+        ),
+    )
+    w = Window.partitionBy(
+        F.coalesce(F.col("shard"), F.lit(-1))
+    ).orderBy(F.asc("ho"), F.asc("doc_id"))
+    return m.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        F.col("shard").cast("long").alias("shard"),
+        F.when(
+            F.col("split") == "train", F.row_number().over(w)
+        )
+        .cast("long")
+        .alias("pos"),
+    )
