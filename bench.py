@@ -184,6 +184,8 @@ HEADLINE = [
     "target_encode_loo",
     "woe_iv_value_bins",
     "training_data_build_e2e",
+    "kendall_tau_daily",
+    "runs_test_daily",
 ]
 
 

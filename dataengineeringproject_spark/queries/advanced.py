@@ -7067,3 +7067,207 @@ def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round((pg - pb) * woe, 6).alias("iv_term"),
     )
+
+
+# --- Kendall's tau between the click and purchase daily series --------------------
+
+
+@register(
+    "kendall_tau_daily",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events WHERE event_type IN ('{_CCF_A}', '{_CCF_B}')
+    ),
+    d AS (
+      SELECT day, event_type, CAST(round(sum(vu) * 1e3 / count(*)) AS BIGINT)
+               AS mu
+      FROM e GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.day, a.mu AS x, b.mu AS y
+      FROM d a JOIN d b ON b.day = a.day
+      WHERE a.event_type = '{_CCF_A}' AND b.event_type = '{_CCF_B}'
+    ),
+    pr AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                  WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1
+                  ELSE 0 END AS s
+      FROM p a JOIN p b ON a.day < b.day
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           round(sum(s) * 1e0 / count(*), 6) AS kendall_tau
+    FROM pr
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau between the '{_CCF_A}' and '{_CCF_B}' daily mean
+    series: the RANK association (concordant minus discordant day
+    pairs over all pairs) — the robust companion of
+    `ccf_click_purchase`'s lag-0 Pearson: immune to outlier days and
+    to any monotone rescaling of either series. Daily means quantize
+    to integers, so concordance is exact sign arithmetic; the O(days^2)
+    pair loop runs on the |days| frame, never the events.
+
+    Scale shape: one map-side-combined daily rollup, then arithmetic
+    on a <= |days|^2/2 pair frame of the TINY daily table."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_CCF_A, _CCF_B))
+        .select(
+            ts_to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        )
+    )
+    d = ev.groupBy("day", "event_type").agg(
+        F.round(F.sum("vu") * 1e3 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mu")
+    )
+    a = d.filter(F.col("event_type") == _CCF_A).select(
+        F.col("day").alias("da"), F.col("mu").alias("x")
+    )
+    b = d.filter(F.col("event_type") == _CCF_B).select(
+        F.col("day").alias("db"), F.col("mu").alias("y")
+    )
+    p = a.join(b, F.col("db") == F.col("da")).select(
+        F.col("da").alias("day"), "x", "y"
+    )
+    l = p.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    r = p.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    prod = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
+    pr = l.join(r, F.col("d1") < F.col("d2")).select(
+        F.when(prod > 0, 1).when(prod < 0, -1).otherwise(0).alias("s")
+    )
+    return pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.round(F.sum("s") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "kendall_tau"
+        ),
+    )
+
+
+# --- Wald-Wolfowitz runs test on daily changes -------------------------------------
+
+
+@register(
+    "runs_test_daily",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    d AS (
+      SELECT day, CAST(round(sum(vu) * 1e3 / count(*)) AS BIGINT) AS mu
+      FROM e GROUP BY 1
+    ),
+    df AS (
+      SELECT day, mu - lag(mu) OVER (ORDER BY day) AS diff FROM d
+    ),
+    sg AS (
+      SELECT day, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS s
+      FROM df WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    rn AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                     OR lag(s) OVER (ORDER BY day) <> s
+                THEN 1 ELSE 0 END AS new_run
+      FROM sg
+    ),
+    st AS (
+      SELECT count(*) AS n, sum(s) AS np, count(*) - sum(s) AS nm,
+             sum(new_run) AS runs
+      FROM rn
+    )
+    SELECT CAST(n AS BIGINT) AS n_changes, CAST(np AS BIGINT) AS n_up,
+           CAST(nm AS BIGINT) AS n_down, CAST(runs AS BIGINT) AS n_runs,
+           round(1e0 + 2e0 * np * nm / n, 6) AS expected_runs,
+           round((runs - (1e0 + 2e0 * np * nm / n))
+                 / NULLIF(sqrt((2e0 * np * nm * (2e0 * np * nm - n))
+                               / (CAST(n AS DOUBLE) * n * (n - 1))), 0), 6)
+             AS z_score
+    FROM st
+    """,
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of day-over-day changes of
+    the daily mean-value series: too FEW runs of consecutive ups/downs
+    means the series trends or sticks (autocorrelation), too MANY means
+    oscillation — the classic randomness check that complements
+    Mann-Kendall (which only sees monotone trend). Zero-change days are
+    dropped (the standard treatment); counts are exact integers and the
+    normal-approximation z uses fixed-operand IEEE arithmetic.
+
+    Scale shape: one map-side-combined daily rollup; the sign/run
+    windows and the closed form run on the |days| frame."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        ts_to_date("ts").alias("day"),
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+    )
+    d = ev.groupBy("day").agg(
+        F.round(F.sum("vu") * 1e3 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mu")
+    )
+    wo = Window.orderBy("day")
+    df = d.select(
+        "day", (F.col("mu") - F.lag("mu").over(wo)).alias("diff")
+    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+    sg = df.select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(0).alias("s")
+    )
+    rn = sg.select(
+        "s",
+        F.when(
+            F.lag("s").over(wo).isNull() | (F.lag("s").over(wo) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    st = rn.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("np"),
+        (F.count(F.lit(1)) - F.sum("s")).alias("nm"),
+        F.sum("new_run").alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    np_, nm = F.col("np").cast("double"), F.col("nm").cast("double")
+    exp_runs = F.lit(1.0) + F.lit(2.0) * np_ * nm / n
+    var = (F.lit(2.0) * np_ * nm * (F.lit(2.0) * np_ * nm - n)) / (
+        n * n * (n - 1)
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_changes"),
+        F.col("np").cast("long").alias("n_up"),
+        F.col("nm").cast("long").alias("n_down"),
+        F.col("runs").cast("long").alias("n_runs"),
+        F.round(exp_runs, 6).alias("expected_runs"),
+        F.round(
+            (F.col("runs") - exp_runs)
+            / F.nullif(F.sqrt(var), F.lit(0.0)),
+            6,
+        ).alias("z_score"),
+    )
