@@ -186,6 +186,8 @@ HEADLINE = [
     "training_data_build_e2e",
     "kendall_tau_daily",
     "runs_test_daily",
+    "pairwise_mean_diffs",
+    "levene_brown_forsythe",
 ]
 
 

@@ -7271,3 +7271,206 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# --- post-hoc pairwise mean differences (after the ANOVA) ---------------------------
+
+
+@register(
+    "pairwise_mean_diffs",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(vu) AS s, sum(vu * vu) AS ss
+      FROM q GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(n) AS n, count(*) AS k,
+             sum(ss) - sum(CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT))
+               AS ssw
+      FROM g
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round((a.s * 1e0 / a.n - b.s * 1e0 / b.n) / 1e3, 6) AS mean_diff,
+           round(((a.s * 1e0 / a.n - b.s * 1e0 / b.n) / 1e3)
+                 / sqrt((t.ssw / 1e6 / (t.n - t.k))
+                        * (1e0 / a.n + 1e0 / b.n)), 6) AS t_stat
+    FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN t
+    """,
+)
+def pairwise_mean_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc pairwise comparisons after `anova_value_by_type`: for
+    every pair of event types, the mean difference and its t statistic
+    against the POOLED within-group variance (the Fisher-LSD /
+    Tukey-numerator form) — the ANOVA says SOME group differs; this
+    table says WHICH pairs. The pooled SSW reuses the ANOVA's
+    re-quantized integer trick, so the shared denominator is
+    partitioning-exact and every pair's statistic derives from the
+    same |types|-row sufficient-statistics frame.
+
+    Scale shape: the identical single map-side-combined aggregate as
+    the ANOVA; the pair expansion is a self-join of the tiny group
+    frame."""
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1e3).cast("long").alias("vu")
+    )
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vu").alias("s"),
+        F.sum(F.col("vu") * F.col("vu")).alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").alias("tn"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum("ss")
+            - F.sum(
+                F.round(
+                    F.col("s").cast("double") * F.col("s") / F.col("n")
+                ).cast("long")
+            )
+        ).alias("ssw"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    md = (
+        F.col("sa") * F.lit(1.0) / F.col("na")
+        - F.col("sb") * F.lit(1.0) / F.col("nb")
+    ) / F.lit(1e3)
+    se = F.sqrt(
+        (F.col("ssw") / F.lit(1e6) / (F.col("tn") - F.col("k")))
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(md, 6).alias("mean_diff"),
+            F.round(md / se, 6).alias("t_stat"),
+        )
+    )
+
+
+# --- Brown-Forsythe variance-homogeneity test ---------------------------------------
+
+
+@register(
+    "levene_brown_forsythe",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS vu,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, vu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY vu ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    med AS (
+      SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN vu END) AS m
+      FROM r GROUP BY 1
+    ),
+    z AS (
+      SELECT q.event_type, abs(q.vu - med.m) AS zu
+      FROM q JOIN med USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, count(*) AS ng, sum(zu) AS sg, sum(zu * zu) AS ssg
+      FROM z GROUP BY 1
+    ),
+    t AS (
+      SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s, sum(ssg) AS ss,
+             sum(CAST(round(CAST(sg AS DOUBLE) * sg / ng) AS BIGINT)) AS st
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_rows,
+           round(((st - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT))
+                  * 1e0 / (k - 1))
+                 / ((ss - st) * 1e0 / (n - k)), 6) AS bf_stat
+    FROM t
+    """,
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with MEDIAN centers) for variance
+    homogeneity across event types: an ANOVA on the absolute deviations
+    |x - group median| — the assumption check that decides whether the
+    pooled-variance machinery of `anova_value_by_type` and
+    `pairwise_mean_diffs` is even valid, and itself the robust
+    answer to "did the SPREAD change", which mean-based monitors miss.
+    Group medians are rank-selected lower medians under the
+    (value, event_id) total order (exact and deterministic); the
+    deviations are exact integers, and the F arithmetic reuses the
+    ANOVA's re-quantization trick.
+
+    Scale shape: one rank window per type (the exact-quantile shuffle
+    the engine already pays elsewhere), one deviation projection, one
+    map-side-combined |types|-row aggregate."""
+    from pyspark.sql import Window
+
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        "event_id",
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc("vu"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    r = q.select(
+        "event_type",
+        "vu",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("vu").alias("m"))
+    )
+    z = q.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("vu") - F.col("m")).alias("zu")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("zu").alias("sg"),
+        F.sum(F.col("zu") * F.col("zu")).alias("ssg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.sum(
+            F.round(
+                F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+            ).cast("long")
+        ).alias("st"),
+    )
+    ssb = F.col("st") - F.round(
+        F.col("s").cast("double") * F.col("s") / F.col("n")
+    ).cast("long")
+    ssw = F.col("ss") - F.col("st")
+    return t.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (ssb * F.lit(1.0) / (F.col("k") - 1))
+            / (ssw * F.lit(1.0) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
+    )
