@@ -188,6 +188,7 @@ HEADLINE = [
     "runs_test_daily",
     "pairwise_mean_diffs",
     "levene_brown_forsythe",
+    "quality_confusion_matrix",
 ]
 
 

@@ -2803,3 +2803,161 @@ def training_data_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos"),
     )
+
+
+# --- threshold metrics: logistic scorer vs Gopher label --------------------------
+
+_QCM_CTES = f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({X.tokens_sql('text')}) AS n_tokens,
+             {X.stopword_ratio_sql('text')} AS stop_r,
+             {X.punct_ratio_sql('text')} AS punct_r,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             (1.0 / (1.0 + exp(-({_QLR['b0']}
+               + {_QLR['w_logtok']} * ln(1 + n_tokens)
+               + {_QLR['w_stop']} * stop_r
+               + {_QLR['w_punct']} * punct_r
+               + {_QLR['w_cpt']} * (n_chars * 1.0 / greatest(n_tokens, 1))))
+             )) >= 0.5 AS pred
+      FROM f
+    ),
+    b AS (SELECT doc_id, {_GQ_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+             list_sum(list_transform(toks, t -> length(t))) AS chars,
+             len(list_distinct(toks)) AS nd
+      FROM b
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i + 1])))
+               AS gram
+      FROM b WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1),
+    lbl AS (
+      SELECT m.doc_id,
+             (n BETWEEN {_GQ_MIN_TOK} AND {_GQ_MAX_TOK}
+              AND ROUND(chars * 1.0 / n, 6)
+                  BETWEEN {_GQ_MIN_MWL} AND {_GQ_MAX_MWL}
+              AND ROUND(nd * 1.0 / n, 6) > {_GQ_MIN_UNIQ}
+              AND ROUND(COALESCE(top_cnt, 1) * 1.0 / greatest(n - 1, 1), 6)
+                  < {_GQ_MAX_TOP2}) AS pos
+      FROM m LEFT JOIN t2 ON m.doc_id = t2.doc_id
+    )"""
+
+
+@register(
+    "quality_confusion_matrix",
+    oracle=f"""
+    {_QCM_CTES},
+    cm AS (
+      SELECT sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS tn
+      FROM z JOIN lbl USING (doc_id)
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp * 1e0 / NULLIF(tp + fp, 0), 6) AS "precision",
+           round(tp * 1e0 / NULLIF(tp + fn, 0), 6) AS "recall",
+           round(2e0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS "f1",
+           round((tp * 1e0 * tn - fp * 1e0 * fn)
+                 / NULLIF(sqrt((tp + fp) * 1e0 * (tp + fn))
+                          * sqrt((tn + fp) * 1e0 * (tn + fn)), 0), 6)
+             AS "mcc",
+           round(((tp + tn) * 1e0 * (tp + fp + fn + tn)
+                  - ((tp + fp) * 1e0 * (tp + fn)
+                     + (tn + fp) * 1e0 * (tn + fn)))
+                 / NULLIF((tp + fp + fn + tn) * 1e0 * (tp + fp + fn + tn)
+                          - ((tp + fp) * 1e0 * (tp + fn)
+                             + (tn + fp) * 1e0 * (tn + fn)), 0), 6)
+             AS cohen_kappa
+    FROM cm
+    """,
+)
+def quality_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-level agreement between the two INDEPENDENT quality
+    signals — the logistic scorer's keep decision (prob >= 0.5) vs the
+    Gopher rule label: the full confusion matrix with precision /
+    recall / F1 / Matthews correlation / Cohen's kappa. Completes the
+    classifier-eval suite (AUC for ranking, calibration bins for
+    probabilities, decile lift for screening yield, and now the
+    threshold metrics a deployed keep/drop filter is actually judged
+    by — kappa correcting for chance agreement between two raters).
+    All cells are exact integers; every metric is closed-form
+    arithmetic on the one-row matrix (chance-corrected terms
+    cross-multiplied so nothing divides before the final step).
+
+    Scale shape: both signals are projections (the 2-gram rule's
+    per-doc aggregate is corpus-linear); one join on doc_id, one
+    map-side-combined 4-cell reduce."""
+    scored = quality_logistic_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pred")
+    )
+    label = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pos")
+    )
+    j = scored.join(label, "doc_id")
+    cm = j.agg(
+        F.sum(F.when(F.col("pred") & F.col("pos"), 1).otherwise(0)).alias(
+            "tp"
+        ),
+        F.sum(F.when(F.col("pred") & ~F.col("pos"), 1).otherwise(0)).alias(
+            "fp"
+        ),
+        F.sum(F.when(~F.col("pred") & F.col("pos"), 1).otherwise(0)).alias(
+            "fn"
+        ),
+        F.sum(F.when(~F.col("pred") & ~F.col("pos"), 1).otherwise(0)).alias(
+            "tn"
+        ),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    n = tp + fp + fn + tn
+    pe_num = (tp + fp) * F.lit(1.0) * (tp + fn) + (tn + fp) * F.lit(
+        1.0
+    ) * (tn + fn)
+    return cm.select(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(
+            tp * F.lit(1.0) / F.nullif((tp + fp).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            tp * F.lit(1.0) / F.nullif((tp + fn).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.lit(2.0)
+            * tp
+            / F.nullif((2 * tp + fp + fn).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("f1"),
+        F.round(
+            (tp * F.lit(1.0) * tn - fp * F.lit(1.0) * fn)
+            / F.nullif(
+                F.sqrt((tp + fp) * F.lit(1.0) * (tp + fn))
+                * F.sqrt((tn + fp) * F.lit(1.0) * (tn + fn)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(
+            ((tp + tn) * F.lit(1.0) * n - pe_num)
+            / F.nullif(n * F.lit(1.0) * n - pe_num, F.lit(0.0)),
+            6,
+        ).alias("cohen_kappa"),
+    )
