@@ -189,6 +189,8 @@ HEADLINE = [
     "pairwise_mean_diffs",
     "levene_brown_forsythe",
     "quality_confusion_matrix",
+    "spearman_rho_daily",
+    "quality_scoring_rules",
 ]
 
 

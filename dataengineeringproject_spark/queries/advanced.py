@@ -7474,3 +7474,103 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bf_stat"),
     )
+
+
+# --- Spearman rank correlation between the daily series -----------------------------
+
+
+@register(
+    "spearman_rho_daily",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events WHERE event_type IN ('{_CCF_A}', '{_CCF_B}')
+    ),
+    d AS (
+      SELECT day, event_type,
+             CAST(round(sum(vu) * 1e3 / count(*)) AS BIGINT) AS mu
+      FROM e GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.day, a.mu AS x, b.mu AS y
+      FROM d a JOIN d b ON b.day = a.day
+      WHERE a.event_type = '{_CCF_A}' AND b.event_type = '{_CCF_B}'
+    ),
+    r AS (
+      SELECT row_number() OVER (ORDER BY x ASC, day ASC) AS rx,
+             row_number() OVER (ORDER BY y ASC, day ASC) AS ry
+      FROM p
+    ),
+    s AS (
+      SELECT count(*) AS n, sum((rx - ry) * (rx - ry)) AS d2 FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(1e0 - 6e0 * d2 / (CAST(n AS DOUBLE) * (n * 1e0 * n - 1)),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the '{_CCF_A}' and
+    '{_CCF_B}' daily mean series via the classic 1 - 6*sum(d^2)/
+    (n(n^2-1)) formula — the third member of the correlation set
+    (Pearson CCF for linear lead/lag, Kendall for pairwise
+    concordance, Spearman for monotone association). Ranks come from
+    row_number over the integer-quantized means with a day tie-break,
+    so d^2 is exact integer arithmetic; ties are broken identically in
+    both engines rather than midranked (documented choice — the
+    quantized means collide rarely, and a deterministic total order
+    beats an engine-varying midrank).
+
+    Scale shape: one daily rollup; ranking windows run on the |days|
+    frame."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_CCF_A, _CCF_B))
+        .select(
+            ts_to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        )
+    )
+    d = ev.groupBy("day", "event_type").agg(
+        F.round(F.sum("vu") * 1e3 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mu")
+    )
+    a = d.filter(F.col("event_type") == _CCF_A).select(
+        F.col("day").alias("da"), F.col("mu").alias("x")
+    )
+    b = d.filter(F.col("event_type") == _CCF_B).select(
+        F.col("day").alias("db"), F.col("mu").alias("y")
+    )
+    p = a.join(b, F.col("db") == F.col("da")).select(
+        F.col("da").alias("day"), "x", "y"
+    )
+    r = p.select(
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("day")))
+        .alias("rx"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("y"), F.asc("day")))
+        .alias("ry"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        ).alias("d2"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0) * F.col("d2") / (n * (n * F.lit(1.0) * n - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )

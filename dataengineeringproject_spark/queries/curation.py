@@ -2961,3 +2961,77 @@ def quality_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cohen_kappa"),
     )
+
+
+# --- proper scoring rules for the quality probability -------------------------------
+
+
+@register(
+    "quality_scoring_rules",
+    oracle=f"""
+    {_QCM_CTES.replace(') >= 0.5 AS pred', ') AS prob').replace('>= 0.5 AS pred', 'AS prob')},
+    t AS (
+      SELECT CAST(round(z.prob * 1e6) AS BIGINT) AS pu,
+             CASE WHEN lbl.pos THEN 1 ELSE 0 END AS y
+      FROM z JOIN lbl USING (doc_id)
+    ),
+    u AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(pow(pu / 1e6 - y, 2) * 1e9) AS BIGINT))
+               AS brieru,
+             sum(CAST(round(-ln(CASE WHEN y = 1 THEN greatest(pu / 1e6, 1e-6)
+                                     ELSE greatest(1e0 - pu / 1e6, 1e-6) END)
+                            * 1e9) AS BIGINT)) AS llu,
+             sum(y) AS ny
+      FROM t
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(ny AS BIGINT) AS n_pos,
+           round(brieru * 1e0 / n / 1e9, 6) AS brier_score,
+           round(llu * 1e0 / n / 1e9, 6) AS log_loss
+    FROM u
+    """,
+)
+def quality_scoring_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper scoring rules for the quality PROBABILITY against the
+    Gopher label: the Brier score (mean squared probability error) and
+    log loss (clamped at 1e-6 — the standard guard for confident-wrong
+    predictions), the two numbers that judge the probability itself
+    rather than its ranking (AUC) or a threshold (F1). Probabilities
+    quantize to micro-units and each per-doc term re-quantizes to
+    nano-units before the mean, so both scores are order-exact.
+
+    Scale shape: two projections, one doc_id join, one 1-row
+    map-side-combined reduce."""
+    scored = quality_logistic_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("quality_prob") * 1e6).cast("long").alias("pu")
+    )
+    label = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("y")
+    )
+    t = scored.join(label, "doc_id")
+    p = F.col("pu") / F.lit(1e6)
+    brier_t = F.round(F.pow(p - F.col("y"), 2) * F.lit(1e9)).cast("long")
+    ll_t = F.round(
+        -F.log(
+            F.when(F.col("y") == 1, F.greatest(p, F.lit(1e-6))).otherwise(
+                F.greatest(F.lit(1.0) - p, F.lit(1e-6))
+            )
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    u = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(brier_t).alias("brieru"),
+        F.sum(ll_t).alias("llu"),
+        F.sum("y").alias("ny"),
+    )
+    return u.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("ny").cast("long").alias("n_pos"),
+        F.round(F.col("brieru") * F.lit(1.0) / F.col("n") / 1e9, 6).alias(
+            "brier_score"
+        ),
+        F.round(F.col("llu") * F.lit(1.0) / F.col("n") / 1e9, 6).alias(
+            "log_loss"
+        ),
+    )
