@@ -191,6 +191,7 @@ HEADLINE = [
     "quality_confusion_matrix",
     "spearman_rho_daily",
     "quality_scoring_rules",
+    "attribution_position_based",
 ]
 
 

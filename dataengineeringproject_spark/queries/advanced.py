@@ -7574,3 +7574,120 @@ def spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# --- position-based (U-shaped) multi-touch attribution -------------------------------
+
+
+@register(
+    "attribution_position_based",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase'
+    ),
+    np AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT p.event_id AS p_id, p.vc, np.event_type AS channel,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY np.ts ASC, np.event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY p.event_id) AS k
+      FROM p JOIN np ON np.user_id = p.user_id
+        AND (np.ts < p.ts OR (np.ts = p.ts AND np.event_id < p.event_id))
+    ),
+    c AS (
+      SELECT p_id, vc, channel,
+             CASE WHEN k = 1 THEN 1000000
+                  WHEN k = 2 THEN 500000
+                  WHEN rn = 1 OR rn = k THEN 400000
+                  WHEN rn = k - 1
+                  THEN 200000 // (k - 2) + 200000 % (k - 2)
+                  ELSE 200000 // (k - 2) END AS ppm
+      FROM j
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(ppm * vc) / 1e6 / 1e2, 6) AS attributed_value,
+           round(sum(ppm) / 1e6, 6) AS attributed_conversions
+    FROM c GROUP BY 1
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    standard middle ground between the bookend models of
+    `attribution_first_last_touch`: 40% credit to the first touch,
+    40% to the last, 20% split across the middles (100% / 50-50 for
+    1- and 2-touch paths). Credits are EXACT integer parts-per-million
+    that provably sum to 1e6 per conversion — the middle split uses
+    integer div with the remainder assigned to the last middle touch,
+    a documented deterministic convention — so attributed value is an
+    exact integer sum of ppm x cents and total credited conversions
+    reconcile to the purchase count by construction.
+
+    Scale shape: the same user-key join and per-purchase rank windows
+    as the bookend models; credit assignment is a pure projection;
+    one map-side-combined per-channel reduce."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    np_ = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = (
+        p.join(np_, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("p_ts"))
+            | (
+                (F.col("t_ts") == F.col("p_ts"))
+                & (F.col("t_id") < F.col("p_id"))
+            )
+        )
+        .select(
+            "p_id",
+            "vc",
+            "channel",
+            F.row_number()
+            .over(
+                Window.partitionBy("p_id").orderBy(
+                    F.asc("t_ts"), F.asc("t_id")
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("p_id"))
+            .alias("k"),
+        )
+    )
+    ppm = (
+        F.when(F.col("k") == 1, 1000000)
+        .when(F.col("k") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), 400000)
+        .when(
+            F.col("rn") == F.col("k") - 1,
+            F.expr("200000 div (k - 2) + 200000 % (k - 2)"),
+        )
+        .otherwise(F.expr("200000 div (k - 2)"))
+    )
+    c = j.select("channel", "vc", ppm.alias("ppm"))
+    return c.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(
+            F.sum(F.col("ppm") * F.col("vc")) / F.lit(1e6) / F.lit(1e2), 6
+        ).alias("attributed_value"),
+        F.round(F.sum("ppm") / F.lit(1e6), 6).alias(
+            "attributed_conversions"
+        ),
+    )
