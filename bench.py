@@ -192,6 +192,7 @@ HEADLINE = [
     "spearman_rho_daily",
     "quality_scoring_rules",
     "attribution_position_based",
+    "spatial_neighbor_join",
 ]
 
 

@@ -7691,3 +7691,119 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_conversions"
         ),
     )
+
+
+# --- spatial epsilon-neighbor join on a grid index -----------------------------------
+
+_GEO_SEED = "geo-v1"
+_GEO_EXTENT = 1_000_000   # coordinate space: [0, 1e6) micro-units square
+_GEO_EPS = 20_000         # neighbor radius (2% of extent) = grid cell size
+_GEO_TOPK = 40
+
+
+@register(
+    "spatial_neighbor_join",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    pt AS (
+      SELECT user_id,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-x')} % {_GEO_EXTENT} AS x,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-y')} % {_GEO_EXTENT} AS y
+      FROM u
+    ),
+    cells AS (
+      SELECT user_id, x, y, x // {_GEO_EPS} AS cx, y // {_GEO_EPS} AS cy
+      FROM pt
+    ),
+    probe AS (
+      SELECT c.user_id, c.x, c.y,
+             c.cx + dx.d AS px, c.cy + dy.d AS py
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    cand AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM probe a JOIN cells b
+        ON b.cx = a.px AND b.cy = a.py AND a.user_id < b.user_id
+    )
+    SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2,
+           round(sqrt(CAST(d2 AS DOUBLE)) / {_GEO_EXTENT}e0, 6) AS dist
+    FROM cand WHERE d2 <= {_GEO_EPS * _GEO_EPS}
+    ORDER BY d2 ASC, id_a ASC, id_b ASC LIMIT {_GEO_TOPK}
+    """,
+)
+def spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial epsilon-neighbor join — the grid-index primitive behind
+    every distributed spatial engine (GeoSpark/Sedona partitioning,
+    DBSCAN's region query, geohash proximity): points live on an
+    integer micro-unit plane (deterministic per-user hash coordinates
+    — the engine's stand-in for real lat/lon), the grid cell size
+    EQUALS the radius so every true neighbor pair shares a cell or an
+    adjacent one, and candidates come from a 9-offset cell equi-join
+    (one side replicated 9x) — never the all-pairs cross join.
+    Distances compare as exact integer d2; the closest
+    {_GEO_TOPK} pairs are reported.
+
+    Scale shape: candidate generation is an equi-join on cell keys
+    with constant (9x) replication — at 100 TB the cell id is the
+    shuffle/partition key and skewed cells (cities) get the same
+    salting treatment as any hot key; the verify filter and top-K heap
+    bound the output."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    x = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
+    y = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
+    pt = u.select(
+        "user_id",
+        (x % _GEO_EXTENT).alias("x"),
+        (y % _GEO_EXTENT).alias("y"),
+    )
+    cells = pt.select(
+        "user_id", "x", "y",
+        F.expr(f"x div {_GEO_EPS}").alias("cx"),
+        F.expr(f"y div {_GEO_EPS}").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("user_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    b = cells.select(
+        F.col("user_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = (
+        probe.join(
+            b,
+            (F.col("bcx") == F.col("px"))
+            & (F.col("bcy") == F.col("py"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", d2.alias("d2"))
+        .filter(F.col("d2") <= _GEO_EPS * _GEO_EPS)
+    )
+    return (
+        cand.orderBy(F.asc("d2"), F.asc("id_a"), F.asc("id_b"))
+        .limit(_GEO_TOPK)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("d2").cast("long").alias("d2"),
+            F.round(
+                F.sqrt(F.col("d2").cast("double")) / F.lit(float(_GEO_EXTENT)),
+                6,
+            ).alias("dist"),
+        )
+    )
