@@ -193,6 +193,7 @@ HEADLINE = [
     "quality_scoring_rules",
     "attribution_position_based",
     "spatial_neighbor_join",
+    "morans_i_density",
 ]
 
 

@@ -7807,3 +7807,125 @@ def spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+
+
+# --- Moran's I spatial autocorrelation of the density grid ----------------------------
+
+_MORAN_G = 20  # lattice side: G x G cells over the hash plane
+
+
+@register(
+    "morans_i_density",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    pt AS (
+      SELECT {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-x')} % {_GEO_EXTENT} AS x,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-y')} % {_GEO_EXTENT} AS y
+      FROM u
+    ),
+    occ AS (
+      SELECT x * {_MORAN_G} // {_GEO_EXTENT} AS cx,
+             y * {_MORAN_G} // {_GEO_EXTENT} AS cy, count(*) AS c
+      FROM pt GROUP BY 1, 2
+    ),
+    lat AS (
+      SELECT gx.i AS cx, gy.i AS cy, coalesce(occ.c, 0) AS c
+      FROM (SELECT unnest(range(0, {_MORAN_G})) AS i) gx
+      CROSS JOIN (SELECT unnest(range(0, {_MORAN_G})) AS i) gy
+      LEFT JOIN occ ON occ.cx = gx.i AND occ.cy = gy.i
+    ),
+    t AS (SELECT count(*) AS n, sum(c) AS s FROM lat),
+    d AS (
+      SELECT cx, cy, c * t.n - t.s AS du FROM lat CROSS JOIN t
+    ),
+    pr AS (
+      SELECT a.du AS da, b.du AS db
+      FROM d a JOIN d b
+        ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+        OR (b.cx = a.cx AND b.cy = a.cy + 1)
+    ),
+    s AS (
+      SELECT (SELECT count(*) FROM pr) AS w,
+             (SELECT sum(da * db) FROM pr) AS num,
+             (SELECT sum(du * du) FROM d) AS den,
+             (SELECT n FROM t) AS n
+    )
+    SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS n_adjacencies,
+           round(CAST(n AS DOUBLE) * num / (CAST(w AS DOUBLE) * den), 6)
+             AS morans_i
+    FROM s
+    """,
+)
+def morans_i_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of point density over the
+    {_MORAN_G}x{_MORAN_G} lattice (rook adjacency): do dense cells
+    neighbor dense cells (clustering, I > 0) or sparse ones
+    (dispersion, I < 0)? Near 0 here by construction — hash
+    coordinates are uniform — which makes this the NULL-distribution
+    calibration for the statistic, exactly what you want on record
+    before pointing it at real coordinates. Empty cells participate
+    (the lattice is materialized densely — a missing cell IS data);
+    deviations are cross-multiplied to integers (du = c*N - S) so
+    numerator and denominator are exact integer sums whose N^2
+    factors cancel.
+
+    Scale shape: one cell-count aggregate, a {_MORAN_G}^2-row lattice
+    cross join, an adjacency self-join of that tiny frame."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    x = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
+    y = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
+    occ = (
+        u.select(
+            (x % _GEO_EXTENT).alias("x"),
+            (y % _GEO_EXTENT).alias("y"),
+        )
+        .select(
+            F.expr(f"x * {_MORAN_G} div {_GEO_EXTENT}").alias("cx"),
+            F.expr(f"y * {_MORAN_G} div {_GEO_EXTENT}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gx = spark.range(_MORAN_G).select(F.col("id").alias("cx"))
+    gy = spark.range(_MORAN_G).select(F.col("id").alias("cy"))
+    lat = (
+        gx.crossJoin(gy)
+        .join(F.broadcast(occ), ["cx", "cy"], "left")
+        .select(
+            "cx", "cy", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    t = lat.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    d = lat.crossJoin(F.broadcast(t)).select(
+        "cx", "cy", (F.col("c") * F.col("n") - F.col("s")).alias("du")
+    )
+    a = d.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"), F.col("du").alias("da")
+    )
+    b = d.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("du").alias("db")
+    )
+    pr = a.join(
+        b,
+        ((F.col("bx") == F.col("ax") + 1) & (F.col("by") == F.col("ay")))
+        | ((F.col("bx") == F.col("ax")) & (F.col("by") == F.col("ay") + 1)),
+    )
+    num = pr.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.col("da") * F.col("db")).alias("num"),
+    )
+    den = d.agg(F.sum(F.col("du") * F.col("du")).alias("den"))
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("n").cast("long").alias("n_cells"),
+            F.col("w").cast("long").alias("n_adjacencies"),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("num")
+                / (F.col("w").cast("double") * F.col("den")),
+                6,
+            ).alias("morans_i"),
+        )
+    )
