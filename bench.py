@@ -194,6 +194,7 @@ HEADLINE = [
     "attribution_position_based",
     "spatial_neighbor_join",
     "morans_i_density",
+    "dbscan_core_points",
 ]
 
 

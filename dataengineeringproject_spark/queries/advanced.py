@@ -7929,3 +7929,128 @@ def morans_i_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("morans_i"),
         )
     )
+
+
+# --- DBSCAN region query: core-point labeling ----------------------------------------
+
+_DBSCAN_MINPTS = 3  # neighbors (excluding self) within eps to be "core"
+
+
+@register(
+    "dbscan_core_points",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    pt AS (
+      SELECT user_id,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-x')} % {_GEO_EXTENT} AS x,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-y')} % {_GEO_EXTENT} AS y
+      FROM u
+    ),
+    cells AS (
+      SELECT user_id, x, y, x // {_GEO_EPS} AS cx, y // {_GEO_EPS} AS cy
+      FROM pt
+    ),
+    probe AS (
+      SELECT c.user_id, c.x, c.y, c.cx + dx.d AS px, c.cy + dy.d AS py
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    nb AS (
+      SELECT a.user_id, count(*) AS n_neighbors
+      FROM probe a JOIN cells b
+        ON b.cx = a.px AND b.cy = a.py AND b.user_id <> a.user_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {_GEO_EPS * _GEO_EPS}
+      GROUP BY 1
+    ),
+    lab AS (
+      SELECT pt.user_id, coalesce(nb.n_neighbors, 0) AS n_neighbors,
+             coalesce(nb.n_neighbors, 0) >= {_DBSCAN_MINPTS} AS is_core
+      FROM pt LEFT JOIN nb USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_core,
+           CAST(sum(CASE WHEN NOT is_core AND n_neighbors > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_border_or_reachable,
+           CAST(sum(CASE WHEN n_neighbors = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_isolated,
+           CAST(max(n_neighbors) AS BIGINT) AS max_neighbors
+    FROM lab
+    """,
+)
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's region query, distributed: per point the count of
+    epsilon-neighbors from the SAME grid-bucketed 9-cell probe as
+    `spatial_neighbor_join`, labeling each point core
+    (>= {_DBSCAN_MINPTS} neighbors), reachable (some neighbor), or
+    isolated — everything in DBSCAN except the final core-graph
+    connected components, which the engine already owns
+    (`dedup_clusters_minhash`'s iterative CC over an edge list; feed
+    it the core-core pairs and you have full DBSCAN). The summary row
+    is the density profile a clustering run is tuned from.
+
+    Scale shape: identical candidate generation to the neighbor join
+    (constant 9x replication, cell-key equi-join), one
+    map-side-combined per-point count, a left join back for isolated
+    points, a 1-row reduce."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    x = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
+    y = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
+    pt = u.select(
+        "user_id",
+        (x % _GEO_EXTENT).alias("x"),
+        (y % _GEO_EXTENT).alias("y"),
+    )
+    cells = pt.select(
+        "user_id", "x", "y",
+        F.expr(f"x div {_GEO_EPS}").alias("cx"),
+        F.expr(f"y div {_GEO_EPS}").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("user_id").alias("ida"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    b = cells.select(
+        F.col("user_id").alias("idb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nb = (
+        probe.join(
+            b,
+            (F.col("bcx") == F.col("px"))
+            & (F.col("bcy") == F.col("py"))
+            & (F.col("ida") != F.col("idb")),
+        )
+        .filter(d2 <= _GEO_EPS * _GEO_EPS)
+        .groupBy(F.col("ida").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    lab = pt.join(nb, "user_id", "left").select(
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("nn")
+    )
+    core = F.col("nn") >= _DBSCAN_MINPTS
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.when(core, 1).otherwise(0)).cast("long").alias("n_core"),
+        F.sum(F.when(~core & (F.col("nn") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_border_or_reachable"),
+        F.sum(F.when(F.col("nn") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_isolated"),
+        F.max("nn").cast("long").alias("max_neighbors"),
+    )
