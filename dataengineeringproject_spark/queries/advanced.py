@@ -7697,7 +7697,9 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GEO_SEED = "geo-v1"
 _GEO_EXTENT = 1_000_000   # coordinate space: [0, 1e6) micro-units square
-_GEO_EPS = 20_000         # neighbor radius (2% of extent) = grid cell size
+_GEO_EPS = 60_000         # neighbor radius (6% of extent) = grid cell size
+# (6% keeps the sf0.01 plane dense enough that DBSCAN cores exist —
+# at 2% the 150-point plane had max 1 neighbor per point)
 _GEO_TOPK = 40
 
 
