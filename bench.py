@@ -195,6 +195,7 @@ HEADLINE = [
     "spatial_neighbor_join",
     "morans_i_density",
     "dbscan_core_points",
+    "dbscan_clusters",
 ]
 
 

@@ -8056,3 +8056,197 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_isolated"),
         F.max("nn").cast("long").alias("max_neighbors"),
     )
+
+
+# --- full DBSCAN: clusters from the core graph ----------------------------------------
+
+
+@register(
+    "dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+    pt AS (
+      SELECT user_id,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-x')} % {_GEO_EXTENT} AS x,
+             {X.token_hash_sql('CAST(user_id AS VARCHAR)', seed=_GEO_SEED + '-y')} % {_GEO_EXTENT} AS y
+      FROM u
+    ),
+    cells AS (
+      SELECT user_id, x, y, x // {_GEO_EPS} AS cx, y // {_GEO_EPS} AS cy
+      FROM pt
+    ),
+    probe AS (
+      SELECT c.user_id, c.x, c.y, c.cx + dx.d AS px, c.cy + dy.d AS py
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    nbp AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM probe a JOIN cells b
+        ON b.cx = a.px AND b.cy = a.py AND b.user_id <> a.user_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {_GEO_EPS * _GEO_EPS}
+    ),
+    deg AS (SELECT id_a AS user_id, count(*) AS nn FROM nbp GROUP BY 1),
+    core AS (
+      SELECT user_id FROM deg WHERE nn >= {_DBSCAN_MINPTS}
+    ),
+    ce AS (
+      SELECT nbp.id_a, nbp.id_b FROM nbp
+      JOIN core ca ON ca.user_id = nbp.id_a
+      JOIN core cb ON cb.user_id = nbp.id_b
+    ),
+    reach(id, lbl) AS (
+      SELECT user_id, user_id FROM core
+      UNION
+      SELECT ce.id_b, r.lbl FROM reach r JOIN ce ON ce.id_a = r.id
+    ),
+    comp AS (SELECT id AS user_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+    border AS (
+      SELECT nbp.id_a AS user_id, min(comp.cluster) AS cluster
+      FROM nbp
+      JOIN comp ON comp.user_id = nbp.id_b
+      LEFT JOIN core c1 ON c1.user_id = nbp.id_a
+      WHERE c1.user_id IS NULL
+      GROUP BY 1
+    ),
+    lab AS (
+      SELECT user_id, cluster, TRUE AS is_core FROM comp
+      UNION ALL
+      SELECT user_id, cluster, FALSE FROM border
+    ),
+    cl AS (
+      SELECT cluster,
+             sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS n_core,
+             sum(CASE WHEN is_core THEN 0 ELSE 1 END) AS n_border
+      FROM lab GROUP BY 1
+    ),
+    noise AS (
+      SELECT count(*) AS n FROM pt
+      LEFT JOIN lab ON lab.user_id = pt.user_id
+      WHERE lab.user_id IS NULL
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(n_core AS BIGINT) AS n_core,
+           CAST(n_border AS BIGINT) AS n_border,
+           CAST(n_core + n_border AS BIGINT) AS n_total
+    FROM cl
+    UNION ALL
+    SELECT -1, 0, 0, CAST(n AS BIGINT) FROM noise
+    """,
+)
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL distributed DBSCAN, composed from parts the engine already
+    owns: the grid-bucketed region query (`dbscan_core_points`) finds
+    cores, the iterative min-label connected components operator
+    (`operators/graph.py` — the same one that clusters near-duplicate
+    documents) merges the core-core epsilon-graph, and border points
+    attach to the smallest adjacent core's cluster (the deterministic
+    tie-break for DBSCAN's classic border ambiguity). Output is the
+    per-cluster census plus a -1 noise row — so the whole clustering
+    is value-hash-checked against a recursive-CTE oracle.
+
+    Scale shape: candidate generation stays cell-key-bounded; the CC
+    iterations touch only the core-core edge list (dense clusters are
+    shallow, so rounds = small diameter); border attachment is one
+    join on the pair frame. This is the standard production DBSCAN
+    decomposition (region query -> core graph CC -> border pass)."""
+    from dataengineeringproject_spark.operators.graph import (
+        connected_components,
+    )
+
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    x = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
+    y = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
+    pt = u.select(
+        "user_id",
+        (x % _GEO_EXTENT).alias("x"),
+        (y % _GEO_EXTENT).alias("y"),
+    )
+    cells = pt.select(
+        "user_id", "x", "y",
+        F.expr(f"x div {_GEO_EPS}").alias("cx"),
+        F.expr(f"y div {_GEO_EPS}").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("user_id").alias("ida"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    bb = cells.select(
+        F.col("user_id").alias("idb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbp = (
+        probe.join(
+            bb,
+            (F.col("bcx") == F.col("px"))
+            & (F.col("bcy") == F.col("py"))
+            & (F.col("ida") != F.col("idb")),
+        )
+        .filter(d2 <= _GEO_EPS * _GEO_EPS)
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
+        .cache()
+    )
+    deg = nbp.groupBy(F.col("id_a").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("nn")
+    )
+    core = deg.filter(F.col("nn") >= _DBSCAN_MINPTS).select("user_id")
+    ce = (
+        nbp.join(
+            core.select(F.col("user_id").alias("id_a")), "id_a"
+        ).join(core.select(F.col("user_id").alias("id_b")), "id_b")
+    )
+    comp = connected_components(
+        core.select(F.col("user_id").alias("id")), ce
+    ).select(F.col("id").alias("user_id"), F.col("component").alias("cluster"))
+    border = (
+        nbp.join(
+            comp.select(
+                F.col("user_id").alias("id_b"), F.col("cluster")
+            ),
+            "id_b",
+        )
+        .join(
+            core.select(F.col("user_id").alias("id_a")), "id_a", "left_anti"
+        )
+        .groupBy(F.col("id_a").alias("user_id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    lab = comp.select(
+        "user_id", "cluster", F.lit(True).alias("is_core")
+    ).unionAll(
+        border.select("user_id", "cluster", F.lit(False).alias("is_core"))
+    )
+    cl = lab.groupBy("cluster").agg(
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("n_core"),
+        F.sum(F.when(F.col("is_core"), 0).otherwise(1)).alias("n_border"),
+    )
+    noise = pt.join(lab, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cl.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_core").cast("long").alias("n_core"),
+        F.col("n_border").cast("long").alias("n_border"),
+        (F.col("n_core") + F.col("n_border")).cast("long").alias("n_total"),
+    ).unionAll(
+        noise.select(
+            F.lit(-1).cast("long"),
+            F.lit(0).cast("long"),
+            F.lit(0).cast("long"),
+            F.col("n").cast("long"),
+        )
+    )
