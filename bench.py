@@ -196,6 +196,9 @@ HEADLINE = [
     "morans_i_density",
     "dbscan_core_points",
     "dbscan_clusters",
+    "dim_variance_concentration",
+    "huber_one_step_mean",
+    "hourly_profile_by_type",
 ]
 
 

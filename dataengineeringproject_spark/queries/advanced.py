@@ -8250,3 +8250,182 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long"),
         )
     )
+
+
+# --- one-step Huber M-estimator of location ---------------------------------------
+
+_HUBER_K = 15  # clip at 1.5 x MAD, expressed in tenths (integer arithmetic)
+
+
+@register(
+    "huber_one_step_mean",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS vu, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, vu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY vu ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    med AS (
+      SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN vu END) AS m
+      FROM r GROUP BY 1
+    ),
+    dev AS (
+      SELECT q.event_type, q.vu, abs(q.vu - med.m) AS ad, q.event_id
+      FROM q JOIN med USING (event_type)
+    ),
+    dr AS (
+      SELECT event_type, ad,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ad ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+      FROM dr GROUP BY 1
+    ),
+    cl AS (
+      SELECT dev.event_type,
+             greatest(least(dev.vu,
+                            med.m + mad.mad * {_HUBER_K} // 10),
+                      med.m - mad.mad * {_HUBER_K} // 10) AS cvu
+      FROM dev
+      JOIN med ON med.event_type = dev.event_type
+      JOIN mad ON mad.event_type = dev.event_type
+    )
+    SELECT cl.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(med.m) / 1e3, 6) AS median,
+           round(max(mad.mad) / 1e3, 6) AS mad,
+           round(sum(cvu) / 1e3 / count(*), 6) AS huber_mean
+    FROM cl
+    JOIN med ON med.event_type = cl.event_type
+    JOIN mad ON mad.event_type = cl.event_type
+    GROUP BY 1
+    """,
+)
+def huber_one_step_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Huber M-estimator of location per event type: values
+    WINSORIZED at median +/- {_HUBER_K}/10 x MAD, then averaged — the
+    textbook one-step M-estimate from a robust start, sitting between
+    the median (fully robust, inefficient) and the mean (efficient,
+    fragile) and complementing `trimmed_mean_value` (which DROPS the
+    tails; Huber CLAMPS them). Medians and MADs are rank-selected
+    lower medians under total orders, the clip bound is integer
+    arithmetic (k in tenths), and the clamped sum is exact integers.
+
+    Scale shape: two rank windows per type (value order, deviation
+    order — the exact-quantile shuffles), one clamped projection, one
+    map-side-combined aggregate."""
+    from pyspark.sql import Window
+
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        "event_id",
+    )
+    wv = Window.partitionBy("event_type").orderBy(
+        F.asc("vu"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    r = q.select(
+        "event_type", "vu",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("vu").alias("m"))
+    )
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type", "vu", F.abs(F.col("vu") - F.col("m")).alias("ad"),
+        "event_id",
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.asc("ad"), F.asc("event_id")
+    )
+    dr = dev.select(
+        "event_type", "ad",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = (
+        dr.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    cl = (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(
+            F.broadcast(med.select(F.col("event_type"), F.col("m"))),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "m",
+            "mad",
+            F.greatest(
+                F.least(
+                    F.col("vu"),
+                    F.col("m") + F.expr(f"mad * {_HUBER_K} div 10"),
+                ),
+                F.col("m") - F.expr(f"mad * {_HUBER_K} div 10"),
+            ).alias("cvu"),
+        )
+    )
+    return cl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("m") / F.lit(1e3), 6).alias("median"),
+        F.round(F.max("mad") / F.lit(1e3), 6).alias("mad"),
+        F.round(
+            F.sum("cvu") / F.lit(1e3) / F.count(F.lit(1)), 6
+        ).alias("huber_mean"),
+    )
+
+
+# --- intra-day (hourly) profile per event type -------------------------------------
+
+
+@register(
+    "hourly_profile_by_type",
+    oracle="""
+    WITH e AS (SELECT event_type, hour(ts) AS hr FROM events),
+    c AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(n) AS tot, max(n) AS mx FROM c GROUP BY 1)
+    SELECT c.event_type, CAST(c.hr AS BIGINT) AS hour,
+           CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1e0 / t.tot, 6) AS share,
+           (c.n = t.mx) AS is_peak
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def hourly_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-day activity profile: per (event type, hour-of-day) the
+    count, share, and peak flag — the diurnal fingerprint behind
+    capacity planning, bot detection (machine traffic is flat or
+    spikes off-human-hours), and the choice of maintenance windows.
+    Hour comes from wall-clock field extraction (no epoch math); ties
+    for the peak flag mark every maximal hour rather than picking one
+    arbitrarily.
+
+    Scale shape: one map-side-combined (type, hour) aggregate to a
+    <= |types| x 24 frame; everything after runs on it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    c = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.max("n").alias("mx")
+    )
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        F.col("hr").cast("long").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("share"),
+        (F.col("n") == F.col("mx")).alias("is_peak"),
+    )

@@ -3246,3 +3246,99 @@ def precision_audit_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lossy_rate"),
     )
+
+
+# --- per-dimension variance concentration --------------------------------------
+
+
+@register(
+    "dim_variance_concentration",
+    oracle=f"""
+    WITH t AS (
+      SELECT i - 1 AS i, CAST(round(x * {_OUT_Q}) AS BIGINT) AS q
+      FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    g AS (
+      SELECT i, count(*) AS n, sum(q) AS s, sum(q * q) AS ss
+      FROM t GROUP BY 1
+    ),
+    v AS (
+      SELECT i, ss - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS vu
+      FROM g
+    ),
+    r AS (
+      SELECT i, vu,
+             row_number() OVER (ORDER BY vu DESC, i ASC) AS rnk,
+             sum(vu) OVER (ORDER BY vu DESC, i ASC) AS cum,
+             sum(vu) OVER () AS tot
+      FROM v
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, CAST(i AS BIGINT) AS dim,
+           round(vu * 1e0 / tot, 6) AS var_share,
+           round(cum * 1e0 / tot, 6) AS cum_share
+    FROM r WHERE rnk <= 16 OR cum * 10 <= tot * 9
+    """,
+)
+def dim_variance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-dimension variance concentration of the embedding
+    corpus: dimensions ranked by variance with cumulative share — the
+    no-rotation cousin of `pca_variance_explained` that answers the
+    cheaper question first (can I truncate/quantize RAW dims before
+    paying for a projection? Matryoshka-trained embeddings say yes by
+    design — `ann_recall_matryoshka` measures that; THIS measures
+    whether an arbitrary corpus earned it). Per-dim variances use the
+    ANOVA re-quantization (exact integer sums, one rounded s^2/n per
+    dim), so the ranking and shares are engine-exact. Reports the top
+    16 dims plus however many it takes to reach 90% cumulative
+    variance.
+
+    Scale shape: one posexplode + map-side-combined 64-row aggregate;
+    windows run on 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    ).select("i", F.round(F.col("x") * _OUT_Q).cast("long").alias("q"))
+    g = t.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    v = g.select(
+        "i",
+        (
+            F.col("ss")
+            - F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("n")
+            ).cast("long")
+        ).alias("vu"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("vu"), F.asc("i"))
+    wa = Window.orderBy(F.desc("vu"), F.asc("i")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.orderBy(F.desc("vu"), F.asc("i")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = v.select(
+        "i",
+        "vu",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("vu").over(wa).alias("cum"),
+        F.sum("vu").over(wt).alias("tot"),
+    )
+    return r.filter(
+        (F.col("rnk") <= 16) | (F.col("cum") * 10 <= F.col("tot") * 9)
+    ).select(
+        F.col("rnk").cast("long").alias("rank"),
+        F.col("i").cast("long").alias("dim"),
+        F.round(F.col("vu") * F.lit(1.0) / F.col("tot"), 6).alias(
+            "var_share"
+        ),
+        F.round(F.col("cum") * F.lit(1.0) / F.col("tot"), 6).alias(
+            "cum_share"
+        ),
+    )
