@@ -199,6 +199,8 @@ HEADLINE = [
     "dim_variance_concentration",
     "huber_one_step_mean",
     "hourly_profile_by_type",
+    "quantile_approx_error_audit",
+    "hash_uniformity_audit",
 ]
 
 

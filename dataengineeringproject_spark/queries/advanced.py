@@ -8429,3 +8429,137 @@ def hourly_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("share"),
         (F.col("n") == F.col("mx")).alias("is_peak"),
     )
+
+
+# --- binned-quantile error audit -----------------------------------------------------
+
+_QEA_BINS = 256
+_QEA_PCTS = (50, 95, 99)
+
+
+def _qea_oracle() -> str:
+    exact_cols = ", ".join(
+        f"ROUND(quantile_cont(value, {p / 100}), 6) AS ex_{p}"
+        for p in _QEA_PCTS
+    )
+    approx_branches = []
+    for p in _QEA_PCTS:
+        approx_branches.append(f"""
+        SELECT event_type, {p} AS pct,
+               min(lo + bin * w) AS approx_v
+        FROM (
+          SELECT event_type, bin, lo, w, n,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+          FROM binned)
+        WHERE cum * 100 >= n * {p}
+        GROUP BY 1, 2""")
+    return f"""
+    WITH mm AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type,
+             least(CAST(floor((e.value - mm.lo) * {_QEA_BINS}
+                              / (mm.hi - mm.lo + 1e-9)) AS BIGINT),
+                   {_QEA_BINS - 1}) AS bin,
+             mm.lo, (mm.hi - mm.lo + 1e-9) / {_QEA_BINS} AS w, mm.n,
+             count(*) AS c
+      FROM events e JOIN mm USING (event_type)
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    ap AS ({' UNION ALL '.join(approx_branches)}),
+    ex AS (SELECT event_type, {exact_cols} FROM events GROUP BY 1)
+    SELECT ap.event_type, CAST(ap.pct AS BIGINT) AS pct,
+           round(CASE ap.pct WHEN 50 THEN ex.ex_50
+                             WHEN 95 THEN ex.ex_95
+                             ELSE ex.ex_99 END, 6) AS exact_v,
+           round(ap.approx_v, 6) AS approx_v,
+           round(abs(ap.approx_v
+                     - CASE ap.pct WHEN 50 THEN ex.ex_50
+                                   WHEN 95 THEN ex.ex_95
+                                   ELSE ex.ex_99 END), 6) AS abs_err
+    FROM ap JOIN ex USING (event_type)
+    """
+
+
+@register("quantile_approx_error_audit", oracle=_qea_oracle())
+def quantile_approx_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honesty metric for binned quantiles: per (type, percentile) the
+    EXACT interpolated quantile next to the {_QEA_BINS}-bin equal-width
+    estimate (lower edge of the first bin whose cumulative count
+    reaches ceil(p*n) — the grid convention the engine's *_binned
+    family uses) and the absolute error — the number that justifies,
+    or rejects, replacing a per-key sort with a fixed grid at 100 TB
+    (error is bounded by one bin width; this query shows the realized
+    value). Cumulative counts and the p*n comparison are integer
+    arithmetic; the one float bin-width division uses identical IEEE
+    operands in both engines.
+
+    Scale shape: the binned side is one map-side-combined (type, bin)
+    aggregate; only the EXACT side sorts per key — at scale you drop
+    it and this audit (run on a sample) is the evidence you may."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        ev.join(F.broadcast(mm), "event_type")
+        .select(
+            "event_type", "lo", "n",
+            ((F.col("hi") - F.col("lo") + F.lit(1e-9)) / _QEA_BINS).alias(
+                "w"
+            ),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    * _QEA_BINS
+                    / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+                ).cast("long"),
+                F.lit(_QEA_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin", "lo", "w", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    cum = binned.select(
+        "event_type", "bin", "lo", "w", "n",
+        F.sum("c").over(wc).alias("cum"),
+    )
+    ap = None
+    for p in _QEA_PCTS:
+        br = (
+            cum.filter(F.col("cum") * 100 >= F.col("n") * p)
+            .groupBy("event_type")
+            .agg(
+                F.lit(p).alias("pct"),
+                F.min(F.col("lo") + F.col("bin") * F.col("w")).alias(
+                    "approx_v"
+                ),
+            )
+        )
+        ap = br if ap is None else ap.unionAll(br)
+    ex = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {p / 100})").alias(f"ex_{p}")
+            for p in _QEA_PCTS
+        ]
+    )
+    exact_v = (
+        F.when(F.col("pct") == 50, F.col("ex_50"))
+        .when(F.col("pct") == 95, F.col("ex_95"))
+        .otherwise(F.col("ex_99"))
+    )
+    return ap.join(F.broadcast(ex), "event_type").select(
+        "event_type",
+        F.col("pct").cast("long").alias("pct"),
+        F.round(exact_v, 6).alias("exact_v"),
+        F.round(F.col("approx_v"), 6).alias("approx_v"),
+        F.round(F.abs(F.col("approx_v") - exact_v), 6).alias("abs_err"),
+    )

@@ -3035,3 +3035,82 @@ def quality_scoring_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_loss"
         ),
     )
+
+
+# --- hash-uniformity audit (the foundation every split/sample rests on) -------------
+
+_HU_CHI2_99 = "134.6415889216373"  # chi-square 0.99 quantile, 99 df (repr)
+
+
+@register(
+    "hash_uniformity_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_bucket_sql('doc_id')} AS bucket FROM documents
+    ),
+    g AS (
+      SELECT bucket, count(*) AS o FROM b GROUP BY 1
+    ),
+    lat AS (
+      SELECT i.i AS bucket, coalesce(g.o, 0) AS o
+      FROM (SELECT unnest(range(0, 100)) AS i) i
+      LEFT JOIN g ON g.bucket = i.i
+    ),
+    t AS (SELECT sum(o) AS n FROM lat)
+    SELECT CAST(t.n AS BIGINT) AS n_docs,
+           CAST(max(lat.o) AS BIGINT) AS max_bucket,
+           CAST(min(lat.o) AS BIGINT) AS min_bucket,
+           round(sum((lat.o - t.n / 100e0) * (lat.o - t.n / 100e0))
+                 / (t.n / 100e0), 6) AS chi2,
+           (sum((lat.o - t.n / 100e0) * (lat.o - t.n / 100e0))
+            / (t.n / 100e0)) < {_HU_CHI2_99} AS uniform_at_99
+    FROM lat CROSS JOIN t
+    GROUP BY t.n
+    """,
+)
+def hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity audit of THE hash the engine builds on:
+    the seeded doc-id bucket (functions/text.token_hash mod 100) that
+    drives every deterministic sample, split, and sweep. All 100
+    buckets are materialized (an empty bucket is evidence, not a
+    missing row), the goodness-of-fit statistic is compared against
+    the precomputed chi-square 99% quantile for 99 df (repr-embedded
+    constant — no per-engine distribution function), and the verdict
+    ships IN the output. If this flag ever flips, every
+    hash-stratified result upstream inherits the bias — which is why
+    the audit exists as a first-class query rather than a code
+    comment.
+
+    Scale shape: one map-side-combined bucket count, a 100-row
+    lattice join, a 1-row reduce."""
+    d = _docs(spark, sf_dir)
+    b = d.select(_bucket("doc_id").alias("bucket"))
+    g = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("o"))
+    lat = (
+        spark.range(100)
+        .select(F.col("id").alias("bucket"))
+        .join(F.broadcast(g), "bucket", "left")
+        .select(
+            "bucket", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    t = lat.agg(F.sum("o").alias("n"))
+    e = F.col("n") / F.lit(100.0)
+    chi2 = F.sum((F.col("o") - e) * (F.col("o") - e)) / e
+    return (
+        lat.crossJoin(F.broadcast(t))
+        .groupBy("n")
+        .agg(
+            F.max("o").cast("long").alias("max_bucket"),
+            F.min("o").cast("long").alias("min_bucket"),
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 < float(_HU_CHI2_99)).alias("uniform_at_99"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            "max_bucket",
+            "min_bucket",
+            "chi2",
+            "uniform_at_99",
+        )
+    )
