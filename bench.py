@@ -201,6 +201,8 @@ HEADLINE = [
     "hourly_profile_by_type",
     "quantile_approx_error_audit",
     "hash_uniformity_audit",
+    "hapax_ratio_by_source",
+    "quality_auc_null_calibration",
 ]
 
 

@@ -3114,3 +3114,91 @@ def hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_at_99",
         )
     )
+
+
+# --- null calibration of the AUC machinery ----------------------------------------
+
+_AUCNULL_SEED = "aucnull-v1"
+
+
+@register(
+    "quality_auc_null_calibration",
+    oracle=f"""
+    WITH f AS (
+      SELECT round(1e0 / (1e0 + exp(-({_PARETO_Z}))), 4) AS s,
+             {X.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=_AUCNULL_SEED)} % 2
+               AS pos
+      FROM documents
+    ),
+    g AS (SELECT s, count(*) AS cnt, sum(pos) AS pc FROM f GROUP BY 1),
+    w AS (
+      SELECT s, cnt, pc,
+             coalesce(sum(cnt) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cum
+      FROM g
+    ),
+    t AS (
+      SELECT sum(pc * (2 * cum + cnt + 1)) AS spr2,
+             sum(pc) AS p, sum(cnt) - sum(pc) AS n
+      FROM w
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           round((CAST(spr2 AS DOUBLE) - CAST(p AS DOUBLE) * (p + 1))
+                 / (2e0 * p * n), 6) AS null_auc
+    FROM t
+    """,
+)
+def quality_auc_null_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null calibration of the AUC machinery: the SAME midrank
+    rank-sum computation as `quality_score_auc`, but against a label
+    that is pure seeded hash noise (doc-id parity under a fresh seed)
+    — by construction independent of the score, so the result must sit
+    near 0.5, and its deviation is the finite-sample noise floor any
+    real AUC on this corpus should be read against. The negative
+    control the statistics family was missing (Moran's I already
+    ships its own via uniform coordinates).
+
+    Scale shape: identical to the real AUC — one grid-bounded
+    aggregate, one tiny window, a 1-row reduce."""
+    d = _docs(spark, sf_dir)
+    n_tok = X.token_count("text")
+    z = (
+        F.lit(_QLR["b0"])
+        + _QLR["w_logtok"] * F.log(1 + n_tok)
+        + _QLR["w_stop"] * X.stopword_ratio("text")
+        + _QLR["w_punct"] * X.punct_ratio("text")
+        + _QLR["w_cpt"] * (F.length("text") / F.greatest(n_tok, F.lit(1)))
+    )
+    f = d.select(
+        F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("s"),
+        (
+            X.token_hash(F.col("doc_id").cast("string"), seed=_AUCNULL_SEED)
+            % 2
+        ).alias("pos"),
+    )
+    g = f.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pc")
+    )
+    w = Window.orderBy(F.asc("s")).rowsBetween(Window.unboundedPreceding, -1)
+    wf = g.select(
+        "s", "cnt", "pc",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum"),
+    )
+    t = wf.agg(
+        F.sum(F.col("pc") * (2 * F.col("cum") + F.col("cnt") + 1)).alias(
+            "spr2"
+        ),
+        F.sum("pc").alias("p"),
+        (F.sum("cnt") - F.sum("pc")).alias("n"),
+    )
+    return t.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("spr2").cast("double")
+             - F.col("p").cast("double") * (F.col("p") + 1))
+            / (F.lit(2.0) * F.col("p") * F.col("n")),
+            6,
+        ).alias("null_auc"),
+    )

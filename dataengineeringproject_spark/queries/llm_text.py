@@ -4019,3 +4019,57 @@ def readability_scores_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("fku") / F.lit(1e6), 6).alias("min_fk_grade"),
         F.round(F.max("fku") / F.lit(1e6), 6).alias("max_fk_grade"),
     )
+
+
+# --- hapax legomena ratio per source ------------------------------------------
+
+
+@register(
+    "hapax_ratio_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_LTOKS}) AS w FROM documents
+    ),
+    cf AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    j AS (
+      SELECT tok.source, cf.c FROM tok JOIN cf ON cf.w = tok.w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax_tokens,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1e0 / count(*),
+                 6) AS hapax_ratio
+    FROM j GROUP BY 1
+    """,
+)
+def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena mass per source: the share of each source's
+    token occurrences whose word appears exactly ONCE in the whole
+    corpus — the vocabulary-richness signal at the opposite end from
+    `oov_rate_by_source`'s head coverage (natural prose carries a
+    steady hapax stream; template/boilerplate text has almost none,
+    OCR noise has too much). Corpus frequencies come from one count
+    table broadcast back onto the token stream.
+
+    Scale shape: token explode, one map-side-combined vocabulary
+    count, one frequency-keyed join (at 100 TB: hash the token for
+    the shuffle key), one per-source aggregate."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    j = tok.join(F.broadcast(cf), "w")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax_tokens"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )
