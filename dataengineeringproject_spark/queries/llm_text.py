@@ -4028,25 +4028,29 @@ def readability_scores_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hapax_ratio_by_source",
     oracle=f"""
     WITH tok AS (
-      SELECT source, unnest({_LTOKS}) AS w FROM documents
+      SELECT source, unnest({D.shingles_sql(_TOKS, _SHINGLE_K)}) AS w
+      FROM documents
     ),
     cf AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
     j AS (
       SELECT tok.source, cf.c FROM tok JOIN cf ON cf.w = tok.w
     )
     SELECT source,
-           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_hapax_tokens,
+             AS n_hapax,
            round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1e0 / count(*),
                  6) AS hapax_ratio
     FROM j GROUP BY 1
     """,
 )
 def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hapax legomena mass per source: the share of each source's
-    token occurrences whose word appears exactly ONCE in the whole
-    corpus — the vocabulary-richness signal at the opposite end from
+    """Hapax mass per source at SHINGLE grain: the share of each
+    source's 3-word shingle occurrences that appear exactly ONCE in
+    the whole corpus (word-grain hapax is vacuous on this synthetic
+    31-word vocabulary — shingles are where uniqueness lives, and
+    shingle-hapax mass is exactly the UNSHARED text the dedup family
+    can never collapse) — the vocabulary-richness signal at the opposite end from
     `oov_rate_by_source`'s head coverage (natural prose carries a
     steady hapax stream; template/boilerplate text has almost none,
     OCR noise has too much). Corpus frequencies come from one count
@@ -4057,15 +4061,15 @@ def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle key), one per-source aggregate."""
     d = _docs(spark, sf_dir)
     tok = d.select(
-        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+        "source", F.explode(D.shingles(F.col("text"), k=_SHINGLE_K)).alias("w")
     )
     cf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     j = tok.join(F.broadcast(cf), "w")
     return j.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
         .cast("long")
-        .alias("n_hapax_tokens"),
+        .alias("n_hapax"),
         F.round(
             F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
             * F.lit(1.0)
