@@ -203,6 +203,7 @@ HEADLINE = [
     "hash_uniformity_audit",
     "hapax_ratio_by_source",
     "quality_auc_null_calibration",
+    "hurst_rs_daily",
 ]
 
 

@@ -8563,3 +8563,182 @@ def quantile_approx_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("approx_v"), 6).alias("approx_v"),
         F.round(F.abs(F.col("approx_v") - exact_v), 6).alias("abs_err"),
     )
+
+
+# --- Hurst exponent via rescaled-range (R/S) analysis --------------------------------
+
+_HURST_SIZES = (7, 14)  # non-overlapping block sizes over the daily series
+
+
+def _hurst_block_sql(size: int) -> str:
+    return f"""
+      SELECT {size} AS bs, (rn - 1) // {size} AS blk, mu,
+             sum(mu) OVER (PARTITION BY (rn - 1) // {size}
+                           ORDER BY rn) AS cums,
+             row_number() OVER (PARTITION BY (rn - 1) // {size}
+                                ORDER BY rn) AS brn,
+             sum(mu) OVER (PARTITION BY (rn - 1) // {size}) AS bsum,
+             sum(mu * mu) OVER (PARTITION BY (rn - 1) // {size}) AS bss
+      FROM ds
+      WHERE rn <= ({size}) * ((SELECT count(*) FROM ds) // {size})
+    """
+
+
+@register(
+    "hurst_rs_daily",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    d AS (
+      SELECT day, CAST(round(sum(vu) * 1e3 / count(*)) AS BIGINT) AS mu
+      FROM e GROUP BY 1
+    ),
+    ds AS (
+      SELECT mu, row_number() OVER (ORDER BY day) AS rn FROM d
+    ),
+    blocks AS (
+      {_hurst_block_sql(_HURST_SIZES[0])}
+      UNION ALL
+      {_hurst_block_sql(_HURST_SIZES[1])}
+    ),
+    dev AS (
+      SELECT bs, blk,
+             cums * bs - brn * bsum AS cdev,
+             bsum, bss
+      FROM blocks
+    ),
+    rs AS (
+      SELECT bs, blk,
+             (max(cdev) - min(cdev)) * 1e0 / bs AS r,
+             sqrt(greatest(CAST(max(bss) AS DOUBLE) / bs
+                           - (CAST(max(bsum) AS DOUBLE) / bs)
+                             * (CAST(max(bsum) AS DOUBLE) / bs), 1e-9))
+               AS s
+      FROM dev GROUP BY 1, 2, bs
+    ),
+    m AS (
+      SELECT bs,
+             CAST(round(sum(CAST(round(r / s * 1e6) AS BIGINT))
+                        * 1e0 / count(*)) AS BIGINT) AS rsu,
+             count(*) AS n_blocks
+      FROM (SELECT bs, blk, r, s FROM rs) rs GROUP BY 1
+    ),
+    h AS (
+      SELECT (SELECT ln(rsu / 1e6) FROM m WHERE bs = {_HURST_SIZES[1]})
+             - (SELECT ln(rsu / 1e6) FROM m WHERE bs = {_HURST_SIZES[0]})
+               AS dln
+    )
+    SELECT CAST(m.bs AS BIGINT) AS block_size,
+           CAST(m.n_blocks AS BIGINT) AS n_blocks,
+           round(m.rsu / 1e6, 6) AS mean_rs,
+           round(h.dln / ln({_HURST_SIZES[1]}e0 / {_HURST_SIZES[0]}), 6)
+             AS hurst_h
+    FROM m CROSS JOIN h
+    """,
+)
+def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily mean-value series by rescaled-range
+    (R/S) analysis: per non-overlapping block of {_HURST_SIZES[0]} and
+    {_HURST_SIZES[1]} days, the range of cumulative deviations over
+    the block std, averaged per size; H = the log-log slope between
+    the two sizes. H ~ 0.5 is a random walk, H > 0.5 long-range
+    persistence (trends feed themselves), H < 0.5 mean reversion — the
+    long-memory diagnostic ACF's fixed lags can't summarize.
+    Cumulative deviations are cross-multiplied integers
+    (cums*bs - brn*bsum), block R/S re-quantizes to micro-units before
+    the per-size mean, and the avg-vs-variance inside each block uses
+    the exact integer window sums.
+
+    Scale shape: one daily rollup; every window is partitioned by
+    block over the |days| frame. Two sizes keep the slope a closed
+    form (more sizes = the same plan with a small OLS on the tail)."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        ts_to_date("ts").alias("day"),
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+    )
+    d = ev.groupBy("day").agg(
+        F.round(F.sum("vu") * 1e3 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mu")
+    )
+    ds = d.select(
+        "mu", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    nd = ds.agg(F.count(F.lit(1)).alias("ndays"))
+
+    def _per_size(size: int):
+        base = ds.crossJoin(F.broadcast(nd)).filter(
+            F.col("rn") <= size * F.expr(f"ndays div {size}")
+        )
+        blk = F.expr(f"(rn - 1) div {size}")
+        wb = Window.partitionBy(blk).orderBy("rn")
+        wp = Window.partitionBy(blk)
+        b = base.select(
+            F.lit(size).alias("bs"),
+            blk.alias("blk"),
+            F.sum("mu").over(wb).alias("cums"),
+            F.row_number().over(wb).alias("brn"),
+            F.sum("mu").over(wp).alias("bsum"),
+            F.sum(F.col("mu") * F.col("mu")).over(wp).alias("bss"),
+        )
+        dev = b.select(
+            "bs", "blk",
+            (F.col("cums") * size - F.col("brn") * F.col("bsum")).alias(
+                "cdev"
+            ),
+            "bsum", "bss",
+        )
+        rs = dev.groupBy("bs", "blk").agg(
+            (
+                (F.max("cdev") - F.min("cdev")) * F.lit(1.0) / size
+            ).alias("r"),
+            F.sqrt(
+                F.greatest(
+                    F.max("bss").cast("double") / size
+                    - (F.max("bsum").cast("double") / size)
+                    * (F.max("bsum").cast("double") / size),
+                    F.lit(1e-9),
+                )
+            ).alias("s"),
+        )
+        return rs.groupBy("bs").agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("r") / F.col("s") * F.lit(1e6)).cast(
+                        "long"
+                    )
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("rsu"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+
+    m = _per_size(_HURST_SIZES[0]).unionAll(_per_size(_HURST_SIZES[1]))
+    a = m.filter(F.col("bs") == _HURST_SIZES[0]).select(
+        F.col("rsu").alias("rs_a")
+    )
+    b2 = m.filter(F.col("bs") == _HURST_SIZES[1]).select(
+        F.col("rsu").alias("rs_b")
+    )
+    h = a.crossJoin(b2).select(
+        (
+            (F.log(F.col("rs_b") / F.lit(1e6))
+             - F.log(F.col("rs_a") / F.lit(1e6)))
+            / F.lit(float(__import__("math").log(_HURST_SIZES[1] / _HURST_SIZES[0])))
+        ).alias("hh")
+    )
+    return m.crossJoin(F.broadcast(h)).select(
+        F.col("bs").cast("long").alias("block_size"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.round(F.col("rsu") / F.lit(1e6), 6).alias("mean_rs"),
+        F.round(F.col("hh"), 6).alias("hurst_h"),
+    )
