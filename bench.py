@@ -204,6 +204,7 @@ HEADLINE = [
     "hapax_ratio_by_source",
     "quality_auc_null_calibration",
     "hurst_rs_daily",
+    "decision_stump_quality",
 ]
 
 

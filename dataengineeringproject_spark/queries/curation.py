@@ -3202,3 +3202,127 @@ def quality_auc_null_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("null_auc"),
     )
+
+
+# --- decision stump: best Gini split of the quality score ---------------------------
+
+
+@register(
+    "decision_stump_quality",
+    oracle=f"""
+    {_QCM_CTES.replace(') >= 0.5 AS pred', ') AS prob').replace('>= 0.5 AS pred', 'AS prob')},
+    f2 AS (
+      SELECT round(z.prob, 4) AS s,
+             CASE WHEN lbl.pos THEN 1 ELSE 0 END AS y
+      FROM z JOIN lbl USING (doc_id)
+    ),
+    sg AS (SELECT s, count(*) AS c, sum(y) AS p FROM f2 GROUP BY 1),
+    cum AS (
+      SELECT s,
+             sum(c) OVER (ORDER BY s) AS cl, sum(p) OVER (ORDER BY s) AS pl,
+             sum(c) OVER () AS n, sum(p) OVER () AS np
+      FROM sg
+    ),
+    cand AS (
+      SELECT s, cl, pl, n, np,
+             CAST(round((
+               cl * (1e0 - (pl * 1e0 / cl) * (pl * 1e0 / cl)
+                     - ((cl - pl) * 1e0 / cl) * ((cl - pl) * 1e0 / cl))
+               + (n - cl) * (1e0
+                   - ((np - pl) * 1e0 / (n - cl)) * ((np - pl) * 1e0 / (n - cl))
+                   - ((n - cl - np + pl) * 1e0 / (n - cl))
+                     * ((n - cl - np + pl) * 1e0 / (n - cl)))
+             ) / n * 1e9) AS BIGINT) AS giniu
+      FROM cum WHERE cl > 0 AND cl < n
+    ),
+    best AS (
+      SELECT s, giniu FROM cand ORDER BY giniu ASC, s ASC LIMIT 1
+    ),
+    base AS (
+      SELECT CAST(round((1e0 - (np * 1e0 / n) * (np * 1e0 / n)
+                   - ((n - np) * 1e0 / n) * ((n - np) * 1e0 / n)) * 1e9)
+                  AS BIGINT) AS g0
+      FROM (SELECT max(n) AS n, max(np) AS np FROM cum)
+    )
+    SELECT best.s AS split_threshold,
+           round(base.g0 / 1e9, 6) AS gini_root,
+           round(best.giniu / 1e9, 6) AS gini_split,
+           round((base.g0 - best.giniu) / 1e9, 6) AS gini_gain
+    FROM best CROSS JOIN base
+    """,
+)
+def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump — the CART split-finding primitive, run once:
+    the quality-score threshold that minimizes weighted Gini impurity
+    against the Gopher label, with the root impurity and the gain.
+    This is the inner loop of every tree ensemble, expressed as the
+    engine expresses it at scale: candidate thresholds are the 4dp
+    score GRID (bounded), left/right class counts come from one
+    running-sum window over the grid, and each candidate's weighted
+    impurity re-quantizes to nano-units so the argmin compares exact
+    integers with a smallest-threshold tie-break.
+
+    Scale shape: one grid-bounded aggregate over the corpus, windows
+    and argmin on the <= 10^4-row grid. A full tree level is this
+    plan per (node, feature) — embarrassingly parallel."""
+    scored = quality_logistic_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("quality_prob"), 4).alias("s")
+    )
+    label = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("y")
+    )
+    f2 = scored.join(label, "doc_id")
+    g = f2.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    wc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "s",
+        F.sum("c").over(wc).alias("cl"),
+        F.sum("p").over(wc).alias("pl"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum("p").over(wt).alias("np"),
+    )
+    cl, pl = F.col("cl").cast("double"), F.col("pl").cast("double")
+    n, np_ = F.col("n").cast("double"), F.col("np").cast("double")
+    gl = cl * (
+        F.lit(1.0) - (pl / cl) * (pl / cl)
+        - ((cl - pl) / cl) * ((cl - pl) / cl)
+    )
+    gr = (n - cl) * (
+        F.lit(1.0)
+        - ((np_ - pl) / (n - cl)) * ((np_ - pl) / (n - cl))
+        - ((n - cl - np_ + pl) / (n - cl))
+        * ((n - cl - np_ + pl) / (n - cl))
+    )
+    cand = cum.filter((F.col("cl") > 0) & (F.col("cl") < F.col("n"))).select(
+        "s",
+        F.round((gl + gr) / n * F.lit(1e9)).cast("long").alias("giniu"),
+        "n",
+        "np",
+    )
+    best = cand.orderBy(F.asc("giniu"), F.asc("s")).limit(1)
+    base = cum.agg(F.max("n").alias("n"), F.max("np").alias("np")).select(
+        F.round(
+            (
+                F.lit(1.0)
+                - (F.col("np") / F.col("n")) * (F.col("np") / F.col("n"))
+                - ((F.col("n") - F.col("np")) / F.col("n"))
+                * ((F.col("n") - F.col("np")) / F.col("n"))
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("g0")
+    )
+    return best.crossJoin(F.broadcast(base)).select(
+        F.col("s").alias("split_threshold"),
+        F.round(F.col("g0") / F.lit(1e9), 6).alias("gini_root"),
+        F.round(F.col("giniu") / F.lit(1e9), 6).alias("gini_split"),
+        F.round((F.col("g0") - F.col("giniu")) / F.lit(1e9), 6).alias(
+            "gini_gain"
+        ),
+    )
