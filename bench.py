@@ -205,6 +205,7 @@ HEADLINE = [
     "quality_auc_null_calibration",
     "hurst_rs_daily",
     "decision_stump_quality",
+    "naive_bayes_lang_confusion",
 ]
 
 
