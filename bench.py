@@ -206,6 +206,7 @@ HEADLINE = [
     "hurst_rs_daily",
     "decision_stump_quality",
     "naive_bayes_lang_confusion",
+    "ridge_two_feature",
 ]
 
 

@@ -3326,3 +3326,125 @@ def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_gain"
         ),
     )
+
+
+# --- two-feature ridge regression via the normal equations ---------------------------
+
+_RIDGE_LAMBDA = 1000  # ridge penalty on the n-scaled centered Gram
+
+
+@register(
+    "ridge_two_feature",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_GQ_TOKS} AS toks, n_chars FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             len(list_distinct(toks)) AS nd, n_chars
+      FROM b
+    ),
+    f AS (
+      SELECT n_chars AS x1,
+             CAST(round(nd * 1e4 / greatest(n_tok, 1)) AS BIGINT) AS x2,
+             CASE WHEN n_tok BETWEEN {_GQ_MIN_TOK} AND {_GQ_MAX_TOK}
+                  THEN 1 ELSE 0 END AS y
+      FROM m
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM f
+    ),
+    g AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1
+               + {_RIDGE_LAMBDA}e0 AS a11,
+             CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2
+               + {_RIDGE_LAMBDA}e0 AS a22,
+             CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS a12,
+             CAST(n AS DOUBLE) * s1y - CAST(s1 AS DOUBLE) * sy AS c1,
+             CAST(n AS DOUBLE) * s2y - CAST(s2 AS DOUBLE) * sy AS c2,
+             s1, s2, sy
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12), 9)
+             AS beta_chars,
+           round((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12), 9)
+             AS beta_uniq,
+           round(sy * 1e0 / n
+                 - (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12)
+                   * (s1 * 1e0 / n)
+                 - (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12)
+                   * (s2 * 1e0 / n), 6) AS intercept
+    FROM g
+    """,
+)
+def ridge_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression SOLVED IN CLOSED FORM inside the
+    engine: predict the Gopher length-rule label from document length
+    and unique-token ratio via the normal equations on the CENTERED
+    Gram matrix — every entry of which is a cross-multiplied exact
+    integer (n*Sxx - Sx^2, the trend family's trick lifted to 2
+    dimensions), so both engines invert the identical 2x2 system. The
+    ridge penalty keeps the inverse conditioned. This extends the ML
+    family from 1-feature OLS (trend_slope_daily) to multivariate
+    regression — the same sufficient-statistics reduction scales to p
+    features as a p^2-entry aggregate, and THAT is why linear models
+    train in one pass at 100 TB.
+
+    Scale shape: ONE map-side-combined aggregate producing all nine
+    sufficient statistics; the solve is constant-time arithmetic on
+    one row."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    m = d.select(
+        F.col("n_chars").alias("x1"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            * 1e4
+            / F.greatest(F.size(toks), F.lit(1))
+        )
+        .cast("long")
+        .alias("x2"),
+        F.when(
+            F.size(toks).between(_GQ_MIN_TOK, _GQ_MAX_TOK), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    a11 = n * F.col("s11") - F.col("s1").cast("double") * F.col("s1") + F.lit(
+        float(_RIDGE_LAMBDA)
+    )
+    a22 = n * F.col("s22") - F.col("s2").cast("double") * F.col("s2") + F.lit(
+        float(_RIDGE_LAMBDA)
+    )
+    a12 = n * F.col("s12") - F.col("s1").cast("double") * F.col("s2")
+    c1 = n * F.col("s1y") - F.col("s1").cast("double") * F.col("sy")
+    c2 = n * F.col("s2y") - F.col("s2").cast("double") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    b1 = (a22 * c1 - a12 * c2) / det
+    b2 = (a11 * c2 - a12 * c1) / det
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(b1, 9).alias("beta_chars"),
+        F.round(b2, 9).alias("beta_uniq"),
+        F.round(
+            F.col("sy") * F.lit(1.0) / F.col("n")
+            - b1 * (F.col("s1") * F.lit(1.0) / F.col("n"))
+            - b2 * (F.col("s2") * F.lit(1.0) / F.col("n")),
+            6,
+        ).alias("intercept"),
+    )
