@@ -207,6 +207,8 @@ HEADLINE = [
     "decision_stump_quality",
     "naive_bayes_lang_confusion",
     "ridge_two_feature",
+    "knn_classifier_eval",
+    "markov_entropy_rate",
 ]
 
 

@@ -8742,3 +8742,87 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rsu") / F.lit(1e6), 6).alias("mean_rs"),
         F.round(F.col("hh"), 6).alias("hurst_h"),
     )
+
+
+# --- entropy rate of the event Markov chain ------------------------------------------
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS cur, nxt, count(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT cur, sum(n) AS rn FROM c GROUP BY 1),
+    t AS (SELECT sum(n) AS tn FROM c),
+    h AS (
+      SELECT c.cur, c.n, r.rn, t.tn,
+             CAST(round(-(c.n * 1e0 / r.rn) * ln(c.n * 1e0 / r.rn) * 1e9)
+                  AS BIGINT) AS hu
+      FROM c JOIN r USING (cur) CROSS JOIN t
+    ),
+    rowh AS (
+      SELECT cur, max(rn) AS rn, max(tn) AS tn, sum(hu) AS rhu
+      FROM h GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_states,
+           round(sum(CAST(rn AS DOUBLE) / tn * rhu) / 1e9, 6)
+             AS entropy_rate_nats,
+           round(max(rhu) / 1e9, 6) AS max_row_entropy
+    FROM rowh
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event Markov chain: the
+    frequency-weighted mean of per-state transition entropies — the
+    single number summarizing `event_transition_matrix` (how
+    predictable is the NEXT action given the current one; the gap to
+    ln(k) is the predictive juice a next-event model can extract).
+    Per-transition -p*ln(p) terms quantize to nano-units so row
+    entropies are exact integers; only the final |states|-row weighted
+    mean multiplies small doubles.
+
+    Scale shape: identical to the transition matrix — one lead()
+    window on the user key, one map-side-combined count to |types|^2
+    rows, arithmetic on that frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = s.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("cur").agg(F.sum("n").alias("rn"))
+    t = c.agg(F.sum("n").alias("tn"))
+    p = F.col("n") * F.lit(1.0) / F.col("rn")
+    h = (
+        c.join(F.broadcast(r), "cur")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cur", "rn", "tn",
+            F.round(-p * F.log(p) * F.lit(1e9)).cast("long").alias("hu"),
+        )
+    )
+    rowh = h.groupBy("cur").agg(
+        F.max("rn").alias("rn"),
+        F.max("tn").alias("tn"),
+        F.sum("hu").alias("rhu"),
+    )
+    return rowh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_states"),
+        F.round(
+            F.sum(F.col("rn").cast("double") / F.col("tn") * F.col("rhu"))
+            / F.lit(1e9),
+            6,
+        ).alias("entropy_rate_nats"),
+        F.round(F.max("rhu") / F.lit(1e9), 6).alias("max_row_entropy"),
+    )

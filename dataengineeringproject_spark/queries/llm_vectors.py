@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataengineeringproject_spark.functions import text as X
 from dataengineeringproject_spark.operators import similarity as S
 from dataengineeringproject_spark.registry import register
 from dataengineeringproject_spark.schemas import load_table, local_df
@@ -3341,4 +3342,173 @@ def dim_variance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum") * F.lit(1.0) / F.col("tot"), 6).alias(
             "cum_share"
         ),
+    )
+
+
+# --- k-NN classifier evaluation over the embedding space -----------------------
+
+_KNN_SEED = "knn-v1"
+_KNN_TRAIN = 70
+_KNN_K = 3
+
+
+@register(
+    "knn_classifier_eval",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, label, i - 1 AS i,
+             CAST(round(x * {_OUT_Q}) AS BIGINT) AS q,
+             {X.token_hash_sql('CAST(vec_id AS VARCHAR)', seed=_KNN_SEED)} % 100
+               AS bkt
+      FROM (SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    nrm AS (SELECT vec_id, sum(q * q) AS nq FROM t GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS test_id, any_value(a.label) AS actual,
+             b.vec_id AS train_id, any_value(b.label) AS cand,
+             sum(a.q * b.q) AS d
+      FROM t a JOIN t b ON b.i = a.i
+      WHERE a.bkt >= {_KNN_TRAIN} AND b.bkt < {_KNN_TRAIN}
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    cosv AS (
+      SELECT d.test_id, d.actual, d.train_id, d.cand,
+             CAST(round(d.d / sqrt(CAST(na.nq AS DOUBLE)
+                                   * CAST(nb.nq AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS cu
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.test_id
+      JOIN nrm nb ON nb.vec_id = d.train_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY test_id
+                 ORDER BY cu DESC, train_id ASC) AS rn
+        FROM cosv) WHERE rn <= {_KNN_K}
+    ),
+    vote AS (
+      SELECT test_id, actual, cand, count(*) AS votes,
+             max(cu) AS best_cu
+      FROM top GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT test_id, actual, cand AS predicted
+      FROM (SELECT *, row_number() OVER (PARTITION BY test_id
+              ORDER BY votes DESC, best_cu DESC, cand ASC) AS rn
+            FROM vote)
+      WHERE rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                 * 1e0 / count(*), 6) AS accuracy
+    FROM pred
+    """,
+)
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN ({_KNN_K}-neighbor majority vote, cosine) evaluation of
+    the embedding space against its labels on a {_KNN_TRAIN}/30
+    vec-id-hash split — the standard probe for "does this embedding
+    encode the labels", one level more demanding than
+    `embedding_label_separation`'s centroid view (centroids can
+    separate while local neighborhoods are polluted — kNN sees that).
+    Vote ties break by best cosine then label name; cosines are
+    micro-quantized integers from the exact-integer dot/norm trick.
+
+    Scale shape: this exact version is test x train all-pairs via the
+    dimension-keyed join — the honest diagnostic at audit sizes; at
+    100 TB the neighbor search swaps to the LSH/IVF indexes whose
+    recall/MRR/nDCG this engine already measures, leaving the vote and
+    eval stages unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bkt = X.token_hash(F.col("vec_id").cast("string"), seed=_KNN_SEED) % 100
+    t = emb.select(
+        "vec_id",
+        "label",
+        bkt.alias("bkt"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    ).select(
+        "vec_id", "label", "bkt", "i",
+        F.round(F.col("x") * _OUT_Q).cast("long").alias("q"),
+    )
+    nrm = t.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("nq"))
+    a = t.filter(F.col("bkt") >= _KNN_TRAIN).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("label").alias("actual"),
+        "i",
+        F.col("q").alias("qa"),
+    )
+    b = t.filter(F.col("bkt") < _KNN_TRAIN).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("label").alias("cand"),
+        "i",
+        F.col("q").alias("qb"),
+    )
+    dots = (
+        a.join(b, "i")
+        .groupBy("test_id", "train_id")
+        .agg(
+            F.any_value("actual").alias("actual"),
+            F.any_value("cand").alias("cand"),
+            F.sum(F.col("qa") * F.col("qb")).alias("d"),
+        )
+    )
+    na = nrm.select(F.col("vec_id").alias("test_id"), F.col("nq").alias("nqa"))
+    nb = nrm.select(
+        F.col("vec_id").alias("train_id"), F.col("nq").alias("nqb")
+    )
+    cosv = (
+        dots.join(F.broadcast(na), "test_id")
+        .join(F.broadcast(nb), "train_id")
+        .select(
+            "test_id", "actual", "train_id", "cand",
+            F.round(
+                F.col("d")
+                / F.sqrt(
+                    F.col("nqa").cast("double") * F.col("nqb").cast("double")
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("cu"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("test_id").orderBy(
+        F.desc("cu"), F.asc("train_id")
+    )
+    top = cosv.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    vote = top.groupBy("test_id", "actual", "cand").agg(
+        F.count(F.lit(1)).alias("votes"), F.max("cu").alias("best_cu")
+    )
+    wv = Window.partitionBy("test_id").orderBy(
+        F.desc("votes"), F.desc("best_cu"), F.asc("cand")
+    )
+    pred = (
+        vote.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0)
+            )
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
     )
