@@ -209,6 +209,8 @@ HEADLINE = [
     "ridge_two_feature",
     "knn_classifier_eval",
     "markov_entropy_rate",
+    "poisson_dispersion_users",
+    "effective_source_count",
 ]
 
 

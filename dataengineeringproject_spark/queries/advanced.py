@@ -8826,3 +8826,127 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_rate_nats"),
         F.round(F.max("rhu") / F.lit(1e9), 6).alias("max_row_entropy"),
     )
+
+
+# --- Poisson dispersion test over per-user activity -----------------------------------
+
+
+@register(
+    "poisson_dispersion_users",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(c) AS sc, sum(c * c) AS ssc FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(sc * 1e0 / n, 6) AS mean_events,
+           round((CAST(n AS DOUBLE) * ssc - CAST(sc AS DOUBLE) * sc)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_events,
+           round(((CAST(n AS DOUBLE) * ssc - CAST(sc AS DOUBLE) * sc)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (sc * 1e0 / n), 6) AS dispersion_index,
+           round(((CAST(n AS DOUBLE) * ssc - CAST(sc AS DOUBLE) * sc)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (sc * 1e0 / n) * (n - 1), 6) AS chi2_stat
+    FROM s
+    """,
+)
+def poisson_dispersion_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (index-of-dispersion) test on per-user event
+    counts: variance/mean with its chi-square statistic (n-1)*D — the
+    first question about any count process (D ~ 1 Poisson-random
+    usage; D >> 1 overdispersed power users / bots, the regime where
+    negative-binomial modeling and the burstiness family take over;
+    D << 1 suspiciously regular, the quota/scheduler signature). All
+    sufficient statistics are exact integers; the sample variance uses
+    the cross-multiplied form.
+
+    Scale shape: one map-side-combined per-user count (the only
+    shuffle), one 1-row reduce."""
+    u = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("ssc"),
+    )
+    n = F.col("n").cast("double")
+    var = (n * F.col("ssc") - F.col("sc").cast("double") * F.col("sc")) / (
+        n * (F.col("n") - 1)
+    )
+    mean = F.col("sc") * F.lit(1.0) / F.col("n")
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.round(var / mean * (F.col("n") - 1), 6).alias("chi2_stat"),
+    )
+
+
+# --- effective source count (inverse Simpson diversity) ------------------------------
+
+
+@register(
+    "effective_source_count",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, len({X.tokens_sql('lower(text)')}) AS nt FROM documents
+    ),
+    s AS (SELECT source, sum(nt) AS n FROM tok GROUP BY 1),
+    t AS (SELECT sum(n) AS tn, count(*) AS k FROM s),
+    sh AS (
+      SELECT t.k, t.tn,
+             sum(CAST(round((s.n * 1e0 / t.tn) * (s.n * 1e0 / t.tn) * 1e12)
+                      AS BIGINT)) AS sq,
+             max(s.n) AS mx
+      FROM s CROSS JOIN t GROUP BY 1, 2
+    )
+    SELECT CAST(k AS BIGINT) AS n_sources,
+           round(1e12 / sq, 6) AS effective_sources,
+           round(mx * 1e0 / tn, 6) AS top_share
+    FROM sh
+    """,
+)
+def effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective number of sources by token mass — the inverse-Simpson
+    diversity index 1/sum(share^2): the number of EQUALLY-SIZED
+    sources that would give the same concentration (20 sources where 2
+    hold most tokens behave like ~2 — the number a mixture designer
+    actually reasons about, complementing the per-source entropy and
+    Gini views with an interpretable count). Shares divide exact
+    integer token sums; sum over the |sources| frame.
+
+    Scale shape: one pure-projection token count, one per-source
+    aggregate, arithmetic on the tiny share frame."""
+    d = load_table(spark, sf_dir, "documents")
+    from dataengineeringproject_spark.functions import text as XT
+
+    s = d.select(
+        "source", F.size(XT.tokens(F.lower(F.col("text")))).alias("nt")
+    ).groupBy("source").agg(F.sum("nt").alias("n"))
+    t = s.agg(F.sum("n").alias("tn"), F.count(F.lit(1)).alias("k"))
+    share = F.col("n") * F.lit(1.0) / F.col("tn")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(share * share * F.lit(1e12)).cast("long")
+            ).alias("sq"),
+            F.max("n").alias("mx"),
+            F.max("tn").alias("tn"),
+        )
+        .select(
+            F.col("k").cast("long").alias("n_sources"),
+            F.round(F.lit(1e12) / F.col("sq"), 6).alias(
+                "effective_sources"
+            ),
+            F.round(F.col("mx") * F.lit(1.0) / F.col("tn"), 6).alias(
+                "top_share"
+            ),
+        )
+    )
