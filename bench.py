@@ -211,6 +211,7 @@ HEADLINE = [
     "markov_entropy_rate",
     "poisson_dispersion_users",
     "effective_source_count",
+    "streaming_event_transitions",
 ]
 
 

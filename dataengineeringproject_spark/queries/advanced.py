@@ -8950,3 +8950,152 @@ def effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- STREAMING event transitions (sequence family batch/streaming symmetry) ---------
+
+_ETR_STREAM_RESULT: dict[str, str] = {}
+
+
+@register(
+    "streaming_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS cur_type, nxt AS next_type, count(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT cur_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.cur_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1e0 / r.tot, 6) AS prob
+    FROM c JOIN r USING (cur_type)
+    """,
+)
+def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_transition_matrix` — the SEQUENCE
+    family joins the batch/streaming symmetry roster, and it is the
+    hardest symmetry so far: transitions PAIR CONSECUTIVE EVENTS, so a
+    pair straddling two micro-batches exists in neither. foreachBatch
+    keeps two state tables: each user's LAST event (the dangling end
+    of their sequence) and the accumulated transition counts. Per
+    micro-batch: in-batch transitions come from the usual lead()
+    window; BOUNDARY transitions join the previous last-event state to
+    each user's first event of the batch; the last-event state then
+    advances to the batch's newest event per user. Chronological
+    micro-batches (streaming_q._staged_events) make the boundary join
+    respect the (ts, event_id) total order, so the converged counts
+    equal the batch window's exactly — full value-hash oracle shared
+    with the batch twin, no rows-only exemption.
+
+    At 100 TB: both state tables are keyed by user (co-partitioned
+    with the stream), the per-trigger cost is O(micro-batch +
+    |users touched|), and the counts table is |types|^2 rows forever
+    — this is how production sessionizers stitch sequences across
+    triggers (Flink keyed state; Spark's own sessionization keeps the
+    same dangling-end state)."""
+    if sf_dir in _ETR_STREAM_RESULT:
+        counts = spark.read.parquet(_ETR_STREAM_RESULT[sf_dir])
+    else:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from dataengineeringproject_spark.queries.streaming_q import (
+            _pinned_shuffle_partitions,
+            _staged_events,
+        )
+        from dataengineeringproject_spark.sources.layout import (
+            vacuum_versions,
+        )
+
+        land = _staged_events(spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events")
+        roots = {
+            k: tempfile.mkdtemp(prefix=f"deps_etr_{k}_")
+            for k in ("last", "cnt", "ckpt")
+        }
+        for p in roots.values():
+            atexit.register(shutil.rmtree, p, ignore_errors=True)
+        st: dict[str, str | None] = {"last": None, "cnt": None}
+
+        def _step(batch_ev: DataFrame, batch_id: int) -> None:
+            w = Window.partitionBy("user_id").orderBy(
+                F.asc("ts"), F.asc("event_id")
+            )
+            b = batch_ev.select(
+                "user_id", "event_type", "ts", "event_id",
+                F.lead("event_type").over(w).alias("nxt"),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy("user_id"))
+                .alias("cnt_u"),
+            )
+            inb = (
+                b.filter(F.col("nxt").isNotNull())
+                .groupBy(
+                    F.col("event_type").alias("cur_type"),
+                    F.col("nxt").alias("next_type"),
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            first = b.filter(F.col("rn") == 1).select(
+                "user_id", F.col("event_type").alias("first_type")
+            )
+            last = b.filter(F.col("rn") == F.col("cnt_u")).select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                "ts",
+                "event_id",
+            )
+            if st["last"] is not None:
+                prev_last = spark.read.parquet(st["last"])
+                boundary = (
+                    prev_last.join(first, "user_id")
+                    .groupBy(
+                        F.col("last_type").alias("cur_type"),
+                        F.col("first_type").alias("next_type"),
+                    )
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                inb = inb.unionByName(boundary)
+                # users silent this batch keep their dangling end
+                carry = prev_last.join(last, "user_id", "left_anti")
+                last = last.unionByName(carry)
+            if st["cnt"] is not None:
+                inb = inb.unionByName(spark.read.parquet(st["cnt"]))
+            cnt_new = inb.groupBy("cur_type", "next_type").agg(
+                F.sum("n").alias("n")
+            )
+            for key, df in (("last", last), ("cnt", cnt_new)):
+                path = f"{roots[key]}/v{batch_id}"
+                df.write.mode("overwrite").parquet(path)
+                st[key] = path
+                vacuum_versions(roots[key], keep=2, current=path)
+
+        with _pinned_shuffle_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(land)
+                .writeStream.foreachBatch(_step)
+                .option("checkpointLocation", roots["ckpt"])
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        _ETR_STREAM_RESULT[sf_dir] = st["cnt"]
+        counts = spark.read.parquet(st["cnt"])
+    r = counts.groupBy("cur_type").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(r), "cur_type").select(
+        "cur_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("prob"),
+    )

@@ -641,3 +641,39 @@ def test_streaming_bm25_stats_matches_batch_recompute(spark):
         )
     assert stream == batch
     assert all(r[2] > 0 for r in stream)  # df > 0 for every query term
+
+
+def test_streaming_event_transitions_matches_batch_twin(spark):
+    """SEQUENCE family batch/streaming symmetry — the hardest stitch:
+    transition pairs that straddle micro-batch boundaries exist in
+    neither batch, so the foreachBatch loop must recover them from the
+    per-user dangling-end state. Converged counts and probabilities
+    must equal the batch lead() window exactly, and the boundary
+    recovery must be non-vacuous (the 3-slice staging guarantees
+    cross-batch pairs exist: total transitions = n_events - n_users,
+    which single-batch windows alone cannot reach)."""
+    from dataengineeringproject_spark.queries import advanced
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["cur_type", "next_type", "n", "prob"]
+    batch = {
+        tuple(r)
+        for r in advanced.event_transition_matrix(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    stream = {
+        tuple(r)
+        for r in advanced.streaming_event_transitions(spark, sf)
+        .select(*cols)
+        .collect()
+    }
+    assert stream == batch
+    total = sum(r[2] for r in stream)
+    from dataengineeringproject_spark.schemas import load_table
+    from pyspark.sql import functions as SF
+
+    ev = load_table(spark, sf, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users  # every consecutive pair counted once
