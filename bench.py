@@ -212,6 +212,8 @@ HEADLINE = [
     "poisson_dispersion_users",
     "effective_source_count",
     "streaming_event_transitions",
+    "hodges_lehmann_daily",
+    "design_effect_stratified",
 ]
 
 

@@ -9099,3 +9099,165 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("prob"),
     )
+
+
+# --- Hodges-Lehmann estimator of the daily series center -----------------------------
+
+
+@register(
+    "hodges_lehmann_daily",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    d AS (
+      SELECT day, CAST(round(sum(vu) * 1e3 / count(*)) AS BIGINT) AS mu
+      FROM e GROUP BY 1
+    ),
+    p AS (
+      SELECT a.mu + b.mu AS w2, a.day AS da, b.day AS db
+      FROM d a JOIN d b ON a.day <= b.day
+    ),
+    r AS (
+      SELECT w2, row_number() OVER (ORDER BY w2 ASC, da ASC, db ASC) AS rn,
+             count(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           round(max(CASE WHEN rn = (n + 1) // 2 THEN w2 END) / 2e0 / 1e3,
+                 6) AS hodges_lehmann
+    FROM r
+    """,
+)
+def hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimator of the daily mean-value series'
+    center: the median of all pairwise (Walsh) averages — the location
+    estimator dual to the Wilcoxon test, more efficient than the
+    median, nearly as robust, and the number reported alongside it in
+    serious robust analysis (joining the median, trimmed, and Huber
+    members already shipped). Pairwise sums stay integers (halving
+    deferred to output), the median is rank-selected under a total
+    order over (sum, day pair).
+
+    Scale shape: one daily rollup; the O(|days|^2) Walsh-pair frame
+    and its rank select live entirely on the tiny daily table."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        ts_to_date("ts").alias("day"),
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+    )
+    d = ev.groupBy("day").agg(
+        F.round(F.sum("vu") * 1e3 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mu")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("mu").alias("ma"))
+    b = d.select(F.col("day").alias("db"), F.col("mu").alias("mb"))
+    p = a.join(b, F.col("da") <= F.col("db")).select(
+        (F.col("ma") + F.col("mb")).alias("w2"), "da", "db"
+    )
+    w = Window.orderBy(F.asc("w2"), F.asc("da"), F.asc("db"))
+    r = p.select(
+        "w2",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("w2"))
+            )
+            / F.lit(2e0)
+            / F.lit(1e3),
+            6,
+        ).alias("hodges_lehmann"),
+    )
+
+
+# --- design effect of per-source stratification --------------------------------------
+
+
+@register(
+    "design_effect_stratified",
+    oracle=f"""
+    WITH f AS (
+      SELECT source, n_chars AS qu FROM documents
+    ),
+    g AS (
+      SELECT source, count(*) AS nh, sum(qu) AS sh, sum(qu * qu) AS ssh
+      FROM f GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(nh) AS n, sum(sh) AS s, sum(ssh) AS ss,
+             sum(CAST(round(CAST(sh AS DOUBLE) * sh / nh) AS BIGINT)) AS st,
+             count(*) AS k
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_strata, CAST(n AS BIGINT) AS n_docs,
+           round((CAST(ss AS DOUBLE)
+                  - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT))
+                 / (n - 1), 6) AS var_srs,
+           round((CAST(ss AS DOUBLE) - st) / (n - k), 6) AS var_within,
+           round(((CAST(ss AS DOUBLE) - st) / (n - k))
+                 / ((CAST(ss AS DOUBLE)
+                     - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT))
+                    / (n - 1)), 6) AS design_effect
+    FROM t
+    """,
+)
+def design_effect_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of stratifying by source when estimating mean
+    document length: within-stratum variance over SRS variance — the
+    survey-sampling number that says how much precision proportional
+    per-source allocation buys over simple random sampling (DEFF < 1:
+    strata explain variance, stratify; DEFF ~ 1: sources are
+    homogeneous in length, stratification buys nothing — the honest
+    result on this synthetic corpus). Completes the sampling-theory
+    family around sample_neyman_allocation (which OPTIMIZES the
+    allocation; this measures whether stratifying matters at all).
+    The ANOVA re-quantization keeps every sum partitioning-exact.
+
+    Scale shape: one map-side-combined per-source aggregate, one
+    1-row reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("sh"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ssh"),
+    )
+    t = g.agg(
+        F.sum("nh").alias("n"),
+        F.sum("sh").alias("s"),
+        F.sum("ssh").alias("ss"),
+        F.sum(
+            F.round(
+                F.col("sh").cast("double") * F.col("sh") / F.col("nh")
+            ).cast("long")
+        ).alias("st"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    tot_dev = F.col("ss").cast("double") - F.round(
+        F.col("s").cast("double") * F.col("s") / F.col("n")
+    ).cast("long")
+    var_srs = tot_dev / (F.col("n") - 1)
+    var_within = (F.col("ss").cast("double") - F.col("st")) / (
+        F.col("n") - F.col("k")
+    )
+    return t.select(
+        F.col("k").cast("long").alias("n_strata"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(var_srs, 6).alias("var_srs"),
+        F.round(var_within, 6).alias("var_within"),
+        F.round(var_within / var_srs, 6).alias("design_effect"),
+    )
