@@ -9126,7 +9126,7 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p
     )
     SELECT CAST(max(n) AS BIGINT) AS n_pairs,
-           round(max(CASE WHEN rn = (n + 1) // 2 THEN w2 END) / 2e0 / 1e3,
+           round(max(CASE WHEN rn = (n + 1) // 2 THEN w2 END) / 2e0 / 1e6,
                  6) AS hodges_lehmann
     FROM r
     """,
@@ -9179,7 +9179,7 @@ def hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("w2"))
             )
             / F.lit(2e0)
-            / F.lit(1e3),
+            / F.lit(1e6),
             6,
         ).alias("hodges_lehmann"),
     )
