@@ -214,6 +214,8 @@ HEADLINE = [
     "streaming_event_transitions",
     "hodges_lehmann_daily",
     "design_effect_stratified",
+    "wilcoxon_signed_rank_halves",
+    "mcnemar_quality_signals",
 ]
 
 

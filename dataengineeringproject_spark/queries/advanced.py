@@ -9261,3 +9261,100 @@ def design_effect_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_within, 6).alias("var_within"),
         F.round(var_within / var_srs, 6).alias("design_effect"),
     )
+
+
+# --- Wilcoxon signed-rank test on paired half-month days -----------------------------
+
+_WSR_PAIR_GAP = 15  # pair day d with day d+15 (same weekday, adjacent halves)
+
+
+@register(
+    "wilcoxon_signed_rank_halves",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 1e3) AS BIGINT) AS vu
+      FROM events
+    ),
+    d AS (
+      SELECT day, CAST(round(sum(vu) * 1e3 / count(*)) AS BIGINT) AS mu
+      FROM e GROUP BY 1
+    ),
+    p AS (
+      SELECT a.day, b.mu - a.mu AS diff
+      FROM d a JOIN d b ON b.day = a.day + to_days({_WSR_PAIR_GAP})
+      WHERE b.mu <> a.mu
+    ),
+    r AS (
+      SELECT diff,
+             row_number() OVER (ORDER BY abs(diff) ASC, day ASC) AS rk
+      FROM p
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN diff > 0 THEN rk ELSE 0 END) AS wp
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, CAST(wp AS BIGINT) AS w_plus,
+           round(n * (n + 1e0) / 4, 6) AS expected_w,
+           round((wp - n * (n + 1e0) / 4)
+                 / NULLIF(sqrt(n * (n + 1e0) * (2 * n + 1) / 24e0), 0), 6)
+             AS z_score
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test pairing each day with the day
+    {_WSR_PAIR_GAP} later (same weekday, first vs second half of the
+    month): did the level SHIFT between halves, asked the PAIRED
+    nonparametric way — the within-pair design that removes weekday
+    effects the unpaired Mann-Whitney (drift family) cannot, and the
+    test the drift monitors defer to when a matched structure exists.
+    Zero differences drop (standard treatment); |diff| ranks use a
+    deterministic day tie-break; W+ and the normal-approximation z
+    are exact-integer derived.
+
+    Scale shape: one daily rollup; pairing and ranking on the |days|
+    frame."""
+    from dataengineeringproject_spark.functions.datetime_fns import ts_to_date
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        ts_to_date("ts").alias("day"),
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+    )
+    d = ev.groupBy("day").agg(
+        F.round(F.sum("vu") * 1e3 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mu")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("mu").alias("ma"))
+    b = d.select(F.col("day").alias("db"), F.col("mu").alias("mb"))
+    p = (
+        a.join(b, F.col("db") == F.date_add(F.col("da"), _WSR_PAIR_GAP))
+        .filter(F.col("mb") != F.col("ma"))
+        .select(F.col("da").alias("day"), (F.col("mb") - F.col("ma")).alias("diff"))
+    )
+    w = Window.orderBy(F.asc(F.abs(F.col("diff"))), F.asc("day"))
+    r = p.select("diff", F.row_number().over(w).alias("rk"))
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("rk")).otherwise(0)).alias(
+            "wp"
+        ),
+    )
+    n = F.col("n").cast("double")
+    expw = n * (n + 1) / 4
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("wp").cast("long").alias("w_plus"),
+        F.round(expw, 6).alias("expected_w"),
+        F.round(
+            (F.col("wp") - expw)
+            / F.nullif(
+                F.sqrt(n * (n + 1) * (2 * F.col("n") + 1) / F.lit(24.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z_score"),
+    )

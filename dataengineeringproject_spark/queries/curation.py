@@ -3448,3 +3448,64 @@ def ridge_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+# --- McNemar test between the two quality classifiers --------------------------------
+
+
+@register(
+    "mcnemar_quality_signals",
+    oracle=f"""
+    {_QCM_CTES},
+    cm AS (
+      SELECT sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS c,
+             count(*) AS n
+      FROM z JOIN lbl USING (doc_id)
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(b AS BIGINT) AS only_logistic_keeps,
+           CAST(c AS BIGINT) AS only_gopher_keeps,
+           round(pow(abs(b - c) - 1e0, 2) / NULLIF(b + c, 0), 6)
+             AS mcnemar_chi2
+    FROM cm
+    """,
+)
+def mcnemar_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) between the two quality
+    keep-decisions on the SAME documents: only the DISCORDANT cells
+    matter — documents one signal keeps and the other rejects — which
+    is exactly the right question for paired classifiers ("do they
+    disagree more in one direction than chance allows"), where the
+    unpaired chi-square would wrongly count the agreements as
+    evidence. The cells are the confusion matrix's fp/fn, so this
+    completes `quality_confusion_matrix` with the significance test
+    for its asymmetry.
+
+    Scale shape: the same two projections + doc_id join, a 3-integer
+    1-row reduce."""
+    scored = quality_logistic_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pred")
+    )
+    label = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pos")
+    )
+    cm = scored.join(label, "doc_id").agg(
+        F.sum(F.when(F.col("pred") & ~F.col("pos"), 1).otherwise(0)).alias(
+            "b"
+        ),
+        F.sum(F.when(~F.col("pred") & F.col("pos"), 1).otherwise(0)).alias(
+            "c"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cm.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("b").cast("long").alias("only_logistic_keeps"),
+        F.col("c").cast("long").alias("only_gopher_keeps"),
+        F.round(
+            F.pow(F.abs(F.col("b") - F.col("c")) - F.lit(1.0), 2)
+            / F.nullif((F.col("b") + F.col("c")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
