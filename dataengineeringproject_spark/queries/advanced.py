@@ -9358,3 +9358,246 @@ def wilcoxon_signed_rank_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# --- winsorized mean per group (robust-stats family, third member) ---------------
+
+_WINS_PCT = 10  # percent CLAMPED at each tail (integer arithmetic)
+
+
+@register(
+    "winsorized_mean_value",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 1e3) AS BIGINT) AS vu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, n, (n * {_WINS_PCT}) // 100 AS cut, vu, rn
+      FROM q
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_total,
+           CAST(any_value(cut) AS BIGINT) AS cut_per_tail,
+           round(sum(vu) / 1e3 / any_value(n), 6) AS raw_mean,
+           round((sum(vu) FILTER (rn > cut AND rn <= n - cut)
+                  + any_value(cut) * max(CASE WHEN rn = cut + 1
+                                              THEN vu END)
+                  + any_value(cut) * max(CASE WHEN rn = n - cut
+                                              THEN vu END))
+                 / 1e3 / any_value(n), 6) AS winsorized_mean
+    FROM t GROUP BY 1
+    """,
+)
+def winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_WINS_PCT}%%-per-tail WINSORIZED mean of event value by type —
+    the third member of the robust-location trio: the trimmed mean
+    DROPS the tails, the one-step Huber mean soft-clamps residuals,
+    winsorization hard-CLAMPS each tail to the nearest kept order
+    statistic (x(g+1) below, x(n-g) above), keeping n constant so the
+    estimate stays comparable with the raw mean at equal weight. Cut
+    counts are integer (n*{_WINS_PCT} div 100), tail boundaries come
+    from the same (value, event_id) total order as the trimmed mean,
+    and everything stays milli-unit integer until the single final
+    division — exact under any partitioning.
+
+    Scale shape: identical to trimmed_mean_value — one shuffle on
+    event_type for the rank window, then a map-side conditional
+    aggregate; the boundary order statistics fall out of the same
+    window (no extra pass)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1e3).cast("long").alias("vu"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("cut", F.expr(f"(n * {_WINS_PCT}) div 100"))
+    kept = (F.col("rn") > F.col("cut")) & (
+        F.col("rn") <= F.col("n") - F.col("cut")
+    )
+    lo = F.max(
+        F.when(F.col("rn") == F.col("cut") + 1, F.col("vu"))
+    )
+    hi = F.max(
+        F.when(F.col("rn") == F.col("n") - F.col("cut"), F.col("vu"))
+    )
+    return q.groupBy("event_type").agg(
+        F.any_value("n").cast("long").alias("n_total"),
+        F.any_value("cut").cast("long").alias("cut_per_tail"),
+        F.round(F.sum("vu") / F.lit(1e3) / F.any_value("n"), 6).alias(
+            "raw_mean"
+        ),
+        F.round(
+            (
+                F.sum(F.when(kept, F.col("vu")).otherwise(0))
+                + F.any_value("cut") * lo
+                + F.any_value("cut") * hi
+            )
+            / F.lit(1e3)
+            / F.any_value("n"),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+# --- Mahalanobis outliers (multivariate complement of the MAD z-score) -----------
+
+_MAHA_TOPK = 20
+
+
+@register(
+    "mahalanobis_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_quantity * 1e3) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(qx) AS BIGINT) // count(*) AS mx,
+             CAST(sum(qy) AS BIGINT) // count(*) AS my
+      FROM q
+    ),
+    c AS (
+      SELECT l_orderkey, l_linenumber, qx - mx AS cx, qy - my AS cy, n
+      FROM q CROSS JOIN m
+    ),
+    s AS (
+      SELECT any_value(n) AS n,
+             CAST(sum(cx) AS BIGINT) AS sx, CAST(sum(cy) AS BIGINT) AS sy,
+             CAST(sum(cx * cx) AS BIGINT) AS sxx,
+             CAST(sum(cy * cy) AS BIGINT) AS syy,
+             CAST(sum(cx * cy) AS BIGINT) AS sxy
+      FROM c
+    ),
+    v AS (
+      SELECT n,
+             sx / CAST(n AS DOUBLE) AS ex, sy / CAST(n AS DOUBLE) AS ey,
+             sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))
+               * (sx / CAST(n AS DOUBLE)) AS vxx,
+             syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE))
+               * (sy / CAST(n AS DOUBLE)) AS vyy,
+             sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))
+               * (sy / CAST(n AS DOUBLE)) AS vxy
+      FROM s
+    ),
+    d AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(
+               (v.vyy * (c.cx - v.ex) * (c.cx - v.ex)
+                - 2 * v.vxy * (c.cx - v.ex) * (c.cy - v.ey)
+                + v.vxx * (c.cy - v.ey) * (c.cy - v.ey))
+               / (v.vxx * v.vyy - v.vxy * v.vxy) * 1e6) AS BIGINT) AS d2u
+      FROM c CROSS JOIN v
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        ORDER BY d2u DESC, l_orderkey ASC, l_linenumber ASC) AS rank
+      FROM d
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(d2u / 1e6, 6) AS d2
+    FROM r WHERE rank <= {_MAHA_TOPK}
+    """,
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_MAHA_TOPK} multivariate outliers by Mahalanobis distance
+    over (l_quantity, l_extendedprice) — the correlation-aware
+    complement of the univariate MAD z-score (`outlier_mad_robust_
+    zscore`): a point can sit inside both marginal ranges yet be far
+    from the joint distribution, and d² = (x−μ)ᵀΣ⁻¹(x−μ) with the 2×2
+    covariance inverted in closed form is exactly that screen. Two
+    passes: integer rough-centering (floor of the quantized mean, so
+    every residual and the five sufficient statistics stay exact
+    int64 at sf0.1 magnitudes), then per-row d² in doubles over those
+    exact integers with an identical expression tree in both engines;
+    ranking is on the microunit-quantized d².
+
+    Scale shape: two map-side aggregates (the 1-row stats frames
+    broadcast back), one scalar projection, TakeOrdered top-k — the
+    raw table is never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 1e3).cast("long").alias("qx"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("qy"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(qx) div count(*)").alias("mx"),
+        F.expr("sum(qy) div count(*)").alias("my"),
+    )
+    c = li.join(F.broadcast(m)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("qx") - F.col("mx")).alias("cx"),
+        (F.col("qy") - F.col("my")).alias("cy"),
+        "n",
+    )
+    s = c.agg(
+        F.any_value("n").alias("n"),
+        F.sum("cx").alias("sx"),
+        F.sum("cy").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    v = s.select(
+        (F.col("sx") / nd).alias("ex"),
+        (F.col("sy") / nd).alias("ey"),
+        (F.col("sxx") / nd - (F.col("sx") / nd) * (F.col("sx") / nd)).alias(
+            "vxx"
+        ),
+        (F.col("syy") / nd - (F.col("sy") / nd) * (F.col("sy") / nd)).alias(
+            "vyy"
+        ),
+        (F.col("sxy") / nd - (F.col("sx") / nd) * (F.col("sy") / nd)).alias(
+            "vxy"
+        ),
+    )
+    ax = F.col("cx") - F.col("ex")
+    ay = F.col("cy") - F.col("ey")
+    d = c.join(F.broadcast(v)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            (
+                F.col("vyy") * ax * ax
+                - 2 * F.col("vxy") * ax * ay
+                + F.col("vxx") * ay * ay
+            )
+            / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("d2u"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("d2u"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAHA_TOPK)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.round(F.col("d2u") / 1e6, 6).alias("d2"),
+        )
+    )

@@ -498,3 +498,187 @@ def dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_value"),
         )
     )
+
+
+# --- Z-order layout effectiveness (data-skipping audit, layout family) --------
+# Morton interleave of two 6-bit quantized dimensions, written as pure
+# integer arithmetic (div/mod — identical semantics in both engines;
+# bit-shift OPERATORS differ in availability across SQL dialects).
+
+_Z_BITS = 6  # 6 bits per dimension -> 64x64 grid, 12-bit Morton code
+_Z_FILES = 64  # simulated file count per layout
+_Z_LO, _Z_HI = 16, 31  # query box on each quantized dimension (1/16 area)
+_Z_SPARK = " + ".join(
+    f"((qx div {1 << k}) % 2) * {1 << (2 * k + 1)}"
+    f" + ((qy div {1 << k}) % 2) * {1 << (2 * k)}"
+    for k in range(_Z_BITS)
+)
+_Z_DUCK = _Z_SPARK.replace(" div ", " // ")
+
+
+@register(
+    "zorder_file_skipping",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+    ),
+    st AS (
+      SELECT max(l_partkey) AS maxpk, max(l_suppkey) AS maxsk,
+             count(*) AS nrows
+      FROM base
+    ),
+    q AS (
+      SELECT l_orderkey, l_linenumber, nrows,
+             least({(1 << _Z_BITS) - 1},
+                   ((l_partkey - 1) * {1 << _Z_BITS}) // maxpk) AS qx,
+             least({(1 << _Z_BITS) - 1},
+                   ((l_suppkey - 1) * {1 << _Z_BITS}) // maxsk) AS qy
+      FROM base CROSS JOIN st
+    ),
+    z AS (SELECT *, {_Z_DUCK} AS zv FROM q),
+    lin AS (
+      SELECT qx, qy, nrows, row_number() OVER (
+        ORDER BY qx, l_orderkey, l_linenumber) AS rn FROM z
+    ),
+    zo AS (
+      SELECT qx, qy, nrows, row_number() OVER (
+        ORDER BY zv, l_orderkey, l_linenumber) AS rn FROM z
+    ),
+    linf AS (
+      SELECT ((rn - 1) * {_Z_FILES}) // nrows AS f,
+             min(qx) AS mnx, max(qx) AS mxx,
+             min(qy) AS mny, max(qy) AS mxy, count(*) AS c,
+             sum(CASE WHEN qx BETWEEN {_Z_LO} AND {_Z_HI}
+                       AND qy BETWEEN {_Z_LO} AND {_Z_HI}
+                      THEN 1 ELSE 0 END) AS mt
+      FROM lin GROUP BY 1
+    ),
+    zof AS (
+      SELECT ((rn - 1) * {_Z_FILES}) // nrows AS f,
+             min(qx) AS mnx, max(qx) AS mxx,
+             min(qy) AS mny, max(qy) AS mxy, count(*) AS c,
+             sum(CASE WHEN qx BETWEEN {_Z_LO} AND {_Z_HI}
+                       AND qy BETWEEN {_Z_LO} AND {_Z_HI}
+                      THEN 1 ELSE 0 END) AS mt
+      FROM zo GROUP BY 1
+    )
+    SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN mxx >= {_Z_LO} AND mnx <= {_Z_HI}
+                          AND mxy >= {_Z_LO} AND mny <= {_Z_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN mxx >= {_Z_LO} AND mnx <= {_Z_HI}
+                          AND mxy >= {_Z_LO} AND mny <= {_Z_HI}
+                         THEN c ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(mt) AS BIGINT) AS rows_matched
+    FROM linf
+    UNION ALL
+    SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN mxx >= {_Z_LO} AND mnx <= {_Z_HI}
+                          AND mxy >= {_Z_LO} AND mny <= {_Z_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN mxx >= {_Z_LO} AND mnx <= {_Z_HI}
+                          AND mxy >= {_Z_LO} AND mny <= {_Z_HI}
+                         THEN c ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(mt) AS BIGINT) AS rows_matched
+    FROM zof
+    """,
+)
+def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout effectiveness audit — the measurement behind a
+    lakehouse `OPTIMIZE ... ZORDER BY (a, b)` decision: lay lineitem
+    out into {_Z_FILES} equal files two ways (LINEAR = sorted by the
+    first dimension only; ZORDER = sorted by the Morton interleave of
+    both 6-bit-quantized dimensions), record per-file min/max zone
+    maps, and count how many files a 2-D box predicate
+    ([{_Z_LO},{_Z_HI}]² on the 64×64 grid) can SKIP under each
+    layout. Linear sorting prunes perfectly on dimension one and not
+    at all on dimension two; the Morton curve bounds BOTH coordinate
+    ranges within every file, which is why multi-dimensional
+    predicates skip most of a Z-ordered table. The interleave is pure
+    div/mod integer arithmetic (identical across engines — bit-shift
+    OPERATOR syntax is not), file assignment is an exact integer
+    rank formula, and every output is an integer count.
+
+    Scale shape: the layout sort is the honest cost of OPTIMIZE
+    itself (at 100 TB: repartitionByRange on the Z-value + local
+    sort, embarrassingly parallel); the audit aggregates are map-side
+    over file-grain partial stats. The completed layout family:
+    partition pruning (static), DPP (runtime), bucketing (shuffle
+    elimination), salting/AQE (skew), vacuum/compaction
+    (maintenance), Z-order (multi-dimensional skipping)."""
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    st = li.agg(
+        F.max("l_partkey").alias("maxpk"),
+        F.max("l_suppkey").alias("maxsk"),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+    cap = F.lit((1 << _Z_BITS) - 1)
+    q = li.join(F.broadcast(st)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "nrows",
+        F.least(
+            cap, F.expr(f"((l_partkey - 1) * {1 << _Z_BITS}) div maxpk")
+        ).alias("qx"),
+        F.least(
+            cap, F.expr(f"((l_suppkey - 1) * {1 << _Z_BITS}) div maxsk")
+        ).alias("qy"),
+    )
+    z = q.withColumn("zv", F.expr(_Z_SPARK))
+    matched = F.when(
+        F.col("qx").between(_Z_LO, _Z_HI)
+        & F.col("qy").between(_Z_LO, _Z_HI),
+        1,
+    ).otherwise(0)
+    scanned = (
+        (F.col("mxx") >= _Z_LO)
+        & (F.col("mnx") <= _Z_HI)
+        & (F.col("mxy") >= _Z_LO)
+        & (F.col("mny") <= _Z_HI)
+    )
+
+    def one_layout(name: str, order_cols: list) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        files = (
+            z.withColumn("rn", F.row_number().over(w))
+            .withColumn("f", F.expr(f"((rn - 1) * {_Z_FILES}) div nrows"))
+            .groupBy("f")
+            .agg(
+                F.min("qx").alias("mnx"),
+                F.max("qx").alias("mxx"),
+                F.min("qy").alias("mny"),
+                F.max("qy").alias("mxy"),
+                F.count(F.lit(1)).alias("c"),
+                F.sum(matched).alias("mt"),
+            )
+        )
+        return files.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(scanned, 1).otherwise(0))
+            .cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(scanned, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("mt").cast("long").alias("rows_matched"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "n_files",
+            "files_scanned",
+            "rows_scanned",
+            "rows_matched",
+        )
+
+    lin = one_layout(
+        "linear", [F.asc("qx"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    )
+    zo = one_layout(
+        "zorder", [F.asc("zv"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    )
+    return lin.unionByName(zo)
