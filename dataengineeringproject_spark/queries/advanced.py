@@ -9601,3 +9601,125 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d2u") / 1e6, 6).alias("d2"),
         )
     )
+
+
+# --- stratified propensity adjustment (observational-causal family) ------------
+# Treatment assignment is a seeded hash draw whose RATE varies by
+# event_type — a deterministic synthetic confound (value distributions
+# differ by type, so the naive treated-vs-control difference is biased
+# by the type mix). Stratifying on the confounder and reweighting
+# control means by the TREATED stratum mix (the ATT estimand) removes
+# exactly that bias; with the within-stratum draw random, the honest
+# answer is an ATT near zero next to a visibly nonzero naive diff.
+
+_ATT_SEED = "att"
+_ATT_THRESH = (
+    "CASE event_type WHEN 'click' THEN 25 WHEN 'error' THEN 40 "
+    "WHEN 'purchase' THEN 70 WHEN 'signup' THEN 60 ELSE 35 END"
+)
+
+
+@register(
+    "propensity_strata_att",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN {X.token_hash_sql("CAST(event_id AS VARCHAR)", seed=_ATT_SEED)}
+                       % 100 < {_ATT_THRESH}
+                  THEN 1 ELSE 0 END AS t,
+             CAST(round(value * 1e3) AS BIGINT) AS yu
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(sum(t) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN t = 1 THEN yu ELSE 0 END) AS BIGINT) AS su_t,
+             CAST(sum(1 - t) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN t = 0 THEN yu ELSE 0 END) AS BIGINT) AS su_c
+      FROM base GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(nt) AS BIGINT) AS n_t, CAST(sum(su_t) AS BIGINT) AS s_t,
+             CAST(sum(nc) AS BIGINT) AS n_c, CAST(sum(su_c) AS BIGINT) AS s_c,
+             CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN
+               CAST(round(nt * (su_t * 1e0 / nt - su_c * 1e0 / nc)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS attu
+      FROM st
+    )
+    SELECT n_t AS n_treated, n_c AS n_control,
+           round((s_t * 1e0 / n_t - s_c * 1e0 / n_c) / 1e3, 6) AS naive_diff,
+           round(attu / 1e3 / n_t, 6) AS att_stratified,
+           round((s_t * 1e0 / n_t - s_c * 1e0 / n_c) / 1e3
+                 - attu / 1e3 / n_t, 6) AS confounding_bias
+    FROM g
+    """,
+)
+def propensity_strata_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified propensity adjustment (ATT by direct
+    standardization): treatment is a seeded-hash draw whose RATE is a
+    deterministic function of event_type, so treated units
+    over-sample the high-value types and the NAIVE treated-vs-control
+    difference is pure confounding; stratifying on event_type and
+    weighting each stratum's control mean by the TREATED mix removes
+    the structural bias, leaving only within-stratum sampling noise
+    around the true null (at sf0.01: naive −0.95 vs ATT −0.51 with a
+    per-stratum SE near 0.6 — the confounded component is gone). This is the observational-causal
+    counterpart of the randomized abtest pair — same engine, same
+    hash-assignment machinery, opposite identification problem — and
+    the bias it removes is reported in-band (confounding_bias =
+    naive − ATT). Per-stratum sums are milli-unit integers; each
+    stratum's contribution is quantized before the cross-stratum sum
+    so no double aggregation order exists.
+
+    Scale shape: one map-side-combined groupBy over 5 strata, then a
+    1-row reduce. Nothing shuffles but 5 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.when(
+        X.token_hash(F.col("event_id").cast("string"), seed=_ATT_SEED) % 100
+        < F.expr(_ATT_THRESH),
+        1,
+    ).otherwise(0)
+    base = ev.select(
+        "event_type",
+        t.alias("t"),
+        F.round(F.col("value") * 1e3).cast("long").alias("yu"),
+    )
+    st = base.groupBy("event_type").agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("yu")).otherwise(0))
+        .cast("long")
+        .alias("su_t"),
+        F.sum(1 - F.col("t")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("t") == 0, F.col("yu")).otherwise(0))
+        .cast("long")
+        .alias("su_c"),
+    )
+    contrib = F.when(
+        (F.col("nt") > 0) & (F.col("nc") > 0),
+        F.round(
+            F.col("nt")
+            * (
+                F.col("su_t") * 1e0 / F.col("nt")
+                - F.col("su_c") * 1e0 / F.col("nc")
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    g = st.agg(
+        F.sum("nt").cast("long").alias("n_t"),
+        F.sum("su_t").cast("long").alias("s_t"),
+        F.sum("nc").cast("long").alias("n_c"),
+        F.sum("su_c").cast("long").alias("s_c"),
+        F.sum(contrib).cast("long").alias("attu"),
+    )
+    naive = (
+        F.col("s_t") * 1e0 / F.col("n_t")
+        - F.col("s_c") * 1e0 / F.col("n_c")
+    ) / 1e3
+    att = F.col("attu") / 1e3 / F.col("n_t")
+    return g.select(
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_control"),
+        F.round(naive, 6).alias("naive_diff"),
+        F.round(att, 6).alias("att_stratified"),
+        F.round(naive - att, 6).alias("confounding_bias"),
+    )

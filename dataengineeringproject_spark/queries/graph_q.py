@@ -630,3 +630,128 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+# --- link prediction: common neighbors + Adamic-Adar ---------------------------
+
+_LP_TOPK = 30
+
+
+@register(
+    "link_prediction_adamic_adar",
+    oracle=f"""
+    WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS sa, b.l_partkey AS sb
+      FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT sa AS u, sb AS w FROM p
+      UNION ALL SELECT sb, sa FROM p
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1),
+    adjw AS (
+      SELECT adj.u, adj.w,
+             CAST(round(1e9 / ln(deg.d)) AS BIGINT) AS au
+      FROM adj JOIN deg ON deg.node = adj.w
+    ),
+    wedge AS (
+      SELECT a.u AS na, b.u AS nb,
+             count(*) AS cn, CAST(sum(a.au) AS BIGINT) AS aau
+      FROM adjw a JOIN adj b ON a.w = b.w AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.* FROM wedge w
+      LEFT JOIN p ON p.sa = w.na AND p.sb = w.nb
+      WHERE p.sa IS NULL
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        ORDER BY aau DESC, cn DESC, na ASC, nb ASC) AS rank
+      FROM cand
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, na AS node_a, nb AS node_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           round(aau / 1e9, 6) AS adamic_adar
+    FROM r WHERE rank <= {_LP_TOPK}
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-occurrence graph: the
+    top-{_LP_TOPK} NON-adjacent pairs by Adamic-Adar score
+    (Σ 1/ln(deg(w)) over common neighbors w, tie-broken by raw common-
+    neighbor count) — the classic \"which edge appears next\"
+    recommender primitive, and in a catalog graph the \"these two
+    parts co-occur with the same baskets but never together yet\"
+    cross-sell signal. Every common neighbor has degree ≥ 2 by
+    construction (it closes a wedge), so ln(deg) is never zero; each
+    1/ln(deg(w)) is nano-unit-quantized BEFORE the per-pair sum, so
+    scores are exact integers with deterministic ties.
+
+    Scale shape: the wedge enumeration (adjacency self-join on the
+    middle node) is bounded by Σ_w deg(w)² — the same per-basket
+    explosion class as copurchase_lift_pairs/degree_assortativity; at
+    100 TB the standard hub mitigation applies (cap or sample
+    neighbor lists of the top-degree nodes before the wedge join, as
+    the triangle family does). Candidate filtering is one
+    broadcast-able anti-join against the edge list; output is
+    TakeOrdered top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select("l_orderkey", "l_partkey").distinct()
+    a = s.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sa")
+    )
+    b = s.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sb")
+    )
+    p = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
+        .distinct()
+        .cache()
+    )
+    adj = p.select(F.col("sa").alias("u"), F.col("sb").alias("w")).unionAll(
+        p.select(F.col("sb").alias("u"), F.col("sa").alias("w"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    adjw = adj.join(deg, adj["w"] == deg["node"]).select(
+        "u",
+        "w",
+        F.round(1e9 / F.log(F.col("d"))).cast("long").alias("au"),
+    )
+    right = adj.select(F.col("u").alias("nb"), F.col("w").alias("wb"))
+    wedge = (
+        adjw.select(F.col("u").alias("na"), "w", "au")
+        .join(right, F.col("w") == F.col("wb"))
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("au").cast("long").alias("aau"),
+        )
+    )
+    cand = wedge.join(
+        p,
+        (wedge["na"] == p["sa"]) & (wedge["nb"] == p["sb"]),
+        "left_anti",
+    )
+    w = Window.orderBy(
+        F.desc("aau"), F.desc("cn"), F.asc("na"), F.asc("nb")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LP_TOPK)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(F.col("aau") / 1e9, 6).alias("adamic_adar"),
+        )
+    )

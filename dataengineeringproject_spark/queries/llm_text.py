@@ -4229,3 +4229,140 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(acc))
         .select("actual", "predicted", "n", "accuracy")
     )
+
+
+# --- smoothed unigram KL divergence per source (distribution-shift family) -----
+# The token-level distribution-shift measure DSIR importance weights are
+# built on: KL(p_source || p_corpus) with add-one smoothing over the
+# global vocabulary. Every ln is quantized to a micro-unit integer
+# BEFORE any sum (order-independent under any partitioning); the
+# absent-term mass enters through the closed form
+#   sum_absent p0*(ln p0 - ln q(t)) = p0*((V-Vs)*ln p0 - (L_all - L_s))
+# so the |sources| x |vocab| cross product never materializes.
+
+
+@register(
+    "vocab_kl_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS term FROM documents
+    ),
+    sc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    g AS (SELECT term, CAST(sum(c) AS BIGINT) AS gc FROM sc GROUP BY 1),
+    tot AS (
+      SELECT count(*) AS v, CAST(sum(gc) AS BIGINT) AS n FROM g
+    ),
+    gq AS (
+      SELECT term,
+             CAST(round(ln((gc + 1) * 1e0 / (n + v)) * 1e6) AS BIGINT)
+               AS lnq_u
+      FROM g CROSS JOIN tot
+    ),
+    tot2 AS (
+      SELECT any_value(v) AS v, CAST(sum(lnq_u) AS BIGINT) AS l_all
+      FROM gq CROSS JOIN tot
+    ),
+    ns AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY 1
+    ),
+    j AS (
+      SELECT sc.source,
+             CAST(round(((sc.c + 1) * 1e0 / (ns.n_s + tot2.v))
+                        * (ln((sc.c + 1) * 1e0 / (ns.n_s + tot2.v))
+                           - gq.lnq_u / 1e6) * 1e9) AS BIGINT) AS ct,
+             gq.lnq_u
+      FROM sc JOIN gq USING (term) JOIN ns USING (source)
+      CROSS JOIN tot2
+    ),
+    agg AS (
+      SELECT source, CAST(sum(ct) AS BIGINT) AS s1,
+             count(*) AS vs, CAST(sum(lnq_u) AS BIGINT) AS ls
+      FROM j GROUP BY 1
+    )
+    SELECT a.source, ns.n_s AS n_tokens, CAST(a.vs AS BIGINT) AS n_terms,
+           round(a.s1 / 1e9
+                 + (1e0 / (ns.n_s + t.v))
+                   * ((t.v - a.vs) * ln(1e0 / (ns.n_s + t.v))
+                      - (t.l_all - a.ls) / 1e6), 6) AS kl_nats
+    FROM agg a JOIN ns USING (source) CROSS JOIN tot2 t
+    """,
+)
+def vocab_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over add-one-smoothed unigram distributions
+    — the per-SOURCE distribution-shift number the drift family lacks
+    (drift_* watches the VALUE stream; DSIR scores per-DOCUMENT; this
+    ranks whole sources by how far their token mix sits from the
+    corpus mix — the quantity a mixture rebalancing or a "which crawl
+    drifted" forensic reads first). Smoothing runs over the GLOBAL
+    vocabulary, and the absent-term mass folds in through a closed
+    form over per-source integer sums, so nothing |sources|×|vocab|
+    is ever built. Every ln is micro-unit-quantized BEFORE summation
+    (integer sums are partitioning-order-independent); the final
+    per-source combination is a fixed scalar expression.
+
+    Scale shape: the inverted-index aggregate pair ((source,term) then
+    (term)) with map-side combines, one broadcast 1-row vocab frame,
+    one broadcast |sources|-row totals frame. No windows, no
+    all-pairs."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("source", F.explode(X.tokens("text")).alias("term"))
+    sc = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    g = sc.groupBy("term").agg(F.sum("c").cast("long").alias("gc"))
+    tot = g.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("gc").cast("long").alias("n")
+    )
+    gq = g.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "v",
+        F.round(
+            F.log((F.col("gc") + 1) * 1e0 / (F.col("n") + F.col("v"))) * 1e6
+        )
+        .cast("long")
+        .alias("lnq_u"),
+    )
+    tot2 = gq.agg(
+        F.any_value("v").alias("v"),
+        F.sum("lnq_u").cast("long").alias("l_all"),
+    )
+    ns = sc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    p_s = (F.col("c") + 1) * 1e0 / (F.col("n_s") + F.col("v"))
+    j = (
+        sc.join(gq.select("term", "lnq_u"), "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            F.round((p_s * (F.log(p_s) - F.col("lnq_u") / 1e6)) * 1e9)
+            .cast("long")
+            .alias("ct"),
+            "lnq_u",
+        )
+    )
+    agg = j.groupBy("source").agg(
+        F.sum("ct").cast("long").alias("s1"),
+        F.count(F.lit(1)).cast("long").alias("vs"),
+        F.sum("lnq_u").cast("long").alias("ls"),
+    )
+    p0 = 1e0 / (F.col("n_s") + F.col("v"))
+    return (
+        agg.join(ns, "source")
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("vs").alias("n_terms"),
+            F.round(
+                F.col("s1") / 1e9
+                + p0
+                * (
+                    (F.col("v") - F.col("vs")) * F.log(p0)
+                    - (F.col("l_all") - F.col("ls")) / 1e6
+                ),
+                6,
+            ).alias("kl_nats"),
+        )
+    )
