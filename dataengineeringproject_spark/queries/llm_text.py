@@ -4366,3 +4366,142 @@ def vocab_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_nats"),
         )
     )
+
+
+# --- collocations by Dunning log-likelihood ratio (G^2) ------------------------
+# The statistically-calibrated collocation ranking: PMI (token_pmi_pairs)
+# overweights rare pairs (two hapaxes co-occurring once get the maximum
+# score — the known PMI pathology); Dunning's G^2 scores the SAME
+# association through a 2x2 contingency likelihood-ratio test, so
+# high-frequency evidence dominates. Grain is ADJACENT bigrams (the
+# true collocation grain), not PMI's document co-presence.
+
+_LLR_MIN_SUPPORT = 5
+_LLR_TOPK = 25
+
+
+@register(
+    "collocations_llr",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_LTOKS} AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM tokd
+    ),
+    bg AS (
+      SELECT a.w AS w1, c.w AS w2
+      FROM tok a JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+    ),
+    lm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+    rgt AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM lm GROUP BY 1),
+    nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM lm),
+    cells AS (
+      SELECT lm.w1, lm.w2, lm.c12,
+             lm.c12 AS k11, lft.c1 - lm.c12 AS k12,
+             rgt.c2 - lm.c12 AS k21,
+             nn.n - lft.c1 - rgt.c2 + lm.c12 AS k22,
+             lft.c1, rgt.c2, nn.n
+      FROM lm JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN nn
+      WHERE lm.c12 >= {_LLR_MIN_SUPPORT}
+    ),
+    scored AS (
+      SELECT w1, w2, c12,
+             CAST(round(2e0 * (
+               CASE WHEN k11 > 0 THEN k11 * ln(k11 * 1e0 * n
+                 / (c1 * 1e0 * c2)) ELSE 0e0 END
+               + CASE WHEN k12 > 0 THEN k12 * ln(k12 * 1e0 * n
+                 / (c1 * 1e0 * (n - c2))) ELSE 0e0 END
+               + CASE WHEN k21 > 0 THEN k21 * ln(k21 * 1e0 * n
+                 / ((n - c1) * 1e0 * c2)) ELSE 0e0 END
+               + CASE WHEN k22 > 0 THEN k22 * ln(k22 * 1e0 * n
+                 / ((n - c1) * 1e0 * (n - c2))) ELSE 0e0 END
+             ) * 1e6) AS BIGINT) AS g2u
+      FROM cells
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        ORDER BY g2u DESC, w1 ASC, w2 ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
+           CAST(c12 AS BIGINT) AS support, round(g2u / 1e6, 6) AS llr_g2
+    FROM r WHERE rank <= {_LLR_TOPK}
+    """,
+)
+def collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LLR_TOPK} adjacent-bigram collocations by Dunning's
+    log-likelihood ratio (G² over the 2×2 bigram contingency table) —
+    the calibrated companion of `token_pmi_pairs`: PMI maximizes on
+    rare coincidences, G² weighs the evidence MASS, which is why every
+    serious collocation extractor (and the phrase-mining pass of a
+    training-data pipeline) ranks by LLR and only reports PMI as a
+    descriptive column. Marginals derive FROM the bigram table (one
+    aggregate, two tiny re-aggregations — no second corpus pass);
+    each pair's G² is a fixed per-row scalar expression over exact
+    integer cells, micro-unit-quantized for a deterministic total
+    order.
+
+    Scale shape: posexplode → (w1,w2) map-side-combined aggregate
+    (vocab-bounded output), broadcast marginals, TakeOrdered top-k."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(X.tokens(F.lower(F.col("text")))).alias("pos0", "w"),
+    )
+    a = tok.select("doc_id", F.col("pos0").alias("pa"), F.col("w").alias("w1"))
+    c = tok.select("doc_id", F.col("pos0").alias("pc"), F.col("w").alias("w2"))
+    bg = a.join(
+        c, (a["doc_id"] == c["doc_id"]) & (F.col("pc") == F.col("pa") + 1)
+    ).select("w1", "w2")
+    lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lft = lm.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    rgt = lm.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    nn = lm.agg(F.sum("c12").cast("long").alias("n"))
+    cells = (
+        lm.filter(F.col("c12") >= _LLR_MIN_SUPPORT)
+        .join(F.broadcast(lft), "w1")
+        .join(F.broadcast(rgt), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1", "w2", "c12", "c1", "c2", "n",
+            F.col("c12").alias("k11"),
+            (F.col("c1") - F.col("c12")).alias("k12"),
+            (F.col("c2") - F.col("c12")).alias("k21"),
+            (F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")).alias(
+                "k22"
+            ),
+        )
+    )
+
+    def term(k, num, den1, den2):
+        return F.when(
+            k > 0,
+            k * F.log(k * 1e0 * F.col("n") / (den1 * 1e0 * den2)),
+        ).otherwise(F.lit(0e0))
+
+    n_, c1_, c2_ = F.col("n"), F.col("c1"), F.col("c2")
+    g2 = 2e0 * (
+        term(F.col("k11"), None, c1_, c2_)
+        + term(F.col("k12"), None, c1_, n_ - c2_)
+        + term(F.col("k21"), None, n_ - c1_, c2_)
+        + term(F.col("k22"), None, n_ - c1_, n_ - c2_)
+    )
+    scored = cells.select(
+        "w1", "w2", "c12",
+        F.round(g2 * 1e6).cast("long").alias("g2u"),
+    )
+    w = Window.orderBy(F.desc("g2u"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LLR_TOPK)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "w1", "w2",
+            F.col("c12").cast("long").alias("support"),
+            F.round(F.col("g2u") / 1e6, 6).alias("llr_g2"),
+        )
+    )
