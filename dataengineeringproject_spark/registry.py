@@ -129,7 +129,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_lag_delta": 3,
     "window_range_rolling_7d": 3,
     "zscore_per_group": 3,
-    # --- round 4 is the newest green driver row (49 queries)
+    # --- round 4 is the newest green driver row (47 queries)
     "ann_ivf_topk": 4,
     "ann_lsh_topk": 4,
     "bloom_prefilter_join": 4,
@@ -177,7 +177,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "value_quantiles_binned": 4,
     "variant_props_extract": 4,
     "window_rank_family": 4,
-    # --- round 5 is the newest green driver row (50 queries)
+    # --- round 5 is the newest green driver row (47 queries)
     "ann_recall_matryoshka": 5,
     "attribution_first_last_touch": 5,
     "audience_overlap_daily": 5,
@@ -191,6 +191,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "corr_chars_quality_by_source": 5,
     "dedup_cluster_size_histogram": 5,
     "dedup_keep_best_quality": 5,
+    "dedup_semantic": 5,
     "dedup_signal_agreement": 5,
     "domain_centroid_topk": 5,
     "drift_js_binned": 5,
@@ -234,6 +235,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "daily_agg": 7,
     "dedup_chunks_c4": 7,
     "dedup_corpus_materialize": 7,
+    "dedup_incremental_minhash": 7,
     "dedup_keep_first": 7,
     "dedup_threshold_sensitivity": 7,
     "drop_unparseable": 7,
@@ -272,13 +274,104 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "trend_theil_sen": 7,
     "validation_summary": 7,
     "wind_buckets": 7,
+    # --- round 8 is the newest green driver row (50 queries)
+    "abtest_power_analysis": 8,
+    "abtest_two_proportion": 8,
+    "anova_value_by_type": 8,
+    "attribution_position_based": 8,
+    "benford_first_digit": 8,
+    "cardinality_estimate_audit": 8,
+    "ccf_click_purchase": 8,
+    "changepoint_single_split": 8,
+    "corr_matrix_lineitem": 8,
+    "dbscan_clusters": 8,
+    "dbscan_core_points": 8,
+    "design_effect_stratified": 8,
+    "effective_source_count": 8,
+    "event_transition_matrix": 8,
+    "functional_dependency_audit": 8,
+    "hodges_lehmann_daily": 8,
+    "hourly_profile_by_type": 8,
+    "huber_one_step_mean": 8,
+    "hurst_rs_daily": 8,
+    "kendall_tau_daily": 8,
+    "levene_brown_forsythe": 8,
+    "mahalanobis_outliers": 8,
+    "markov_entropy_rate": 8,
+    "morans_i_density": 8,
+    "mv_incremental_refresh": 8,
+    "ohlc_daily_value": 8,
+    "order_total_reconciliation": 8,
+    "out_of_order_audit": 8,
+    "pairwise_mean_diffs": 8,
+    "poisson_dispersion_users": 8,
+    "propensity_strata_att": 8,
+    "quantile_approx_error_audit": 8,
+    "runs_test_daily": 8,
+    "salted_skew_join": 8,
+    "seasonal_decompose_daily": 8,
+    "simpsons_paradox_audit": 8,
+    "skew_report_topkeys": 8,
+    "spatial_neighbor_join": 8,
+    "spearman_rho_daily": 8,
+    "streaming_cdc_scd1_upsert": 8,
+    "streaming_event_transitions": 8,
+    "streaming_value_quantiles_binned": 8,
+    "table_checksum_by_day": 8,
+    "target_encode_loo": 8,
+    "trimmed_mean_value": 8,
+    "twap_daily_value": 8,
+    "wilcoxon_signed_rank_halves": 8,
+    "winsorized_mean_value": 8,
+    "woe_iv_value_bins": 8,
+    "wow_growth_by_type": 8,
 }
 
 
+# Round-9 explicit priority front-list (VERDICT r8 items 1 + 6, ADVICE
+# r8): queries the driver's ~50-query budget MUST reach this round,
+# pinned ahead of the tier sort (the `_PRIORITY_R03` pattern). The two
+# embedding queries have been fixed-and-locally-green since r8 but have
+# never had a green driver row (tier-0 rank 50-51 post-regen — one slot
+# past the budget for a fifth round without this pin); the five
+# ann/kmeans queries changed oracle semantics in r8 (zero-norm guard)
+# and were deleted from _LAST_GREEN_ROUND per the escape-hatch rule;
+# the remainder are the r8 additions the judge/advisor called out as
+# shipping unverified. Retire this list after CORRECTNESS_r09 lands.
+_PRIORITY_R09: list[str] = [
+    "embedding_standardize",
+    "embedding_robust_scale",
+    "ann_ivf_trained_topk",
+    "ann_recall_trained_ivf",
+    "ann_ivfpq_topk",
+    "ann_recall_trained_ivfpq",
+    "kmeans_cluster_stats",
+    "link_prediction_adamic_adar",
+    "vocab_kl_by_source",
+    "collocations_llr",
+    "zorder_file_skipping",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "dp_noisy_counts_by_source",
+    "training_data_build_e2e",
+    "streaming_dedup_incremental_minhash",
+    "dedup_substring_exact",
+    "knn_classifier_eval",
+]
+_PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_R09)}
+
+
 def _sweep_order(names: list[str]) -> list[str]:
-    """Never-checked / changed-semantics queries first, then stalest
-    green driver rows first; registration order within each tier."""
-    return sorted(names, key=lambda n: _LAST_GREEN_ROUND.get(n, 0))
+    """Pinned priority queries first (in list order), then never-checked
+    / changed-semantics queries, then stalest green driver rows first;
+    registration order within each tier."""
+    return sorted(
+        names,
+        key=lambda n: (
+            _PRIORITY_RANK.get(n, len(_PRIORITY_R09)),
+            _LAST_GREEN_ROUND.get(n, 0),
+        ),
+    )
 
 
 def register(
