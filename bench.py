@@ -208,6 +208,7 @@ HEADLINE = [
     "naive_bayes_lang_confusion",
     "ridge_two_feature",
     "knn_classifier_eval",
+    "knn_classifier_eval_lsh",
     "markov_entropy_rate",
     "poisson_dispersion_users",
     "effective_source_count",

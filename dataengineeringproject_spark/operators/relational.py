@@ -146,3 +146,45 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
     return f.join(d, on + ["__salt"], how).drop("__salt")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    out: str = "rn",
+) -> DataFrame:
+    """Distributed global 1-based row_number over a TOTAL ordering —
+    the scalable replacement for `Window.orderBy(...)` with no
+    partitionBy, which funnels the whole table through one task.
+
+    Shape (the classic zipWithIndex decomposition, DataFrame-only):
+    repartitionByRange on the ordering key so ranges are disjoint and
+    ordered; row_number WITHIN each range (parallel, bounded by the
+    range size); per-range counts (tiny: one row per partition)
+    prefix-summed into start offsets and broadcast back. Because the
+    ranges partition the key space in order, `offset + local rank`
+    equals the single-window global rank exactly — provided
+    `order_cols` is a total order (tie-break to uniqueness; equal keys
+    may straddle a range boundary and would be numbered arbitrarily).
+
+    Two shuffles (range + the window's hash on partition id) and one
+    broadcast, all parallel; no stage sees more than one range.
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, F.col("__off") + F.col("__lrn"))
+        .drop("__pid", "__lrn", "__off")
+    )

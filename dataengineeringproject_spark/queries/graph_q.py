@@ -656,6 +656,7 @@ _LP_TOPK = 30
       SELECT adj.u, adj.w,
              CAST(round(1e9 / ln(deg.d)) AS BIGINT) AS au
       FROM adj JOIN deg ON deg.node = adj.w
+      WHERE deg.d >= 2
     ),
     wedge AS (
       SELECT a.u AS na, b.u AS nb,
@@ -686,10 +687,14 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor count) — the classic \"which edge appears next\"
     recommender primitive, and in a catalog graph the \"these two
     parts co-occur with the same baskets but never together yet\"
-    cross-sell signal. Every common neighbor has degree ≥ 2 by
-    construction (it closes a wedge), so ln(deg) is never zero; each
-    1/ln(deg(w)) is nano-unit-quantized BEFORE the per-pair sum, so
-    scores are exact integers with deterministic ties.
+    cross-sell signal. Degree-1 middles are filtered out BEFORE the
+    1/ln(deg) weight is computed (ADVICE r8: a degree-1 node can never
+    close a wedge, but evaluating ln(1)=0 on its adjacency rows made
+    Spark emit Infinity→Long.MaxValue where DuckDB emits NULL — benign
+    only until ANSI mode or a reuse of adjw), so the deg ≥ 2 invariant
+    is structural in BOTH engines; each 1/ln(deg(w)) is
+    nano-unit-quantized BEFORE the per-pair sum, so scores are exact
+    integers with deterministic ties.
 
     Scale shape: the wedge enumeration (adjacency self-join on the
     middle node) is bounded by Σ_w deg(w)² — the same per-basket
@@ -720,7 +725,9 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    adjw = adj.join(deg, adj["w"] == deg["node"]).select(
+    adjw = adj.join(
+        deg.filter(F.col("d") >= 2), adj["w"] == deg["node"]
+    ).select(
         "u",
         "w",
         F.round(1e9 / F.log(F.col("d"))).cast("long").alias("au"),

@@ -4477,7 +4477,7 @@ def collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def term(k, num, den1, den2):
+    def term(k, den1, den2):
         return F.when(
             k > 0,
             k * F.log(k * 1e0 * F.col("n") / (den1 * 1e0 * den2)),
@@ -4485,10 +4485,10 @@ def collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_, c1_, c2_ = F.col("n"), F.col("c1"), F.col("c2")
     g2 = 2e0 * (
-        term(F.col("k11"), None, c1_, c2_)
-        + term(F.col("k12"), None, c1_, n_ - c2_)
-        + term(F.col("k21"), None, n_ - c1_, c2_)
-        + term(F.col("k22"), None, n_ - c1_, n_ - c2_)
+        term(F.col("k11"), c1_, c2_)
+        + term(F.col("k12"), c1_, n_ - c2_)
+        + term(F.col("k21"), n_ - c1_, c2_)
+        + term(F.col("k22"), n_ - c1_, n_ - c2_)
     )
     scored = cells.select(
         "w1", "w2", "c12",

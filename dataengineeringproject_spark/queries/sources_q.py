@@ -599,15 +599,19 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPERATOR syntax is not), file assignment is an exact integer
     rank formula, and every output is an integer count.
 
-    Scale shape: the layout sort is the honest cost of OPTIMIZE
-    itself (at 100 TB: repartitionByRange on the Z-value + local
-    sort, embarrassingly parallel); the audit aggregates are map-side
-    over file-grain partial stats. The completed layout family:
+    Scale shape: file assignment runs through the DISTRIBUTED global
+    rank (operators/relational.global_row_number: repartitionByRange
+    on the layout key + per-range row_number + broadcast prefix
+    offsets — ADVICE r8 closed; no single-task Window.orderBy), so
+    the layout sort is the honest, embarrassingly-parallel cost of
+    OPTIMIZE itself; the audit aggregates are map-side over
+    file-grain partial stats. The completed layout family:
     partition pruning (static), DPP (runtime), bucketing (shuffle
     elimination), salting/AQE (skew), vacuum/compaction
     (maintenance), Z-order (multi-dimensional skipping)."""
-    from pyspark.sql import Window
-
+    from dataengineeringproject_spark.operators.relational import (
+        global_row_number,
+    )
     from dataengineeringproject_spark.schemas import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -644,9 +648,8 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def one_layout(name: str, order_cols: list) -> DataFrame:
-        w = Window.orderBy(*order_cols)
         files = (
-            z.withColumn("rn", F.row_number().over(w))
+            global_row_number(z, order_cols, "rn")
             .withColumn("f", F.expr(f"((rn - 1) * {_Z_FILES}) div nrows"))
             .groupBy("f")
             .agg(

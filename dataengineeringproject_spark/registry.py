@@ -357,6 +357,7 @@ _PRIORITY_R09: list[str] = [
     "streaming_dedup_incremental_minhash",
     "dedup_substring_exact",
     "knn_classifier_eval",
+    "knn_classifier_eval_lsh",
 ]
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_R09)}
 
