@@ -612,6 +612,125 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- document-level release gate (PII + quality + dedup composed) -------------
+
+_GATE_PII_MOD = 7     # every 7th doc gets the injected PII suffix
+_GATE_DUP_TOKS = 3    # exact-dup key = first 3 tokens (collides on synth)
+
+
+def _gate_oracle() -> str:
+    from dataengineeringproject_spark.queries.curation import _FUNNEL_SQL
+
+    toks = X.tokens_sql("text")
+    pii_total = " + ".join(
+        f"({_PII_COUNTS_SQL[k]})" for k in ("email", "ipv4", "phone")
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % {_GATE_PII_MOD} = 0
+                  THEN text || {_PII_SUFFIX_SQL} ELSE text END AS text
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN {pii_total} > 0 THEN 1 ELSE 0 END AS has_pii,
+             {_FUNNEL_SQL} AS reason,
+             md5(array_to_string(({toks})[1:{_GATE_DUP_TOKS}], ' '))
+               AS dupkey
+      FROM t
+    ),
+    k AS (SELECT dupkey, min(doc_id) AS keeper
+          FROM g WHERE reason = 'pass' GROUP BY 1),
+    s AS (
+      SELECT g.source,
+             CASE WHEN g.reason <> 'pass' THEN g.reason
+                  WHEN g.doc_id <> k.keeper THEN 'exact_dup'
+                  ELSE 'admitted' END AS status,
+             g.n_chars, g.has_pii
+      FROM g LEFT JOIN k USING (dupkey)
+    )
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_pii) AS BIGINT) AS n_pii_redacted,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register("corpus_release_gate_e2e", oracle=_gate_oracle())
+def corpus_release_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-level RELEASE GATE (VERDICT r8 item 9): the three
+    curation controls this engine already ships — PII scrubbing
+    (`pii_redact`), first-failing-rule quality attribution
+    (`quality_filter_funnel`'s shared `_funnel_reason`), and
+    keep-first exact dedup (`dedup_exact`'s min-id rule on a prefix
+    fingerprint) — composed into ONE end-to-end per-source admission
+    report, the artifact a data-release review actually signs off on.
+    Stage order is the contract: quality reject wins over dup reject;
+    PII is redacted (counted), never a rejection. The deterministic
+    PII suffix is injected on every {_GATE_PII_MOD}th doc (same
+    fixture trick as `pii_redact`) so both the redact and clean paths
+    are exercised; the dup key is the first-{_GATE_DUP_TOKS}-token
+    md5 so the synthetic corpus genuinely collides.
+
+    Scale shape: PII counts and the funnel reason are codegen'd
+    per-row projections (zero shuffle); the dup-keeper aggregate is
+    one hash shuffle on the fingerprint, map-side combined, and the
+    keeper join runs on that same key so the aggregate's output
+    partitioning is reused; the final per-source rollup is tiny. At
+    100 TB each stage is exactly the production shape already proven
+    by its standalone query."""
+    from dataengineeringproject_spark.queries.curation import (
+        _funnel_reason,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % _GATE_PII_MOD == 0,
+            F.concat(F.col("text"), *_pii_suffix_spark()),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = X.pii_counts("text")
+    pii_total = counts["email"] + counts["ipv4"] + counts["phone"]
+    g = t.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(pii_total > 0, 1).otherwise(0).alias("has_pii"),
+        _funnel_reason().alias("reason"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(X.tokens("text"), 1, _GATE_DUP_TOKS)
+            )
+        ).alias("dupkey"),
+    )
+    k = (
+        g.filter(F.col("reason") == "pass")
+        .groupBy("dupkey")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    s = g.join(k, "dupkey", "left").select(
+        "source",
+        F.when(F.col("reason") != "pass", F.col("reason"))
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("exact_dup"))
+        .otherwise(F.lit("admitted"))
+        .alias("status"),
+        "n_chars",
+        "has_pii",
+    )
+    return s.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("has_pii").cast("long").alias("n_pii_redacted"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+
+
 # --- TF-IDF top terms --------------------------------------------------------
 
 _TFIDF_K = 3
