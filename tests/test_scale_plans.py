@@ -454,3 +454,75 @@ def test_dpp_join_prune_injects_dynamic_pruning(spark):
     this disappears, the join silently reads every partition."""
     plan = _physical_plan(spark, "dpp_join_prune")
     assert "dynamicpruning" in plan, plan
+
+
+def test_knn_lsh_twin_no_all_pairs(spark):
+    """knn_classifier_eval_lsh is the scalable twin of the
+    (diagnostic-tagged) exact kNN eval: candidates come from the LSH
+    bucket equi-join, so the plan must contain no nested-loop /
+    cartesian shape over RAW data — the all-pairs test x train
+    scoring is exactly what the twin exists to avoid (VERDICT r8
+    item 2). The final 1-row x 1-row scalar combine (n_test x stats)
+    legitimately prints as a BroadcastNestedLoopJoin; it is allowed
+    iff every scan beneath it passes through a global aggregate
+    first, i.e. both sides are single-row frames."""
+    plan = _physical_plan(spark, "knn_classifier_eval_lsh")
+    assert "CartesianProduct" not in plan, plan
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        d = _depth(ln)
+        agg_depths: list[int] = []
+        for nxt in lines[i + 1:]:
+            nd = _depth(nxt)
+            if nd <= d:
+                break
+            agg_depths = [a for a in agg_depths if a < nd]
+            if _AGG_RE.search(nxt):
+                agg_depths.append(nd)
+            if "Scan parquet" in nxt and not agg_depths:
+                raise AssertionError(
+                    f"nested-loop join over un-aggregated scan:\n{ln}\n{plan}"
+                )
+
+
+def test_zorder_no_unpartitioned_raw_window(spark):
+    """zorder_file_skipping's file assignment runs through the
+    distributed global_row_number (repartitionByRange + per-range
+    row_number + broadcast prefix offsets — ADVICE r8): every Window
+    in the plan must be partitioned (`windowspartitionspec` wouldn't
+    print, but a single-partition window prints `Window [...], [...
+    ASC NULLS FIRST]` with NO partition spec and, decisively, is fed
+    by a global `Sort [... ] true` + single-partition Exchange over
+    the raw scan). We pin the structural property: no
+    `Exchange SinglePartition` feeding a Window over the raw table —
+    the only SinglePartition exchanges allowed are over aggregated
+    (post-HashAggregate) frames."""
+    plan = _physical_plan(spark, "zorder_file_skipping")
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = _depth(ln)
+        agg_seen = False
+        for nxt in lines[i + 1:]:
+            nd = _depth(nxt)
+            if nd <= d:
+                break
+            if _AGG_RE.search(nxt):
+                agg_seen = True
+            if "Scan parquet" in nxt and not agg_seen:
+                raise AssertionError(
+                    f"SinglePartition exchange over raw scan:\n{ln}\n{plan}"
+                )
+
+
+def test_release_gate_keeper_join_reuses_agg_partitioning(spark):
+    """corpus_release_gate_e2e: PII counts + funnel reason are
+    projections (no shuffle), the dup-keeper aggregate and its join
+    share the dupkey partitioning, and nothing in the plan goes
+    nested-loop / cartesian."""
+    plan = _physical_plan(spark, "corpus_release_gate_e2e")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
