@@ -119,7 +119,10 @@ def test_diagnostic_scale_class_metadata():
     is an anchored all-pairs non-equi join); everything else defaults
     to "scalable". bench.py surfaces the diagnostic set in its JSON
     output. The ann_recall_* family is NOT here by design: its truth
-    side is anchor-bounded O(|Q|·n) (see their docstrings)."""
+    side is anchor-bounded O(|Q|·n) (see their docstrings).
+    knn_classifier_eval joined in round 9 (VERDICT r8 item 2: its
+    test x train dimension-keyed join is all-pairs; the scalable
+    LSH-bucket twin is knn_classifier_eval_lsh)."""
     classes = registry.scale_classes()
     diagnostic = {n for n, c in classes.items() if c == "diagnostic"}
     assert diagnostic == {
@@ -127,6 +130,7 @@ def test_diagnostic_scale_class_metadata():
         "drift_ks_value",
         "fuzzy_pairs_levenshtein",
         "fuzzy_recall_blocked",
+        "knn_classifier_eval",
     }
     assert set(classes) == set(registry.queries())
     assert set(classes.values()) <= {"scalable", "diagnostic"}
