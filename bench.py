@@ -209,6 +209,8 @@ HEADLINE = [
     "ridge_two_feature",
     "knn_classifier_eval",
     "knn_classifier_eval_lsh",
+    "corpus_release_gate_e2e",
+    "zorder_file_skipping",
     "markov_entropy_rate",
     "poisson_dispersion_users",
     "effective_source_count",
