@@ -635,6 +635,17 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- link prediction: common neighbors + Adamic-Adar ---------------------------
 
 _LP_TOPK = 30
+# Per-middle wedge fan-in cap: only the first _AA_MIDCAP neighbors
+# (by node id — deterministic, the stand-in for a strength-ranked cap)
+# of each middle participate in wedge enumeration, bounding the wedge
+# join at |V| * cap^2 rows STRUCTURALLY. Without it the co-occurrence
+# graph's flat ~120 average degree makes sum(deg^2) = 298M wedge rows
+# at sf0.1 (measured) — 125x the input, an OOM on the driver's 1g
+# vanilla heap and a shuffle wall at any scale. True degree still
+# feeds the 1/ln(deg) weight; the cap only limits which adjacency
+# rows enumerate wedges (the standard neighbor-list cap of item-item
+# CF / the triangle family).
+_AA_MIDCAP = 32
 
 
 @register(
@@ -652,16 +663,22 @@ _LP_TOPK = 30
       UNION ALL SELECT sb, sa FROM p
     ),
     deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1),
+    adjc AS (
+      SELECT u, w FROM (
+        SELECT u, w, row_number() OVER (
+          PARTITION BY w ORDER BY u ASC) AS rn
+        FROM adj) WHERE rn <= {_AA_MIDCAP}
+    ),
     adjw AS (
-      SELECT adj.u, adj.w,
+      SELECT adjc.u, adjc.w,
              CAST(round(1e9 / ln(deg.d)) AS BIGINT) AS au
-      FROM adj JOIN deg ON deg.node = adj.w
+      FROM adjc JOIN deg ON deg.node = adjc.w
       WHERE deg.d >= 2
     ),
     wedge AS (
       SELECT a.u AS na, b.u AS nb,
              count(*) AS cn, CAST(sum(a.au) AS BIGINT) AS aau
-      FROM adjw a JOIN adj b ON a.w = b.w AND a.u < b.u
+      FROM adjw a JOIN adjc b ON a.w = b.w AND a.u < b.u
       GROUP BY 1, 2
     ),
     cand AS (
@@ -697,13 +714,16 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers with deterministic ties.
 
     Scale shape: the wedge enumeration (adjacency self-join on the
-    middle node) is bounded by Σ_w deg(w)² — the same per-basket
-    explosion class as copurchase_lift_pairs/degree_assortativity; at
-    100 TB the standard hub mitigation applies (cap or sample
-    neighbor lists of the top-degree nodes before the wedge join, as
-    the triangle family does). Candidate filtering is one
-    broadcast-able anti-join against the edge list; output is
-    TakeOrdered top-k."""
+    middle node) is bounded STRUCTURALLY at |V|·{_AA_MIDCAP}² rows by
+    the per-middle fan-in cap (see _AA_MIDCAP: the uncapped
+    Σ_w deg(w)² is 298M wedge rows at sf0.1 on this flat-degree
+    co-occurrence graph — measured OOM on a 1g vanilla heap; the cap
+    is the same neighbor-list truncation item-item CF and the
+    triangle family use, deterministic and identical in the oracle).
+    The capped scores are the documented approximation of full AA —
+    true degree still feeds every 1/ln(deg) weight. Candidate
+    filtering is one anti-join against the edge list; output is a
+    WindowGroupLimit-pruned top-k."""
     li = load_table(spark, sf_dir, "lineitem")
     s = li.select("l_orderkey", "l_partkey").distinct()
     a = s.select(
@@ -725,14 +745,20 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    adjw = adj.join(
-        deg.filter(F.col("d") >= 2), adj["w"] == deg["node"]
+    wcap = Window.partitionBy("w").orderBy(F.asc("u"))
+    adjc = (
+        adj.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _AA_MIDCAP)
+        .drop("rn")
+    )
+    adjw = adjc.join(
+        deg.filter(F.col("d") >= 2), adjc["w"] == deg["node"]
     ).select(
         "u",
         "w",
         F.round(1e9 / F.log(F.col("d"))).cast("long").alias("au"),
     )
-    right = adj.select(F.col("u").alias("nb"), F.col("w").alias("wb"))
+    right = adjc.select(F.col("u").alias("nb"), F.col("w").alias("wb"))
     wedge = (
         adjw.select(F.col("u").alias("na"), "w", "au")
         .join(right, F.col("w") == F.col("wb"))
