@@ -169,9 +169,25 @@ def global_row_number(
 
     Two shuffles (range + the window's hash on partition id) and one
     broadcast, all parallel; no stage sees more than one range.
+
+    The range-partitioned frame is MATERIALIZED once (localCheckpoint)
+    before fan-out, and correctness depends on it: the local-rank and
+    the count/offset branches both consume it, and RangePartitioner
+    picks its boundaries by SAMPLING — if the two branches each
+    re-evaluate the exchange (ReuseExchange can fail to canonicalize
+    subtrees containing their own broadcast joins — observed on
+    zorder_file_skipping's intermediate at sf0.1: 343,924/600,000
+    ranks wrong), they sample DIFFERENT boundaries and the offsets no
+    longer describe the partitioning the ranks were computed in. The
+    checkpoint pins one evaluation, same as RDD zipWithIndex's
+    internal job. At cluster scale swap localCheckpoint for a durable
+    checkpoint/persist — this operator is the explicit
+    materialization cost of OPTIMIZE-style layout jobs.
     """
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w_local))

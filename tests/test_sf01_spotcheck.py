@@ -35,6 +35,17 @@ SPOT = [
     "ann_ivfpq_topk",
     "jaccard_prefix_filter_join",
     "profile_table",
+    # r9 slice: the capped wedge enumeration (the per-middle fan-in
+    # cap only bites at bench scale — sf0.001 never hits it), the LSH
+    # kNN twin (bucket join + two windows under AQE), the composed
+    # release gate (keeper join must reuse the dupkey partitioning),
+    # the distributed global rank (range-partition boundaries move
+    # with data), and the gram-keyed substring dedup (explode-heavy).
+    "link_prediction_adamic_adar",
+    "knn_classifier_eval_lsh",
+    "corpus_release_gate_e2e",
+    "zorder_file_skipping",
+    "dedup_substring_exact",
 ]
 
 
