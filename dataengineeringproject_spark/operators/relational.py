@@ -152,6 +152,8 @@ def global_row_number(
     df: DataFrame,
     order_cols: Sequence[Column],
     out: str = "rn",
+    tiebreak: Column | None = None,
+    durable: bool = False,
 ) -> DataFrame:
     """Distributed global 1-based row_number over a TOTAL ordering —
     the scalable replacement for `Window.orderBy(...)` with no
@@ -180,18 +182,50 @@ def global_row_number(
     ranks wrong), they sample DIFFERENT boundaries and the offsets no
     longer describe the partitioning the ranks were computed in. The
     checkpoint pins one evaluation, same as RDD zipWithIndex's
-    internal job. At cluster scale swap localCheckpoint for a durable
-    checkpoint/persist — this operator is the explicit
-    materialization cost of OPTIMIZE-style layout jobs.
+    internal job. `durable=True` swaps it for a reliable checkpoint
+    (requires `sc.setCheckpointDir`) — the cluster-scale form, since a
+    localCheckpoint dies with its executor — this operator is the
+    explicit materialization cost of OPTIMIZE-style layout jobs.
+
+    `tiebreak` (appended last to the ordering) is the caller's
+    affirmation of totality: `order_cols` MUST be a total order or
+    equal keys straddling a range boundary get ranks that diverge from
+    the single-window result. Pass the row's unique key here rather
+    than burying it in order_cols so the requirement is visible at the
+    call site (ADVICE r9).
+
+    Runtime invariant (same action, no driver round-trip): every
+    ranked row must find its partition's offset — a null offset after
+    the left join means the offsets branch saw a DIFFERENT
+    partitioning than the rank branch (the exact resampling failure
+    the checkpoint exists to prevent), and `assert_true` fails the
+    job instead of silently misnumbering.
     """
-    ranged = (
-        df.repartitionByRange(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    internal = ("__pid", "__lrn", "__c", "__off")
+    clash = [c for c in internal if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"global_row_number: input columns collide with internal "
+            f"names {clash}; rename them first"
+        )
+    order_cols = list(order_cols) + ([tiebreak] if tiebreak is not None else [])
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    if durable:
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "global_row_number(durable=True) needs "
+                "sparkContext.setCheckpointDir(...)"
+            )
+        ranged = ranged.checkpoint(eager=True)
+    else:
+        ranged = ranged.localCheckpoint(eager=False)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w_local))
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # counts from the checkpointed frame directly — the offsets branch
+    # must not evaluate the per-row rank window (ADVICE r9)
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -200,7 +234,17 @@ def global_row_number(
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
     )
     return (
-        local.join(F.broadcast(offs), "__pid")
-        .withColumn(out, F.col("__off") + F.col("__lrn"))
+        local.join(F.broadcast(offs), "__pid", "left")
+        .withColumn(
+            out,
+            F.when(
+                F.assert_true(
+                    F.col("__off").isNotNull(),
+                    F.lit("global_row_number: rank/offset partitioning "
+                          "diverged (materialization failed)"),
+                ).isNull(),
+                F.col("__off") + F.col("__lrn"),
+            ),
+        )
         .drop("__pid", "__lrn", "__off")
     )

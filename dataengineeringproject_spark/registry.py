@@ -325,41 +325,91 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "winsorized_mean_value": 8,
     "woe_iv_value_bins": 8,
     "wow_growth_by_type": 8,
+    # --- round 9 is the newest green driver row (50 queries)
+    "ann_ivf_trained_topk": 9,
+    "ann_ivfpq_topk": 9,
+    "ann_recall_trained_ivf": 9,
+    "ann_recall_trained_ivfpq": 9,
+    "association_rules_topk": 9,
+    "collocations_llr": 9,
+    "corpus_release_gate_e2e": 9,
+    "corpus_similarity_minhash": 9,
+    "decision_stump_quality": 9,
+    "dedup_cross_source_matrix": 9,
+    "dedup_substring_exact": 9,
+    "degree_assortativity": 9,
+    "dp_noisy_counts_by_source": 9,
+    "embedding_robust_scale": 9,
+    "embedding_standardize": 9,
+    "epoch_shuffle_manifest": 9,
+    "frequent_itemsets_triples": 9,
+    "graph_khop_reach": 9,
+    "hash_uniformity_audit": 9,
+    "heaps_law_vocab_growth": 9,
+    "inverted_index_postings": 9,
+    "k_anonymity_audit": 9,
+    "kmeans_cluster_stats": 9,
+    "knn_classifier_eval": 9,
+    "knn_classifier_eval_lsh": 9,
+    "l_diversity_audit": 9,
+    "link_prediction_adamic_adar": 9,
+    "mcnemar_quality_signals": 9,
+    "minhash_estimator_calibration": 9,
+    "mixture_budget_sample": 9,
+    "oov_rate_by_source": 9,
+    "pareto_front_quality_length": 9,
+    "qlm_dirichlet_topk": 9,
+    "quality_auc_null_calibration": 9,
+    "quality_confusion_matrix": 9,
+    "quality_score_auc": 9,
+    "quality_scoring_rules": 9,
+    "quality_stupid_backoff_nll": 9,
+    "quality_token_budget_curve": 9,
+    "ridge_two_feature": 9,
+    "split_balance_audit": 9,
+    "split_by_user_audit": 9,
+    "split_temporal_audit": 9,
+    "streaming_bm25_stats": 9,
+    "streaming_dedup_incremental_minhash": 9,
+    "streaming_quality_gate": 9,
+    "tokenizer_fertility_by_lang": 9,
+    "training_data_build_e2e": 9,
+    "vocab_kl_by_source": 9,
+    "zorder_file_skipping": 9,
 }
 
 
-# Round-9 explicit priority front-list (VERDICT r8 items 1 + 6, ADVICE
-# r8): queries the driver's ~50-query budget MUST reach this round,
-# pinned ahead of the tier sort (the `_PRIORITY_R03` pattern). The two
-# embedding queries have been fixed-and-locally-green since r8 but have
-# never had a green driver row (tier-0 rank 50-51 post-regen — one slot
-# past the budget for a fifth round without this pin); the five
-# ann/kmeans queries changed oracle semantics in r8 (zero-norm guard)
-# and were deleted from _LAST_GREEN_ROUND per the escape-hatch rule;
-# the remainder are the r8 additions the judge/advisor called out as
-# shipping unverified. Retire this list after CORRECTNESS_r09 lands.
-_PRIORITY_R09: list[str] = [
-    "embedding_standardize",
-    "embedding_robust_scale",
-    "ann_ivf_trained_topk",
-    "ann_recall_trained_ivf",
-    "ann_ivfpq_topk",
-    "ann_recall_trained_ivfpq",
-    "kmeans_cluster_stats",
-    "link_prediction_adamic_adar",
-    "vocab_kl_by_source",
-    "collocations_llr",
-    "zorder_file_skipping",
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "dp_noisy_counts_by_source",
-    "training_data_build_e2e",
-    "streaming_dedup_incremental_minhash",
-    "dedup_substring_exact",
-    "knn_classifier_eval",
-    "knn_classifier_eval_lsh",
+# Round-10 explicit priority front-list (VERDICT r9 item 1): the 19
+# queries registered in earlier rounds that have NEVER had a driver
+# correctness row (all locally green in the full-fleet sf0.01 + sf0.1
+# sweeps; 8 of 19 judge-spot-checked green in r9). Post-regen they are
+# tier 0 anyway, so this pin only makes the sweep order deterministic
+# and audit-proof. _PRIORITY_R09 retired this round per its own
+# comment (all 19 entries green in CORRECTNESS_r09). Retire this list
+# after CORRECTNESS_r10 lands.
+_PRIORITY_R10: list[str] = [
+    "schema_evolution_readback",
+    "bucketed_join_readback",
+    "dpp_join_prune",
+    "pca_variance_explained",
+    "streaming_ivf_index_append",
+    "embedding_pca_project",
+    "split_leakage_embedding",
+    "embedding_outlier_centroid",
+    "ann_mrr_lsh",
+    "embedding_label_separation",
+    "ann_ndcg_lsh",
+    "source_centroid_similarity",
+    "precision_audit_float32",
+    "dim_variance_concentration",
+    "streaming_multimodal_ingest",
+    "chi2_cell_residuals",
+    "readability_scores_by_source",
+    "hapax_ratio_by_source",
+    "naive_bayes_lang_confusion",
 ]
-_PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_R09)}
+_PRIORITY_PINS = _PRIORITY_R10
+_PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 
 
 def _sweep_order(names: list[str]) -> list[str]:
@@ -369,7 +419,7 @@ def _sweep_order(names: list[str]) -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            _PRIORITY_RANK.get(n, len(_PRIORITY_R09)),
+            _PRIORITY_RANK.get(n, len(_PRIORITY_PINS)),
             _LAST_GREEN_ROUND.get(n, 0),
         ),
     )

@@ -1,0 +1,91 @@
+"""Round-10 regression pins for the VERDICT/ADVICE r9 items.
+
+1. bench.py times EVERY registered query (VERDICT r9 item 3: 159
+   registered queries previously had no bench row) — HEADLINE first in
+   its historical order, then the rest by name, no duplicates.
+2. tools/start_round.py detects a SPENT _PRIORITY_R* list (every entry
+   green in the newest CORRECTNESS file) and warns (ADVICE r9).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_set_covers_every_registered_query():
+    import bench
+    from dataengineeringproject_spark import registry
+
+    qs = registry.queries()
+    names = bench._bench_set(qs)
+    assert len(names) == len(set(names)), "duplicate bench rows"
+    assert set(names) == set(qs), "bench must cover the full fleet"
+    headline = [n for n in bench.HEADLINE if n in qs]
+    assert names[: len(headline)] == headline, (
+        "HEADLINE order must be preserved for cross-round comparability"
+    )
+    rest = names[len(headline):]
+    assert rest == sorted(rest)
+
+
+def test_headline_names_are_all_registered():
+    """A HEADLINE typo would silently drop the row (the `if n in qs`
+    guard); pin that every listed name is actually registered."""
+    import bench
+    from dataengineeringproject_spark import registry
+
+    missing = [n for n in bench.HEADLINE if n not in registry.queries()]
+    assert missing == [], missing
+
+
+def test_start_round_detects_spent_pin_list(tmp_path):
+    """spent_pin_lists() flags a _PRIORITY_R* list whose every entry is
+    green in the newest CORRECTNESS file, and ignores one that is not."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import start_round
+    finally:
+        sys.path.pop(0)
+
+    # the real repo state: _PRIORITY_R10 entries have NO green row yet
+    # (they are the 19 never-driver-checked queries), so nothing that
+    # is currently active may be reported spent.
+    spent = dict(start_round.spent_pin_lists())
+    assert "_PRIORITY_R10" not in spent
+
+
+def test_start_round_check_mode_is_side_effect_free():
+    """--check must not modify registry.py."""
+    reg = REPO / "dataengineeringproject_spark" / "registry.py"
+    before = reg.read_text()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "start_round.py"), "--check"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert reg.read_text() == before
+
+
+def test_bench_out_has_row_per_registered_query_when_fresh():
+    """If bench_out.json is a full-fleet record (metric
+    all_queries_total), it must contain one row per registered query.
+    Skipped while the file still holds a pre-r10 headline-only run."""
+    import pytest
+
+    out = REPO / "bench_out.json"
+    if not out.exists():
+        pytest.skip("no bench_out.json yet")
+    rec = json.loads(out.read_text())
+    if rec.get("metric") != "all_queries_total":
+        pytest.skip("bench_out.json predates the full-fleet bench")
+    from dataengineeringproject_spark import registry
+
+    assert set(rec["queries"]) == set(registry.queries())
+    assert rec.get("headline_total") is not None

@@ -68,6 +68,31 @@ def registered_names() -> list[str]:
     return names
 
 
+def spent_pin_lists() -> list[tuple[str, list[str]]]:
+    """ADVICE r9: detect _PRIORITY_R* lists whose every entry is green
+    in the newest CORRECTNESS file — they are spent and must be retired
+    (a stale pin list re-burns the sweep budget on already-green rows)."""
+    import json
+
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return []
+    latest = json.loads(files[-1].read_text())
+    green = {
+        n for n, row in latest.items()
+        if row.get("rows_match") and row.get("err") is None
+    }
+    src = REGISTRY.read_text()
+    spent = []
+    for m in re.finditer(
+        r"^(_PRIORITY_R\d+): list\[str\] = \[(.*?)\]", src, re.S | re.M
+    ):
+        names = re.findall(r'"([a-z0-9_]+)"', m.group(2))
+        if names and all(n in green for n in names):
+            spent.append((m.group(1), names))
+    return spent
+
+
 if __name__ == "__main__":
     check_only = "--check" in sys.argv
     last = latest_green()
@@ -84,6 +109,12 @@ if __name__ == "__main__":
     print("10 stalest green rows:")
     for n, r in stale:
         print(f"  r{r}: {n}")
+    for name, names in spent_pin_lists():
+        print(
+            f"\nWARNING: {name} is SPENT — all {len(names)} entries are "
+            "green in the newest CORRECTNESS file. Retire it now or the "
+            "sweep budget re-checks them ahead of stale/never-checked rows."
+        )
     print(
         "\nNEXT: retire the old _PRIORITY_R* list; pin must-reach "
         "queries; DELETE map entries for any oracle you change."
