@@ -232,25 +232,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """Per-document SimHash over distinct tokens: bit b is 1 when at
     least half the token hashes have bit b set (majority vote with the
     tie going to 1, expressed as 2*ones >= n). Pure array expressions —
-    no explode, no shuffle beyond the final projection."""
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, lambda t: token_hash(t))
-    n = F.size(hashes)
-    def _bit_filter(mask_val: int):
-        # single-arg closure: PySpark reads a 2-param lambda as (elem, idx)
-        return lambda h: h.bitwiseAND(F.lit(mask_val)) != 0
+    no explode, no shuffle.
 
-    bit_terms = []
-    for b in range(bits):
-        mask = F.lit(int(2**b))
-        ones = F.size(F.filter(hashes, _bit_filter(int(2**b))))
-        bit_terms.append(
-            F.when((n > 0) & (ones * 2 >= n), mask).otherwise(F.lit(0))
-        )
+    Physical shape (r10 bench finding): the token-hash array is
+    projected in its OWN select stage so the md5 tokenize+hash subtree
+    is evaluated once per row — referenced from `bits` downstream
+    terms, CollapseProject correctly refuses to inline the non-cheap
+    producer, whereas the old single-select form re-derived it once
+    PER BIT (56x: measured 11.9 s -> 3.6 s at sf0.1). Per-bit majority
+    counts come from ONE aggregate pass over the array (a running
+    `bits`-wide bit-count vector via zip_with) instead of `bits`
+    separate filter scans. Bit-for-bit identical to the old form
+    (arithmetic vs logical shift agree on bit b for b < 63)."""
+    toks = F.array_distinct(tokens(text_col))
+    hashed = df.select(
+        F.col(id_col), F.transform(toks, lambda t: token_hash(t)).alias("__h")
+    )
+    ones = F.expr(
+        f"aggregate(__h, array_repeat(0, {bits}), (acc, x) -> "
+        f"zip_with(acc, transform(sequence(0, {bits - 1}), b -> "
+        f"CAST(shiftright(x, CAST(b AS INT)) & 1 AS INT)), (a, c) -> a + c))"
+    )
+    counted = hashed.select(
+        F.col(id_col), F.size("__h").alias("__n"), ones.alias("__ones")
+    )
+    n = F.col("__n")
+    bit_terms = [
+        F.when((n > 0) & (F.col("__ones")[b] * 2 >= n), F.lit(int(2**b)))
+        .otherwise(F.lit(0))
+        for b in range(bits)
+    ]
     sig = bit_terms[0]
     for t in bit_terms[1:]:
         sig = sig + t
-    return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return counted.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_neardup(
@@ -296,7 +311,19 @@ def signature_neardup(
     # caller's frame already carries a column literally named "simhash"
     # next to sig_col, a rename would create duplicate names and the
     # F.col("simhash") references below would be ambiguous.
-    sig = sig.select(F.col(id_col), F.col(sig_col).alias("simhash"))
+    #
+    # Eager localCheckpoint, load-bearing for COST (r10 bench finding):
+    # both self-join sides consume the signature subtree, and the
+    # repartition barrier below does NOT reliably canonicalize into one
+    # reused exchange (same ReuseExchange failure family as
+    # operators/relational.global_row_number) — without a
+    # materialization the full signature expression (56 popcount terms
+    # over the token-hash array for SimHash; the decode path for
+    # pHash) re-derives once per side per chunk: measured 13-19 s vs
+    # ~1 s at sf0.1. The frame is two columns per doc — at 100 TB this
+    # is the standard tiny persisted signature table, the same
+    # materialize-then-band shape incr_dedup_accept uses.
+    sig = sig.select(F.col(id_col), F.col(sig_col).alias("simhash")).localCheckpoint()
     w = bits // chunks
     mask = (1 << w) - 1
     chunk_structs = [

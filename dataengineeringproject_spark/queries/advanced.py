@@ -413,6 +413,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_join_cogroup",
+    scale_class="diagnostic",
     oracle="""
     WITH purchases AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -122,7 +122,12 @@ def test_diagnostic_scale_class_metadata():
     side is anchor-bounded O(|Q|·n) (see their docstrings).
     knn_classifier_eval joined in round 9 (VERDICT r8 item 2: its
     test x train dimension-keyed join is all-pairs; the scalable
-    LSH-bucket twin is knn_classifier_eval_lsh)."""
+    LSH-bucket twin is knn_classifier_eval_lsh).
+    asof_join_cogroup joined in round 10 (first full-fleet bench: 11 s
+    at sf0.1 — it is the deliberate cogrouped-applyInPandas exhibit of
+    the Pandas-UDF family and crosses the JVM/Arrow boundary per user
+    group; the scalable native twin is asof_join_purchase_click, same
+    oracle)."""
     classes = registry.scale_classes()
     diagnostic = {n for n, c in classes.items() if c == "diagnostic"}
     assert diagnostic == {
@@ -131,6 +136,7 @@ def test_diagnostic_scale_class_metadata():
         "fuzzy_pairs_levenshtein",
         "fuzzy_recall_blocked",
         "knn_classifier_eval",
+        "asof_join_cogroup",
     }
     assert set(classes) == set(registry.queries())
     assert set(classes.values()) <= {"scalable", "diagnostic"}
