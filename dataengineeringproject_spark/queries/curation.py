@@ -1915,6 +1915,98 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-source token-budget sampling (mixture downsample in shuffle order) --
+
+_MIX_SEED = "mix0"
+
+
+@register(
+    "training_mix_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({X.tokens_sql('text')}) AS tok,
+             {X.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=_MIX_SEED + "-order")} AS ho
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, tok,
+             coalesce(sum(tok) OVER (
+               PARTITION BY source ORDER BY ho, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             sum(tok) OVER (PARTITION BY source) AS total_toks
+      FROM t
+    ),
+    a AS (
+      SELECT source, total_toks // 2 AS budget, tok,
+             CASE WHEN cum_before < total_toks // 2 THEN 1 ELSE 0 END
+               AS admitted
+      FROM c
+    )
+    SELECT source,
+           CAST(max(budget) AS BIGINT) AS budget_tokens,
+           CAST(sum(admitted) AS BIGINT) AS n_docs_admitted,
+           CAST(sum(admitted * tok) AS BIGINT) AS n_tokens_admitted
+    FROM a GROUP BY 1
+    """,
+)
+def training_mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture downsampling — the step between the release
+    gate and the epoch manifest in a training-data build: each source
+    gets a token budget (half its corpus here; production plugs in the
+    target-mixture weights) and docs are admitted in the
+    `epoch_shuffle_manifest`-style seeded-hash order until the RUNNING
+    token total before a doc reaches the budget — deterministic,
+    resumable (the admission set is a pure function of the seed), and
+    the boundary doc may overshoot (the standard packing rule, so a
+    budget is never starved by one long doc).
+
+    Scale shape: ONE shuffle on source; the per-source cumulative sum,
+    the per-source total (hence the budget), and the admission flag
+    all come from windows over that one partitioning — no second
+    shuffle, no driver-side totals; the per-source report is tiny. At
+    100 TB per-source order is per-shard order within source exactly
+    like the epoch manifest. Both engines draw the identical order
+    from the seeded md5, so the report value-hashes."""
+    d = _docs(spark, sf_dir)
+    ho = X.token_hash(
+        F.col("doc_id").cast("string"), seed=_MIX_SEED + "-order"
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens("text")).cast("long").alias("tok"),
+        ho.alias("ho"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("ho").asc(), F.col("doc_id").asc()
+    )
+    c = t.select(
+        "source",
+        "tok",
+        F.coalesce(
+            F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.sum("tok").over(Window.partitionBy("source")).alias("total_toks"),
+    )
+    a = c.select(
+        "source",
+        "tok",
+        F.expr("total_toks div 2").alias("budget"),
+        F.when(
+            F.col("cum_before") < F.expr("total_toks div 2"), 1
+        ).otherwise(0).alias("admitted"),
+    )
+    return a.groupBy("source").agg(
+        F.max("budget").cast("long").alias("budget_tokens"),
+        F.sum("admitted").cast("long").alias("n_docs_admitted"),
+        F.sum(F.col("admitted") * F.col("tok"))
+        .cast("long")
+        .alias("n_tokens_admitted"),
+    )
+
+
 # --- differentially-private count release ------------------------------------
 
 _DP_EPS = 0.5

@@ -889,6 +889,135 @@ def streaming_corpus_release_gate(
     return _report(out)
 
 
+# --- NEAR-dup-aware release gate (funnel + LSH clusters + PII composed) ------
+
+
+def _neardup_gate_oracle() -> str:
+    from dataengineeringproject_spark.queries.curation import _FUNNEL_SQL
+
+    pii_counts_p = X.pii_counts_sql("ptext")
+    pii_total = " + ".join(
+        f"({pii_counts_p[k]})" for k in ("email", "ipv4", "phone")
+    )
+    return f"""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id, source, n_chars, text,
+             CASE WHEN doc_id % {_GATE_PII_MOD} = 0
+                  THEN text || {_PII_SUFFIX_SQL} ELSE text END AS ptext
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN {pii_total} > 0 THEN 1 ELSE 0 END AS has_pii,
+             {_FUNNEL_SQL} AS reason
+      FROM t
+    ),
+    pairs AS (SELECT id_a, id_b FROM ({_neardup_sql()}) z),
+    pe AS (
+      SELECT p.id_a, p.id_b FROM pairs p
+      JOIN g ga ON ga.doc_id = p.id_a AND ga.reason = 'pass'
+      JOIN g gb ON gb.doc_id = p.id_b AND gb.reason = 'pass'
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pe
+      UNION SELECT id_b, id_a FROM pe
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM g WHERE reason = 'pass'
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+    s AS (
+      SELECT gg.source,
+             CASE WHEN gg.reason <> 'pass' THEN gg.reason
+                  WHEN gg.doc_id <> comp.component THEN 'near_dup'
+                  ELSE 'admitted' END AS status,
+             gg.n_chars, gg.has_pii
+      FROM g gg LEFT JOIN comp ON comp.doc_id = gg.doc_id
+    )
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_pii) AS BIGINT) AS n_pii_redacted,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register("corpus_release_gate_neardup", oracle=_neardup_gate_oracle())
+def corpus_release_gate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release gate v2 — NEAR-dup aware: the exact gate's prefix
+    fingerprint is replaced by full MinHash+LSH clustering
+    (`dedup_minhash_lsh` pairs -> `connected_components` min-label,
+    both long-verified), so templated paraphrases are rejected too.
+    Composition contract mirrors `corpus_release_gate_e2e`: quality
+    reject (first-failing rule, ORIGINAL text) wins over dup reject;
+    a passing doc whose near-dup cluster keeper (min passing doc_id
+    reachable via pairs whose BOTH endpoints pass) is another doc is
+    `near_dup`; PII is counted on the injected fixture text
+    (`pii_redact`'s trick) and redacted, never a rejection.
+
+    Scale shape: the funnel + PII flags are codegen'd projections
+    (evaluated once — the 5-column per-doc frame is checkpointed and
+    feeds both the edge filter and the final rollup); near-dup pairs
+    are the banded LSH join (never corpus²); the both-pass edge filter
+    is two semi-joins on doc_id; min-label CC iterates on the PAIR
+    list only (|pairs| ≪ |corpus|); the report rollup is tiny. The
+    DuckDB oracle recomputes the cluster keepers with a recursive CTE
+    over identically-filtered edges — full value-hash check."""
+    from dataengineeringproject_spark.operators.graph import (
+        connected_components,
+    )
+    from dataengineeringproject_spark.queries.curation import (
+        _funnel_reason,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        F.when(
+            F.col("doc_id") % _GATE_PII_MOD == 0,
+            F.concat(F.col("text"), *_pii_suffix_spark()),
+        )
+        .otherwise(F.col("text"))
+        .alias("ptext"),
+    )
+    counts = X.pii_counts("ptext")
+    pii_total = counts["email"] + counts["ipv4"] + counts["phone"]
+    g = t.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(pii_total > 0, 1).otherwise(0).alias("has_pii"),
+        _funnel_reason().alias("reason"),
+    ).localCheckpoint()
+    passing = g.filter(F.col("reason") == "pass").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    pe = pairs.join(
+        passing.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(passing.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    comp = connected_components(passing, pe, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    s = g.join(comp, "doc_id", "left").select(
+        "source",
+        F.when(F.col("reason") != "pass", F.col("reason"))
+        .when(F.col("doc_id") != F.col("component"), F.lit("near_dup"))
+        .otherwise(F.lit("admitted"))
+        .alias("status"),
+        "n_chars",
+        "has_pii",
+    )
+    return s.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("has_pii").cast("long").alias("n_pii_redacted"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+
+
 # --- TF-IDF top terms --------------------------------------------------------
 
 _TFIDF_K = 3
