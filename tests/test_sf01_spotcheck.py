@@ -46,6 +46,15 @@ SPOT = [
     "corpus_release_gate_e2e",
     "zorder_file_skipping",
     "dedup_substring_exact",
+    # r10 slice: the streaming admission loop (keeper-index state
+    # crosses micro-batches; arrival-order keeper rule), the near-dup
+    # gate (LSH pairs -> both-pass filter -> iterative CC, all under
+    # AQE re-planning), the rewritten one-pass 56-bit SimHash, and the
+    # budget sampler (two window families over one partitioning).
+    "streaming_corpus_release_gate",
+    "corpus_release_gate_neardup",
+    "dedup_simhash",
+    "training_mix_budget_sample",
 ]
 
 
