@@ -319,8 +319,8 @@ def main() -> None:
         for sf_k in ("0.01", "0.1"):
             registry.prestage(spark, f"{base}/sf{sf_k}")
         raw = {
-            "0.01": _run_headline(spark, qs, f"{base}/sf0.01"),
-            "0.1": _run_headline(spark, qs, f"{base}/sf0.1"),
+            "0.01": _run_headline(spark, qs, f"{base}/sf0.01", _bench_set(qs)),
+            "0.1": _run_headline(spark, qs, f"{base}/sf0.1", _bench_set(qs)),
         }
         ratio = _ratios(raw["0.01"], raw["0.1"])
         per_sf = {
