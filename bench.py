@@ -260,16 +260,17 @@ def _ratios(raw_small: dict[str, float], raw_big: dict[str, float]) -> dict[str,
     }
 
 
-def _emit(payload: dict) -> None:
-    """Persist the FULL record to bench_out.json and print it, then
-    print a SHORT totals-only JSON line LAST. The driver's tail capture
-    is ~2 KB, so the full ~2.2 KB per-query line gets its head clipped
-    and records as unparseable (BENCH_r05/r06/r07 all `parsed: null` —
-    VERDICT r6 item 4 / r7 item 5). The final compact line always fits
-    the capture window; per-query detail lives in bench_out.json and in
-    the (possibly clipped) full line above it."""
+def _emit(payload: dict, fname: str = "bench_out.json") -> None:
+    """Persist the FULL record to `fname` and print it, then print a
+    SHORT totals-only JSON line LAST. The driver's tail capture is
+    ~2 KB, so the full per-query line gets its head clipped and records
+    as unparseable (BENCH_r05/r06/r07 all `parsed: null` — VERDICT r6
+    item 4 / r7 item 5). The final compact line always fits the capture
+    window; per-query detail lives in `fname` and in the (possibly
+    clipped) full line above it. Scale-trend runs write their own file
+    so they never clobber the driver-facing bench_out.json."""
     line = json.dumps(payload, separators=(",", ":"))
-    Path(__file__).resolve().parent.joinpath("bench_out.json").write_text(
+    Path(__file__).resolve().parent.joinpath(fname).write_text(
         line + "\n"
     )
     summary = {
@@ -329,7 +330,8 @@ def main() -> None:
         }
         _emit(
             {"metric": "scale_trend", "unit": "sec",
-             "per_sf": per_sf, "ratio_10x": ratio}
+             "per_sf": per_sf, "ratio_10x": ratio},
+            fname="bench_trend_out.json",
         )
         return
 

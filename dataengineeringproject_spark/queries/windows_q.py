@@ -949,20 +949,49 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "win.start").cast("date").alias("day"),
         )
     )
+    # One materialization of the tiny per-session frame (one row per
+    # session): both exploded join sides consume it, and without the
+    # checkpoint each side re-runs the session_window aggregation over
+    # raw events (the signature_neardup/global_row_number ReuseExchange
+    # failure family).
+    sess = sess.localCheckpoint()
+    # Hour-bucket blocking (r10 scale-trend finding: the original
+    # start-DAY blocking was the fleet's only scalable row at the 10x
+    # linear boundary — Σday-block² grows with daily session VOLUME).
+    # Each session explodes to the hour buckets it spans (gap-bounded
+    # sessions span ~1-2 buckets), sides equi-join on (day, hour), and
+    # each overlapping pair is generated EXACTLY ONCE — in the bucket
+    # containing greatest(st), an hour both sessions necessarily span —
+    # so no post-join distinct. Candidates now scale with CONCURRENT
+    # sessions per hour (the output-bearing set) instead of sessions
+    # per day; the same-start-day convention and every predicate are
+    # unchanged, so the oracle is byte-identical.
+    hours = F.sequence(
+        F.expr("cast(st as long) div 3600"),
+        F.expr("cast(en as long) div 3600"),
+    )
     a = sess.select(
         F.col("day"), F.col("user_id").alias("ua"),
         F.col("st").alias("a_st"), F.col("en").alias("a_en"),
+        F.explode(hours).alias("hb"),
     )
     b = sess.select(
         F.col("day"), F.col("user_id").alias("ub"),
         F.col("st").alias("b_st"), F.col("en").alias("b_en"),
+        F.explode(hours).alias("hb"),
     )
     p = (
-        a.join(b, "day")
+        a.join(b, ["day", "hb"])
         .filter(
             (F.col("ua") < F.col("ub"))
             & (F.col("a_st") < F.col("b_en"))
             & (F.col("b_st") < F.col("a_en"))
+            & (
+                F.col("hb")
+                == F.expr(
+                    "cast(greatest(a_st, b_st) as long) div 3600"
+                )
+            )
         )
         .select(
             "ua", "ub",
