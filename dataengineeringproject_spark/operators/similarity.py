@@ -190,26 +190,41 @@ def assign_nearest(
     )
 
 
+# Hard ceiling on the deterministic centroid sample. Without it the
+# `id % init_mod == 0` rule makes nlist ∝ N, so Lloyd training and list
+# assignment cost N × nlist = N²/init_mod — measured 71.7× on 10× data
+# (r10 scale-trend, tools/make_scale10.py fixture). The cap keeps both
+# linear (N × init_mod·cap): init = the first `cap` sample ids, the
+# static-SQL-expressible form of FAISS's bounded training sample. Every
+# provided testdata sf has max vec_id < 31·256 = 7936, so results are
+# byte-identical below the cap.
+_INIT_CAP = 256
+
+
 def kmeans_centroids(
     vecs: DataFrame,
     id_col: str,
     init_mod: int = 31,
     n_iters: int = 2,
     round_to: int = 6,
+    init_cap: int = _INIT_CAP,
 ) -> DataFrame:
     """Lloyd's k-means over the corpus, fully deterministic so a SQL
-    oracle can replay it: init = corpus sample (id % init_mod == 0),
-    then n_iters of [assign to nearest by rounded cosine → centroid =
+    oracle can replay it: init = corpus sample (id % init_mod == 0,
+    capped to the first init_cap sample ids — see _INIT_CAP), then
+    n_iters of [assign to nearest by rounded cosine → centroid =
     element-wise mean of assigned vectors, rounded]. Clusters that lose
     all members drop out (both engines drop them identically).
 
     Scale posture: each iteration is one broadcast-join assignment plus
     one shuffle keyed by (cid, dim) for the means — no driver collect;
-    centroid count stays ≪ corpus so the broadcast holds at 100 TB.
+    centroid count is STRUCTURALLY ≤ init_cap, so the broadcast holds
+    and training stays linear in the corpus at 100 TB.
     vecs: (id_col, v) → (cid, cv)."""
-    cents = vecs.filter(F.col(id_col) % init_mod == 0).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
+    cents = vecs.filter(
+        (F.col(id_col) % init_mod == 0)
+        & (F.col(id_col) < init_mod * init_cap)
+    ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
     for _ in range(n_iters):
         assign = assign_nearest(vecs, cents, id_col, round_to)
         exploded = assign.join(vecs, id_col).select(
@@ -230,12 +245,14 @@ def kmeans_centroids(
 
 
 def kmeans_sql(
-    n_iters: int, init_mod: int = 31, round_to: int = 6
+    n_iters: int, init_mod: int = 31, round_to: int = 6,
+    init_cap: int = _INIT_CAP,
 ) -> str:
     """DuckDB twin of `kmeans_centroids` as a CTE chain fragment.
     Assumes a CTE `v(vec_id, emb)` is already defined; emits CTEs
     `k0..k{n}` and expects the caller to read centroids from
-    `k{n_iters}(cid, cemb)`.
+    `k{n_iters}(cid, cemb)`. The k0 sample carries the same init_cap
+    ceiling as the Spark side (see _INIT_CAP).
 
     The assignment ORDER BY wraps list_cosine_similarity in the same
     zero-norm CASE guard every other oracle uses (see `cosine`'s
@@ -243,7 +260,8 @@ def kmeans_sql(
     try_divide yields NULL, and both engines sort NULLS LAST under
     DESC, so the guard makes zero vectors rank identically."""
     ctes = [
-        f"k0 AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {init_mod} = 0)"
+        f"k0 AS (SELECT vec_id AS cid, emb AS cemb FROM v "
+        f"WHERE vec_id % {init_mod} = 0 AND vec_id < {init_mod * init_cap})"
     ]
     for i in range(1, n_iters + 1):
         guarded_cos = (
@@ -317,9 +335,10 @@ def ivf_topk(
             n_iters=train_iters, round_to=round_to,
         ).cache()
     else:
-        cents = vecs.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("cid"), F.col("v").alias("cv")
-        )
+        cents = vecs.filter(
+            (F.col(id_col) % centroid_mod == 0)
+            & (F.col(id_col) < centroid_mod * _INIT_CAP)
+        ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
     cents_n = _with_norm(cents, "cv", "__cn")
     assign = assign_nearest(vecs.select(id_col, "v"), cents, id_col, round_to)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(

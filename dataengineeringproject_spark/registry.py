@@ -130,7 +130,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_range_rolling_7d": 3,
     "zscore_per_group": 3,
     # --- round 4 is the newest green driver row (47 queries)
-    "ann_ivf_topk": 4,
     "ann_lsh_topk": 4,
     "bloom_prefilter_join": 4,
     "bm25_topk": 4,
@@ -191,7 +190,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "corr_chars_quality_by_source": 5,
     "dedup_cluster_size_histogram": 5,
     "dedup_keep_best_quality": 5,
-    "dedup_semantic": 5,
     "dedup_signal_agreement": 5,
     "domain_centroid_topk": 5,
     "drift_js_binned": 5,
@@ -326,10 +324,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "woe_iv_value_bins": 8,
     "wow_growth_by_type": 8,
     # --- round 9 is the newest green driver row (50 queries)
-    "ann_ivf_trained_topk": 9,
-    "ann_ivfpq_topk": 9,
-    "ann_recall_trained_ivf": 9,
-    "ann_recall_trained_ivfpq": 9,
     "association_rules_topk": 9,
     "collocations_llr": 9,
     "corpus_release_gate_e2e": 9,
@@ -348,9 +342,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "heaps_law_vocab_growth": 9,
     "inverted_index_postings": 9,
     "k_anonymity_audit": 9,
-    "kmeans_cluster_stats": 9,
     "knn_classifier_eval": 9,
-    "knn_classifier_eval_lsh": 9,
     "l_diversity_audit": 9,
     "link_prediction_adamic_adar": 9,
     "mcnemar_quality_signals": 9,
