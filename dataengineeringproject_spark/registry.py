@@ -216,7 +216,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "ship_lead_time_quantiles": 5,
     "snapshot_diff_users": 5,
     "survival_kaplan_meier": 5,
-    "tfidf_cosine_pairs": 5,
     "token_pmi_pairs": 5,
     "topic_terms_ctfidf": 5,
     "triangle_count_suppliers": 5,
