@@ -194,10 +194,16 @@ def assign_nearest(
 # `id % init_mod == 0` rule makes nlist ∝ N, so Lloyd training and list
 # assignment cost N × nlist = N²/init_mod — measured 71.7× on 10× data
 # (r10 scale-trend, tools/make_scale10.py fixture). The cap keeps both
-# linear (N × init_mod·cap): init = the first `cap` sample ids, the
-# static-SQL-expressible form of FAISS's bounded training sample. Every
-# provided testdata sf has max vec_id < 31·256 = 7936, so results are
-# byte-identical below the cap.
+# linear (N × init_mod·cap): init = the `cap` SMALLEST sample ids via
+# ORDER BY id LIMIT cap (Spark plans it as TakeOrderedAndProject — a
+# per-partition top-K merge, no full sort), the static-SQL-expressible
+# form of FAISS's bounded training sample. ADVICE r10: an absolute
+# `id < init_mod·cap` ceiling read the same on dense-from-0 ids but
+# yielded an EMPTY init on id spaces starting above the ceiling; the
+# LIMIT form is offset-proof (empty only if NO id ≡ 0 mod init_mod,
+# which both engines treat identically). On dense-from-0 ids the two
+# forms select the identical set, so all provided testdata results are
+# byte-for-byte unchanged.
 _INIT_CAP = 256
 
 
@@ -221,10 +227,12 @@ def kmeans_centroids(
     centroid count is STRUCTURALLY ≤ init_cap, so the broadcast holds
     and training stays linear in the corpus at 100 TB.
     vecs: (id_col, v) → (cid, cv)."""
-    cents = vecs.filter(
-        (F.col(id_col) % init_mod == 0)
-        & (F.col(id_col) < init_mod * init_cap)
-    ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    cents = (
+        vecs.filter(F.col(id_col) % init_mod == 0)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+        .orderBy("cid")
+        .limit(init_cap)
+    )
     for _ in range(n_iters):
         assign = assign_nearest(vecs, cents, id_col, round_to)
         exploded = assign.join(vecs, id_col).select(
@@ -261,7 +269,7 @@ def kmeans_sql(
     DESC, so the guard makes zero vectors rank identically."""
     ctes = [
         f"k0 AS (SELECT vec_id AS cid, emb AS cemb FROM v "
-        f"WHERE vec_id % {init_mod} = 0 AND vec_id < {init_mod * init_cap})"
+        f"WHERE vec_id % {init_mod} = 0 ORDER BY vec_id LIMIT {init_cap})"
     ]
     for i in range(1, n_iters + 1):
         guarded_cos = (
@@ -335,10 +343,12 @@ def ivf_topk(
             n_iters=train_iters, round_to=round_to,
         ).cache()
     else:
-        cents = vecs.filter(
-            (F.col(id_col) % centroid_mod == 0)
-            & (F.col(id_col) < centroid_mod * _INIT_CAP)
-        ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+        cents = (
+            vecs.filter(F.col(id_col) % centroid_mod == 0)
+            .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+            .orderBy("cid")
+            .limit(_INIT_CAP)
+        )
     cents_n = _with_norm(cents, "cv", "__cn")
     assign = assign_nearest(vecs.select(id_col, "v"), cents, id_col, round_to)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(

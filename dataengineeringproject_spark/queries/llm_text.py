@@ -767,8 +767,16 @@ from dataengineeringproject_spark.queries.curation import (  # noqa: E402
 )
 
 _GATE_STREAM_RESULT: dict[str, str] = {}
+# keeper-index dir per sf_dir (the replay-idempotence tests re-drive a
+# trigger against the REAL index of the run that produced the report)
+_GATE_STREAM_IDX: dict[str, str] = {}
 
 
+# The oracle's arrival-order ORDER BY assumes FileStreamSource delivers
+# the staged slices oldest-mod-time-first, which _staged_docs_land pins
+# by writing slice i before slice i+1 (ADVICE r10: the dependency is a
+# staging contract, not an accident — changing the staging write order
+# changes which doc is the keeper, on BOTH sides).
 @register(
     "streaming_corpus_release_gate",
     oracle=_gate_oracle(
@@ -807,8 +815,14 @@ def streaming_corpus_release_gate(
     join against the index (bucketed by dupkey in production, same as
     the dedup twin's band index); report partials are per-source ×
     per-status rows (tiny); state lives in the index table, not in
-    stream state stores (restart-safe via checkpoint + idempotent
-    re-append)."""
+    stream state stores. Restart-safe FOR REAL (ADVICE r10): foreachBatch
+    is at-least-once, so each trigger's report partial and index delta
+    land at a batch_id-keyed partition path with OVERWRITE — a replayed
+    batch recomputes against `prior` = partitions with b < batch_id
+    (excluding its own partial output) and rewrites the same content
+    instead of double-counting; the index delta is localCheckpoint-
+    materialized before the write so the scan of the index directory
+    can never race its own mutation."""
     def _report(out_dir: str) -> DataFrame:
         return (
             spark.read.parquet(out_dir)
@@ -835,15 +849,25 @@ def streaming_corpus_release_gate(
         atexit.register(shutil.rmtree, p, ignore_errors=True)
 
     idx_schema = "dupkey string, keeper bigint"
-    # seed the index so the first trigger's read sees a valid (empty)
-    # parquet table rather than a bare directory
-    spark.createDataFrame([], idx_schema).write.mode("append").parquet(idx)
+    # seed partition b=-1 so the first trigger's partition-discovery
+    # read sees a valid (empty) parquet table rather than a bare
+    # directory; every real trigger writes to b=<batch_id>
+    spark.createDataFrame([], idx_schema).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/b=-1")
 
     def _admit(batch_docs: DataFrame, batch_id: int) -> None:
         # one evaluation of the regex-heavy projection feeds both the
         # keeper aggregate and the status join
         g = _gate_doc_frame(batch_docs).localCheckpoint()
-        prior = spark.read.schema(idx_schema).parquet(idx)
+        # prior = index state BEFORE this batch: partition-pruned to
+        # b < batch_id, so a replayed batch never sees its own partial
+        # delta (at-least-once foreachBatch → idempotent recompute)
+        prior = (
+            spark.read.parquet(idx)
+            .filter(F.col("b") < F.lit(int(batch_id)))
+            .select("dupkey", "keeper")
+        )
         bk = (
             g.filter(F.col("reason") == "pass")
             .groupBy("dupkey")
@@ -865,10 +889,16 @@ def streaming_corpus_release_gate(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("has_pii").cast("long").alias("n_pii_redacted"),
             F.sum("n_chars").cast("long").alias("n_chars_total"),
-        ).write.mode("append").parquet(out)
-        bk.join(prior, "dupkey", "left_anti").select(
-            "dupkey", F.col("cand").cast("long").alias("keeper")
-        ).write.mode("append").parquet(idx)
+        ).write.mode("overwrite").parquet(f"{out}/b={int(batch_id)}")
+        # materialize the delta BEFORE touching the directory it was
+        # computed from (ADVICE r10: never rely on plan-time file
+        # listing to sequence a read-then-append on the same path)
+        newk = (
+            bk.join(prior, "dupkey", "left_anti")
+            .select("dupkey", F.col("cand").cast("long").alias("keeper"))
+            .localCheckpoint()
+        )
+        newk.write.mode("overwrite").parquet(f"{idx}/b={int(batch_id)}")
 
     from dataengineeringproject_spark.queries.streaming_q import (
         _pinned_shuffle_partitions,
@@ -886,6 +916,7 @@ def streaming_corpus_release_gate(
         )
         q.awaitTermination()
     _GATE_STREAM_RESULT[sf_dir] = out
+    _GATE_STREAM_IDX[sf_dir] = idx
     return _report(out)
 
 

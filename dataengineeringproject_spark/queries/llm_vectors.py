@@ -58,7 +58,7 @@ _CENTROID_MOD, _NPROBE = 31, 4
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     c AS (SELECT vec_id AS cid, emb AS cemb FROM v
           WHERE vec_id % {_CENTROID_MOD} = 0
-            AND vec_id < {_CENTROID_MOD * S._INIT_CAP}),
+          ORDER BY vec_id LIMIT {S._INIT_CAP}),
     a AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid, row_number() OVER (
@@ -2335,11 +2335,15 @@ def _staged_ivf_codebook(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.filter(
-        (_ivfs_bucket("vec_id") < _IVFS_EXISTING_PCT)
-        & (F.col("vec_id") % _CENTROID_MOD == 0)
-        & (F.col("vec_id") < _CENTROID_MOD * S._INIT_CAP)
-    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    cents = (
+        emb.filter(
+            (_ivfs_bucket("vec_id") < _IVFS_EXISTING_PCT)
+            & (F.col("vec_id") % _CENTROID_MOD == 0)
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .orderBy("cid")
+        .limit(S._INIT_CAP)
+    )
     cb = tempfile.mkdtemp(prefix="deps_ivfs_codebook_")
     land = tempfile.mkdtemp(prefix="deps_ivfs_land_")
     for p in (cb, land):
@@ -2368,7 +2372,7 @@ register_prestage(_staged_pca_top2)
     c AS (SELECT vec_id AS cid, emb AS cemb FROM v
           WHERE {_ivfs_bucket_sql('vec_id')} < {_IVFS_EXISTING_PCT}
             AND vec_id % {_CENTROID_MOD} = 0
-            AND vec_id < {_CENTROID_MOD * S._INIT_CAP}),
+          ORDER BY vec_id LIMIT {S._INIT_CAP}),
     b AS (SELECT * FROM v WHERE {_ivfs_bucket_sql('vec_id')} >= {_IVFS_EXISTING_PCT})
     SELECT vec_id, cid, cosine FROM (
       SELECT b.vec_id, c.cid,

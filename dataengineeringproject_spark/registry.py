@@ -49,39 +49,20 @@ _SCALE_CLASS: dict[str, str] = {}
 # each round, regenerate from the union of CORRECTNESS_r0*.json (latest
 # green round per query; see tools/gen_sweep_tiers.py).
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # --- round 2 is the newest green driver row (32 queries)
-    "cube_agg": 2,
-    "dedup_incremental_batch": 2,
-    "gap_fill_daily_locf": 2,
+    # --- round 2 is the newest green driver row (13 queries)
     "monthly_from_daily_rollup": 2,
-    "nation_wealth_full_outer": 2,
-    "order_limit": 2,
-    "parts_above_brand_avg": 2,
     "q11_important_parts": 2,
     "q12_priority_shipping": 2,
     "q13_customer_distribution": 2,
-    "q14_promo_revenue": 2,
     "q15_top_supplier": 2,
     "q16_part_supplier_counts": 2,
     "q17_small_quantity_revenue": 2,
-    "q18_large_orders": 2,
     "q19_disjunctive_revenue": 2,
     "q20_promo_suppliers": 2,
     "q21_waiting_suppliers": 2,
     "q22_idle_rich_customers": 2,
-    "q2_min_acctbal_supplier": 2,
-    "q4_order_priority": 2,
-    "q6_forecast_revenue": 2,
-    "q7_volume_shipping": 2,
     "q8_market_share": 2,
     "q9_product_profit": 2,
-    "rollup_agg": 2,
-    "semi_anti_join": 2,
-    "session_window_agg": 2,
-    "set_ops": 2,
-    "sliding_window_agg": 2,
-    "sql_q10_returned_items": 2,
-    "window_running_sum": 2,
     # --- round 3 is the newest green driver row (46 queries)
     "asof_join_cogroup": 3,
     "asof_join_purchase_click": 3,
@@ -129,7 +110,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_lag_delta": 3,
     "window_range_rolling_7d": 3,
     "zscore_per_group": 3,
-    # --- round 4 is the newest green driver row (47 queries)
+    # --- round 4 is the newest green driver row (46 queries)
     "ann_lsh_topk": 4,
     "bloom_prefilter_join": 4,
     "bm25_topk": 4,
@@ -176,7 +157,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "value_quantiles_binned": 4,
     "variant_props_extract": 4,
     "window_rank_family": 4,
-    # --- round 5 is the newest green driver row (47 queries)
+    # --- round 5 is the newest green driver row (45 queries)
     "ann_recall_matryoshka": 5,
     "attribution_first_last_touch": 5,
     "audience_overlap_daily": 5,
@@ -322,7 +303,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "winsorized_mean_value": 8,
     "woe_iv_value_bins": 8,
     "wow_growth_by_type": 8,
-    # --- round 9 is the newest green driver row (50 queries)
+    # --- round 9 is the newest green driver row (44 queries)
     "association_rules_topk": 9,
     "collocations_llr": 9,
     "corpus_release_gate_e2e": 9,
@@ -367,39 +348,77 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "training_data_build_e2e": 9,
     "vocab_kl_by_source": 9,
     "zorder_file_skipping": 9,
+    # --- round 10 is the newest green driver row (50 queries)
+    "ann_mrr_lsh": 10,
+    "ann_ndcg_lsh": 10,
+    "bucketed_join_readback": 10,
+    "chi2_cell_residuals": 10,
+    "corpus_release_gate_neardup": 10,
+    "cube_agg": 10,
+    "dedup_incremental_batch": 10,
+    "dim_variance_concentration": 10,
+    "dpp_join_prune": 10,
+    "embedding_label_separation": 10,
+    "embedding_outlier_centroid": 10,
+    "embedding_pca_project": 10,
+    "gap_fill_daily_locf": 10,
+    "hapax_ratio_by_source": 10,
+    "knn_classifier_eval_lsh": 10,
+    "naive_bayes_lang_confusion": 10,
+    "nation_wealth_full_outer": 10,
+    "order_limit": 10,
+    "parts_above_brand_avg": 10,
+    "pca_variance_explained": 10,
+    "precision_audit_float32": 10,
+    "q14_promo_revenue": 10,
+    "q18_large_orders": 10,
+    "q2_min_acctbal_supplier": 10,
+    "q4_order_priority": 10,
+    "q6_forecast_revenue": 10,
+    "q7_volume_shipping": 10,
+    "readability_scores_by_source": 10,
+    "rollup_agg": 10,
+    "schema_evolution_readback": 10,
+    "semi_anti_join": 10,
+    "session_window_agg": 10,
+    "set_ops": 10,
+    "sliding_window_agg": 10,
+    "source_centroid_similarity": 10,
+    "split_leakage_embedding": 10,
+    "sql_q10_returned_items": 10,
+    "streaming_corpus_release_gate": 10,
+    "streaming_multimodal_ingest": 10,
+    "tfidf_cosine_pairs": 10,
+    "training_mix_budget_sample": 10,
+    "window_running_sum": 10,
 }
 
 
-# Round-10 explicit priority front-list (VERDICT r9 item 1): the 19
-# queries registered in earlier rounds that have NEVER had a driver
-# correctness row (all locally green in the full-fleet sf0.01 + sf0.1
-# sweeps; 8 of 19 judge-spot-checked green in r9). Post-regen they are
-# tier 0 anyway, so this pin only makes the sweep order deterministic
-# and audit-proof. _PRIORITY_R09 retired this round per its own
-# comment (all 19 entries green in CORRECTNESS_r09). Retire this list
-# after CORRECTNESS_r10 lands.
-_PRIORITY_R10: list[str] = [
-    "schema_evolution_readback",
-    "bucketed_join_readback",
-    "dpp_join_prune",
-    "pca_variance_explained",
+# Round-11 explicit priority front-list (VERDICT r10 item 2).
+# _PRIORITY_R10 retired (all 19 entries green in CORRECTNESS_r10).
+# Pinned here: the two queries REWRITTEN in r10 after their newest
+# driver rows were earned (session_overlap_top_pairs hour-bucket
+# blocking, dedup_simhash one-pass signature) — changed code re-earns
+# its row — plus the scale-cap queries whose oracles changed in r10
+# (landed green in CORRECTNESS_r10 via the escape hatch; one routine
+# post-fix pass each). Retire after CORRECTNESS_r11 lands.
+_PRIORITY_R11: list[str] = [
+    "session_overlap_top_pairs",
+    "dedup_simhash",
+    "tfidf_cosine_pairs",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_recall_trained_ivf",
+    "ann_ivfpq_topk",
+    "ann_recall_trained_ivfpq",
+    "kmeans_cluster_stats",
+    "dedup_semantic",
+    "knn_classifier_eval_lsh",
+    # r11 oracle change (ADVICE r10: offset-proof centroid init via
+    # ORDER BY id LIMIT cap — byte-identical on provided testdata):
     "streaming_ivf_index_append",
-    "embedding_pca_project",
-    "split_leakage_embedding",
-    "embedding_outlier_centroid",
-    "ann_mrr_lsh",
-    "embedding_label_separation",
-    "ann_ndcg_lsh",
-    "source_centroid_similarity",
-    "precision_audit_float32",
-    "dim_variance_concentration",
-    "streaming_multimodal_ingest",
-    "chi2_cell_residuals",
-    "readability_scores_by_source",
-    "hapax_ratio_by_source",
-    "naive_bayes_lang_confusion",
 ]
-_PRIORITY_PINS = _PRIORITY_R10
+_PRIORITY_PINS = _PRIORITY_R11
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 
 

@@ -45,18 +45,29 @@ def test_headline_names_are_all_registered():
 
 def test_start_round_detects_spent_pin_list(tmp_path):
     """spent_pin_lists() flags a _PRIORITY_R* list whose every entry is
-    green in the newest CORRECTNESS file, and ignores one that is not."""
+    green in the newest CORRECTNESS file, and ignores one that is not.
+
+    VERDICT r10 item 1: runs ONLY on synthetic fixtures — live repo
+    state flips the moment the driver delivers a CORRECTNESS file, so
+    asserting it makes the test red by construction every hand-off."""
     sys.path.insert(0, str(REPO / "tools"))
     try:
         import start_round
     finally:
         sys.path.pop(0)
 
-    # the real repo state: _PRIORITY_R10 entries have NO green row yet
-    # (they are the 19 never-driver-checked queries), so nothing that
-    # is currently active may be reported spent.
-    spent = dict(start_round.spent_pin_lists())
-    assert "_PRIORITY_R10" not in spent
+    corr = tmp_path / "CORRECTNESS_r99.json"
+    corr.write_text(json.dumps({
+        "alpha": {"rows_match": True, "err": None},
+        "beta": {"rows_match": True, "err": None},
+        "gamma": {"rows_match": False, "err": "boom"},
+    }))
+    spent_src = '_PRIORITY_R98: list[str] = [\n    "alpha",\n    "beta",\n]\n'
+    live_src = '_PRIORITY_R98: list[str] = [\n    "alpha",\n    "gamma",\n]\n'
+
+    spent = dict(start_round.spent_pin_lists(corr, spent_src))
+    assert spent == {"_PRIORITY_R98": ["alpha", "beta"]}
+    assert dict(start_round.spent_pin_lists(corr, live_src)) == {}
 
 
 def test_start_round_check_mode_is_side_effect_free():

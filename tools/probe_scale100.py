@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Third-decade scale probe (VERDICT r10 item 3): time the four queries
+whose quadratic shapes were capped in r10 at 1x / 10x / 100x data and
+record the honesty metrics their caps trade on, so the approximation
+cost at 100x is PRICED, not assumed. Usage:
+
+    python tools/probe_scale100.py [out_json]
+
+Expects the fixtures `tools/make_scale10.py` writes at
+/tmp/deps_scale10 (x10) and /tmp/deps_scale100 (x100); 1x is
+/root/testdata/sf0.1. Timing action is toPandas() — count() prunes
+projected expressions (the r10 SimHash lesson), so every output column
+is forced. Honesty metrics per query:
+
+- knn_classifier_eval_lsh: the result's own coverage / accuracy rows
+  (the _KNN_BUCKCAP=128 candidate cap lowers coverage as data grows —
+  record the curve);
+- tfidf_cosine_pairs: surviving posting-list mass under _TC_DFABS=512
+  (sum of per-term df over kept terms) vs total token mass — how much
+  of the corpus the absolute ceiling still scores;
+- ann_ivfpq_topk: result rows (fixed top-k surface) — the _INIT_CAP
+  bound holds nlist at 256 so time is the metric;
+- session_overlap_top_pairs: candidate pair count implied by the
+  hour-bucket blocking is internal; record result rows + time.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dataengineeringproject_spark import registry  # noqa: E402
+from dataengineeringproject_spark.session import get_spark  # noqa: E402
+
+SCALES = {
+    "1x": "/root/testdata/sf0.1",
+    "10x": "/tmp/deps_scale10",
+    "100x": "/tmp/deps_scale100",
+}
+QUERIES = [
+    "ann_ivfpq_topk",
+    "knn_classifier_eval_lsh",
+    "tfidf_cosine_pairs",
+    "session_overlap_top_pairs",
+]
+
+
+def _tfidf_kept_mass(spark, sf_dir: str) -> dict:
+    """Fraction of (doc, term) postings the tfidf caps still score:
+    sum(df) over terms with df*_TC_DFCAP <= n AND df <= _TC_DFABS,
+    over sum(df) for all length->=3 lowercase tokens (the query's own
+    tokenizer). Prices the absolute ceiling's coverage loss at scale."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.functions import text as X
+    from dataengineeringproject_spark.queries.llm_text import (
+        _TC_DFABS,
+        _TC_DFCAP,
+        _TC_MINLEN,
+        _docs,
+    )
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= _TC_MINLEN)
+    df = (
+        tok.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    agg = df.agg(
+        F.sum("df").alias("total"),
+        F.sum(
+            F.when(
+                (F.col("df") * _TC_DFCAP <= n) & (F.col("df") <= _TC_DFABS),
+                F.col("df"),
+            ).otherwise(0)
+        ).alias("kept"),
+    ).collect()[0]
+    return {
+        "postings_total": int(agg["total"]),
+        "postings_kept": int(agg["kept"]),
+        "kept_frac": round(agg["kept"] / max(agg["total"], 1), 4),
+    }
+
+
+def _metrics(name: str, pdf) -> dict:
+    out: dict = {"rows": int(len(pdf))}
+    if name == "knn_classifier_eval_lsh" and len(pdf) == 1:
+        # single-row stats frame: record every numeric column (n_test,
+        # n_covered, n_correct, accuracy, coverage)
+        for c in pdf.columns:
+            v = pdf[c].iloc[0]
+            out[c] = float(v) if hasattr(v, "__float__") else v
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe_scale100.json"
+    spark = get_spark("probe_scale100")
+    qs = registry.queries()
+    result: dict = {"method": "toPandas wall-clock, one warm session", "per_scale": {}}
+    for label, d in SCALES.items():
+        if not Path(d).exists():
+            print("missing fixture:", d, "— run tools/make_scale10.py")
+            continue
+        rows = {}
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            pdf = qs[name](spark, d).toPandas()
+            sec = time.perf_counter() - t0
+            rows[name] = {"sec": round(sec, 3), **_metrics(name, pdf)}
+            if name == "tfidf_cosine_pairs":
+                rows[name].update(_tfidf_kept_mass(spark, d))
+            print(f"{label:>4} {name}: {sec:.2f}s rows={len(pdf)}", flush=True)
+        result["per_scale"][label] = rows
+    for name in QUERIES:
+        try:
+            t1 = result["per_scale"]["1x"][name]["sec"]
+            t10 = result["per_scale"]["10x"][name]["sec"]
+            t100 = result["per_scale"]["100x"][name]["sec"]
+            result.setdefault("ratios", {})[name] = {
+                "10x_over_1x": round(t10 / max(t1, 1e-9), 2),
+                "100x_over_10x": round(t100 / max(t10, 1e-9), 2),
+                "100x_over_1x": round(t100 / max(t1, 1e-9), 2),
+            }
+        except KeyError:
+            pass
+    Path(out_path).write_text(json.dumps(result, indent=2) + "\n")
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

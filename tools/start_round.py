@@ -68,21 +68,29 @@ def registered_names() -> list[str]:
     return names
 
 
-def spent_pin_lists() -> list[tuple[str, list[str]]]:
+def spent_pin_lists(
+    correctness_path=None, registry_src=None
+) -> list[tuple[str, list[str]]]:
     """ADVICE r9: detect _PRIORITY_R* lists whose every entry is green
     in the newest CORRECTNESS file — they are spent and must be retired
-    (a stale pin list re-burns the sweep budget on already-green rows)."""
+    (a stale pin list re-burns the sweep budget on already-green rows).
+
+    Both inputs are injectable so tests run on synthetic fixtures only
+    (VERDICT r10 item 1: asserting live repo state goes red the moment
+    the driver delivers the next CORRECTNESS file)."""
     import json
 
-    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
-    if not files:
-        return []
-    latest = json.loads(files[-1].read_text())
+    if correctness_path is None:
+        files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+        if not files:
+            return []
+        correctness_path = files[-1]
+    latest = json.loads(Path(correctness_path).read_text())
     green = {
         n for n, row in latest.items()
         if row.get("rows_match") and row.get("err") is None
     }
-    src = REGISTRY.read_text()
+    src = registry_src if registry_src is not None else REGISTRY.read_text()
     spent = []
     for m in re.finditer(
         r"^(_PRIORITY_R\d+): list\[str\] = \[(.*?)\]", src, re.S | re.M
