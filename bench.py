@@ -7,10 +7,12 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 `headline_total` preserves the cross-round trend over the historical
 HEADLINE subset; `value` is the full-fleet total.
 
-Each query is executed to completion with a count()-style action
-(foreach-noop would skip result materialization; we use a collect of
-the already-small results — every headline query returns grouped/top-k
-output, never raw rows at scale).
+Each query is executed to completion with a collect() of the
+already-small results — every registered query returns grouped/top-k
+output, never raw rows at scale — so every output column is actually
+evaluated (count() prunes projections: the r10 SimHash lesson).
+SPARK_GRAFT_BENCH_ACTION=count restores the r1-r10 action for trend
+splicing; the emitted JSON carries an "action" key either way.
 
 `--scale-trend` mode (reproducible SURVEY §8.1 run): times the same
 headline set at sf0.01 AND sf0.1 in one session and prints one JSON
@@ -235,12 +237,22 @@ def _bench_set(qs) -> list[str]:
     return [n for n in HEADLINE if n in qs] + rest
 
 
+# Timing action. "collect" (default) materializes every output column
+# — it is what the external driver does with each result, and the r10
+# SimHash forensics proved count() silently PRUNES projected
+# expressions (a 12 s signature tree timed as 3 s). Results are small
+# (grouped/top-k) so driver transfer is noise. "count" is kept as an
+# env-var fallback (SPARK_GRAFT_BENCH_ACTION=count) so one dual run can
+# splice the r1-r10 count-action trend onto the collect-action series.
+BENCH_ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "collect")
+
+
 def _run_headline(spark, qs, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names if names is not None else (n for n in HEADLINE if n in qs):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        n = df.count() if BENCH_ACTION == "count" else len(df.collect())
         # Full precision here; rounding to 2 dp happens only at emit
         # time so derived stats (scale-trend ratios) never divide two
         # pre-rounded values (ADVICE r6: 0.01/0.01-scale quantization
@@ -330,6 +342,7 @@ def main() -> None:
         }
         _emit(
             {"metric": "scale_trend", "unit": "sec",
+             "action": BENCH_ACTION,
              "per_sf": per_sf, "ratio_10x": ratio},
             fname="bench_trend_out.json",
         )
@@ -356,6 +369,7 @@ def main() -> None:
             "metric": "all_queries_total",
             "value": total,
             "unit": "sec",
+            "action": BENCH_ACTION,
             "headline_total": headline_total,
             "n_headline": len([n for n in HEADLINE if n in raw]),
             "queries": timings,

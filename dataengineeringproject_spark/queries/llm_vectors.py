@@ -792,9 +792,14 @@ def _ivfpq_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # cached: the cast corpus feeds Lloyd training (2 passes/iter), the
     # final list assignment, the PQ code build, and the LUT — an index
-    # build reads its corpus many times, so persist it once.
-    d = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # build reads its corpus many times, so persist it once (at full
+    # parallelism: a one-row-group corpus would serialize every N×k
+    # map stage to one task — see ensure_min_parallelism).
+    d = S.ensure_min_parallelism(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "vec_id",
     ).cache()
     cents = kmeans_centroids(
         d, "vec_id", init_mod=_CENTROID_MOD, n_iters=_TRAIN_ITERS
@@ -1101,34 +1106,45 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringproject_spark.operators.similarity import (
         _cosine_pre,
         _with_norm,
+        ensure_min_parallelism,
         kmeans_centroids,
     )
-    from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    d = ensure_min_parallelism(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "vec_id",
     ).cache()
     cents = kmeans_centroids(
         d, "vec_id", init_mod=_CENTROID_MOD, n_iters=_TRAIN_ITERS
     ).cache()
     vn = _with_norm(d, "v", "__vn")
     cn = _with_norm(cents, "cv", "__cn")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    # argmin via map-side-combining min(struct) — assign_nearest's r11
+    # shape, with ccos riding as a THIRD struct field (cid is unique,
+    # so it never decides the comparison; it just travels with the
+    # winner, preserving the window version's exact output values).
+    ccos = F.round(
+        _cosine_pre(F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")),
+        6,
+    )
     a = (
         vn.crossJoin(F.broadcast(cn))
-        .withColumn(
-            "ccos",
-            F.round(
-                _cosine_pre(
-                    F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")
-                ),
-                6,
-            ),
+        .select(
+            "vec_id",
+            F.coalesce(-ccos, F.lit(float("inf"))).alias("__neg"),
+            "cid",
+            ccos.alias("ccos"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "ccos")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__neg", "cid", "ccos")).alias("__b"))
+        .select(
+            "vec_id",
+            F.col("__b.cid").alias("cid"),
+            F.col("__b.ccos").alias("ccos"),
+        )
     )
     # mean over INTEGER micro-units: summing the 6dp-rounded cosines
     # as doubles is summation-order-sensitive at the 6th digit (a
@@ -1272,8 +1288,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is a broadcast left join at the end. Output: every vector
     with its cluster and duplicate flag (survivors = NOT is_dup)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    d = S.ensure_min_parallelism(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "vec_id",
     ).cache()
     cents = S.kmeans_centroids(
         d, "vec_id", init_mod=_CENTROID_MOD, n_iters=_TRAIN_ITERS

@@ -24,8 +24,8 @@ SPOT = [
     "q5_region_revenue",
     "window_range_rolling_7d",
     "dedup_minhash_lsh",
-    "histogram_equidepth_approx",
-    "drift_ks_binned",
+    # (r11 rotation: histogram_equidepth_approx and drift_ks_binned —
+    # green here r4-r10 — rotate out for the r11-changed queries below)
     # r5 slice: the iterative trainer (per-round cache + TakeOrdered-1
     # selection meets AQE re-planning), the IVF-PQ composition (two
     # cached frames + broadcast chain), the prefix-filter join
@@ -55,6 +55,12 @@ SPOT = [
     "corpus_release_gate_neardup",
     "dedup_simhash",
     "training_mix_budget_sample",
+    # r11 slice: the offset-proof TakeOrderedAndProject centroid init
+    # under AQE (kmeans trainer is the shared producer for the whole
+    # trained-ANN family), and the r10 hour-bucket session-overlap
+    # rewrite whose blocking only fans out at bench scale.
+    "kmeans_cluster_stats",
+    "session_overlap_top_pairs",
 ]
 
 

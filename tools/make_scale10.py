@@ -51,7 +51,16 @@ def main() -> None:
     k = F.col("__k")
 
     def write(df, name):
-        df.drop("__k").write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        # 32 output files: the explode-copies pipeline is narrow, so
+        # without this the whole fixture lands in ONE file with ONE
+        # row group — and parquet parallelism is row-group-bound, so
+        # every downstream map stage would run single-task no matter
+        # the core count (r11 forensics: 45 s single-threaded for work
+        # 32 cores do in ~2 s). Real N×-scale tables have thousands of
+        # row groups; the fixture must too.
+        df.drop("__k").repartition(32).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
         print("wrote", name)
 
     for name in ("region", "nation", "supplier", "part", "customer"):

@@ -101,7 +101,15 @@ def _metrics(name: str, pdf) -> dict:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe_scale100.json"
-    spark = get_spark("probe_scale100")
+    # the x100 fixture is ONE ~80 MB parquet file per table, so the
+    # default 128 MB maxPartitionBytes would scan it as 1-2 partitions
+    # and serialize the probe on 2 of 32 threads — a fixture artifact a
+    # real 100 TB table (millions of row groups) never has. 4 MB split
+    # size restores the many-partition scan shape the plan is graded on.
+    spark = get_spark(
+        "probe_scale100",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+    )
     qs = registry.queries()
     result: dict = {"method": "toPandas wall-clock, one warm session", "per_scale": {}}
     for label, d in SCALES.items():
