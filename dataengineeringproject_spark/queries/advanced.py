@@ -4628,9 +4628,16 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     report should carry, priced at one aggregate."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id",
-        F.round(F.col("value") * F.lit(1e3)).cast("long").alias("vu"),
+    from dataengineeringproject_spark.operators.similarity import (
+        ensure_min_parallelism,
+    )
+
+    ev = ensure_min_parallelism(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "event_id",
+            F.round(F.col("value") * F.lit(1e3)).cast("long").alias("vu"),
+        ),
+        "event_id",
     )
     d = ev.select(
         "event_type", "vu", "event_id",

@@ -1171,7 +1171,11 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     design: a near-pair with no colliding band is missed (raise
     bands for recall — the standard LSH dial), but both engines
     compute the identical candidate set, so the check is exact."""
-    d = _docs(spark, sf_dir)
+    from dataengineeringproject_spark.operators.similarity import (
+        ensure_min_parallelism,
+    )
+
+    d = ensure_min_parallelism(_docs(spark, sf_dir), "doc_id")
     pfx = F.substring(
         F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
         1,

@@ -163,7 +163,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole, never all-pairs); the oracle brute-forces the same
     answer — identical results prove the banding loses nothing."""
     return D.simhash_neardup(
-        _docs(spark, sf_dir),
+        SIM.ensure_min_parallelism(_docs(spark, sf_dir), "doc_id"),
         "doc_id",
         "text",
         bits=_SIMHASH_BITS,
@@ -343,7 +343,8 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard for all pairs within a `source` block —
     bounded-block exact similarity; the unbounded path is LSH."""
     return D.ngram_jaccard_blocked(
-        _docs(spark, sf_dir), "doc_id", "text", "source", k=2, threshold=0.3
+        SIM.ensure_min_parallelism(_docs(spark, sf_dir), "doc_id"),
+        "doc_id", "text", "source", k=2, threshold=0.3,
     )
 
 
@@ -1888,7 +1889,8 @@ def ngram_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ngram_jaccard_blocked); the oracle uses DuckDB's whole-array
     list_intersect — two independent algorithms must agree."""
     return D.ngram_containment_blocked(
-        _docs(spark, sf_dir), "doc_id", "text", "source", k=2, threshold=_CONT_T
+        SIM.ensure_min_parallelism(_docs(spark, sf_dir), "doc_id"),
+        "doc_id", "text", "source", k=2, threshold=_CONT_T,
     )
 
 
@@ -2531,7 +2533,7 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH / SimHash entries trade away, at the cost of the df
     ranking pass. All set arithmetic integer-exact; only the final
     ratio is floating, rounded identically in both engines."""
-    d = _docs(spark, sf_dir)
+    d = SIM.ensure_min_parallelism(_docs(spark, sf_dir), "doc_id")
     tokset = d.select(
         "doc_id", F.explode(D.shingles(F.col("text"), _SHINGLE_K)).alias("w")
     ).distinct()
@@ -3390,10 +3392,11 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SSTR_L}-char text, an engine-internal swap that leaves these
     per-document ratios identical up to hash collisions (~1e-9 at
     10^13 windows with a 128-bit key)."""
-    d = (
+    d = SIM.ensure_min_parallelism(
         _docs(spark, sf_dir)
         .select("doc_id", "text")
-        .filter(F.length("text") >= _SSTR_L)
+        .filter(F.length("text") >= _SSTR_L),
+        "doc_id",
     )
     g = d.select(
         "doc_id",

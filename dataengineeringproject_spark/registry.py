@@ -417,6 +417,15 @@ _PRIORITY_R11: list[str] = [
     # r11 oracle change (ADVICE r10: offset-proof centroid init via
     # ORDER BY id LIMIT cap — byte-identical on provided testdata):
     "streaming_ivf_index_append",
+    # r11 physical-plan change (ensure_min_parallelism guard on the
+    # heavy pre-shuffle map producers; oracles untouched, parity
+    # re-verified at sf0.01 in fresh sessions — re-earn rows anyway):
+    "bootstrap_ci_mean",
+    "dedup_substring_exact",
+    "fuzzy_pairs_blocked",
+    "jaccard_prefix_filter_join",
+    "ngram_jaccard_blocked",
+    "ngram_containment_blocked",
 ]
 _PRIORITY_PINS = _PRIORITY_R11
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
