@@ -133,3 +133,38 @@ def test_streaming_gate_replay_is_idempotent(spark):
         for r in L.streaming_corpus_release_gate(spark, SF).collect()
     }
     assert again == first
+
+
+def test_ensure_min_parallelism_semantics(spark):
+    """No-op when the frame already has >= defaultParallelism
+    partitions (never a down-shuffle — the 100 TB guarantee);
+    repartitions UP to defaultParallelism otherwise; content
+    unchanged either way."""
+    par = spark.sparkContext.defaultParallelism
+    few = spark.range(0, 1000).coalesce(1).select(
+        F.col("id").alias("vec_id")
+    )
+    up = S.ensure_min_parallelism(few, "vec_id")
+    assert up.rdd.getNumPartitions() == par
+    assert sorted(r.vec_id for r in up.collect()) == list(range(1000))
+    many = spark.range(0, 1000).repartition(par + 7)
+    same = S.ensure_min_parallelism(many, "id")
+    assert same.rdd.getNumPartitions() == par + 7
+    assert same is many
+
+
+def test_bench_json_carries_action_tag():
+    """The emitted bench record must say which timing action produced
+    it (collect vs count are not comparable: count() prunes projected
+    expressions — r10 SimHash lesson)."""
+    import bench
+
+    assert bench.BENCH_ACTION in ("collect", "count")
+    import json
+    from pathlib import Path
+
+    out = Path(bench.__file__).resolve().parent / "bench_out.json"
+    if out.exists():
+        rec = json.loads(out.read_text())
+        if rec.get("metric") == "all_queries_total":
+            assert rec.get("action") in ("collect", "count")
