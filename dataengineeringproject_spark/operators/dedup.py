@@ -106,8 +106,20 @@ def shingle_table(
     verify) can compute it ONCE and `.cache()` it: shingling is the
     dominant per-row cost of the whole MinHash path, and the two
     consumers need different downstream shapes (exploded vs array), so
-    plan-level reuse can't kick in on its own."""
-    return df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    plan-level reuse can't kick in on its own.
+
+    Carries the r11 min-parallelism guard: shingling is exactly the
+    heavy pre-shuffle map work that a one-row-group corpus serializes
+    to a single task (see similarity.ensure_min_parallelism — no-op
+    whenever the scan already yields >= core-count splits), and every
+    MinHash-family consumer funnels through here."""
+    from dataengineeringproject_spark.operators.similarity import (
+        ensure_min_parallelism,
+    )
+
+    return ensure_min_parallelism(df, id_col).select(
+        F.col(id_col), shingles(text_col, k).alias("sh")
+    )
 
 
 def minhash_signatures(

@@ -426,6 +426,17 @@ _PRIORITY_R11: list[str] = [
     "jaccard_prefix_filter_join",
     "ngram_jaccard_blocked",
     "ngram_containment_blocked",
+    # r11 physical-plan change via the shared shingle_table guard
+    # (operators/dedup.py — one edit, whole MinHash family re-planned;
+    # oracles untouched, full 342-query fresh-session re-sweep green):
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_clusters_minhash",
+    "dedup_keep_best_quality",
+    "dedup_signal_agreement",
+    "corpus_similarity_minhash",
+    "dedup_incremental_minhash",
+    "corpus_release_gate_neardup",
 ]
 _PRIORITY_PINS = _PRIORITY_R11
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
