@@ -3455,65 +3455,62 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vote ties break by best cosine then label name; cosines are
     micro-quantized integers from the exact-integer dot/norm trick.
 
-    Scale shape: this exact version is test x train all-pairs via the
-    dimension-keyed join — the honest diagnostic at audit sizes; at
-    100 TB the neighbor search swaps to the LSH/IVF indexes whose
-    recall/MRR/nDCG this engine already measures, leaving the vote and
-    eval stages unchanged."""
+    Scale shape: this exact version is test x train all-pairs (one
+    integer array-dot per pair; the join is unhinted so Spark
+    broadcasts the smaller side while it fits) — the honest diagnostic
+    at audit sizes; at 100 TB the neighbor search swaps to the LSH/IVF
+    indexes whose recall/MRR/nDCG this engine already measures,
+    leaving the vote and eval stages unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     bkt = X.token_hash(F.col("vec_id").cast("string"), seed=_KNN_SEED) % 100
-    t = emb.select(
-        "vec_id",
-        "label",
-        bkt.alias("bkt"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "i", "x"
-        ),
-    ).select(
-        "vec_id", "label", "bkt", "i",
-        F.round(F.col("x") * _OUT_Q).cast("long").alias("q"),
+    # r11 shape: the milli-unit vectors stay ARRAYS and each test×train
+    # pair does one zip_with/aggregate integer dot — the old
+    # posexplode + join-on-dimension computed the same integers but its
+    # shuffle key was the 12-value dimension id, capping parallelism at
+    # 12 skewed tasks (29.6 s at sf0.1 for 836k pairs; ~3 s this way).
+    # The all-pairs join itself is UNHINTED: Spark broadcasts the
+    # smaller side while it fits (the sweep's 1g driver included) —
+    # this stays the diagnostic exact variant, the at-scale path is
+    # the LSH twin below. Same integer dot/norm values pair-for-pair.
+    qarr = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * _OUT_Q).cast("long"),
     )
-    nrm = t.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("nq"))
+    t = S.ensure_min_parallelism(
+        emb.select("vec_id", "label", bkt.alias("bkt"), qarr.alias("qv")),
+        "vec_id",
+    )
+    nq = F.aggregate(
+        F.transform("qv", lambda q: q * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     a = t.filter(F.col("bkt") >= _KNN_TRAIN).select(
         F.col("vec_id").alias("test_id"),
         F.col("label").alias("actual"),
-        "i",
-        F.col("q").alias("qa"),
+        F.col("qv").alias("qa"),
+        nq.alias("nqa"),
     )
     b = t.filter(F.col("bkt") < _KNN_TRAIN).select(
         F.col("vec_id").alias("train_id"),
         F.col("label").alias("cand"),
-        "i",
-        F.col("q").alias("qb"),
+        F.col("qv").alias("qb"),
+        nq.alias("nqb"),
     )
-    dots = (
-        a.join(b, "i")
-        .groupBy("test_id", "train_id")
-        .agg(
-            F.any_value("actual").alias("actual"),
-            F.any_value("cand").alias("cand"),
-            F.sum(F.col("qa") * F.col("qb")).alias("d"),
+    d = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cosv = a.crossJoin(b).select(
+        "test_id", "actual", "train_id", "cand",
+        F.round(
+            d
+            / F.sqrt(F.col("nqa").cast("double") * F.col("nqb").cast("double"))
+            * F.lit(1e6)
         )
-    )
-    na = nrm.select(F.col("vec_id").alias("test_id"), F.col("nq").alias("nqa"))
-    nb = nrm.select(
-        F.col("vec_id").alias("train_id"), F.col("nq").alias("nqb")
-    )
-    cosv = (
-        dots.join(F.broadcast(na), "test_id")
-        .join(F.broadcast(nb), "train_id")
-        .select(
-            "test_id", "actual", "train_id", "cand",
-            F.round(
-                F.col("d")
-                / F.sqrt(
-                    F.col("nqa").cast("double") * F.col("nqb").cast("double")
-                )
-                * F.lit(1e6)
-            )
-            .cast("long")
-            .alias("cu"),
-        )
+        .cast("long")
+        .alias("cu"),
     )
     from pyspark.sql import Window
 

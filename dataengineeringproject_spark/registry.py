@@ -437,6 +437,9 @@ _PRIORITY_R11: list[str] = [
     "corpus_similarity_minhash",
     "dedup_incremental_minhash",
     "corpus_release_gate_neardup",
+    # r11 physical rewrite (array-dot all-pairs replaces the
+    # 12-task dimension-keyed join; 29.6 -> 2.5 s, same integers):
+    "knn_classifier_eval",
 ]
 _PRIORITY_PINS = _PRIORITY_R11
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
