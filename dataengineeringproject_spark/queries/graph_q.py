@@ -263,10 +263,24 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").alias("seed"))
         .distinct()
     )
+    # Each expansion multiplies the frontier by the edge degree
+    # (frontier × deg rows before its distinct) — that fan-out streams
+    # through e's scan partitions and partial-aggregates map-side, so
+    # it parallelizes; what does NOT is the frontier itself: a few-MB
+    # distinct output that AQE happily coalesces, concentrating the
+    # broadcast build and the downstream (seed, node) agg exchanges.
+    # Pinning the frontier to (seed, node) hash partitions costs a
+    # trivial shuffle of the SMALL frame and measured ~25% off the
+    # whole query at sf0.1 (21.4 → 16.3 s cold, 13.2 → 9.9 s warm);
+    # at cluster scale a saturating frontier is large enough that the
+    # spread is a no-op-sized safety repartition.
+    par = spark.sparkContext.defaultParallelism
+
     s1 = (
         e.join(F.broadcast(seeds), e.p == seeds.seed)
         .select("seed", "s")
         .distinct()
+        .repartition(par, "seed", "s")
     )
     # p2 is both a REPORTED frontier and the input of the 3rd hop —
     # cache it so the s1->p2 chain isn't rebuilt for the 4-hop branch.
@@ -275,7 +289,12 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heap should hold — let AQE broadcast it while it is small and
     # fall back to a shuffle join when it is not.
     p2 = e.join(F.broadcast(s1), "s").select("seed", "p").distinct().cache()
-    s3 = e.join(p2, "p").select("seed", "s").distinct()
+    s3 = (
+        e.join(p2.repartition(par, "seed", "p"), "p")
+        .select("seed", "s")
+        .distinct()
+        .repartition(par, "seed", "s")
+    )
     p4 = e.join(s3, "s").select("seed", "p").distinct()
 
     def _cnt(fr: DataFrame, name: str) -> DataFrame:

@@ -440,6 +440,8 @@ _PRIORITY_R11: list[str] = [
     # r11 physical rewrite (array-dot all-pairs replaces the
     # 12-task dimension-keyed join; 29.6 -> 2.5 s, same integers):
     "knn_classifier_eval",
+    # r11 physical change (frontier spread between BFS expansions):
+    "graph_khop_reach",
 ]
 _PRIORITY_PINS = _PRIORITY_R11
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
