@@ -100,7 +100,23 @@ def _metrics(name: str, pdf) -> dict:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe_scale100.json"
+    # usage: probe_scale100.py [out_json] [--queries a,b,c] [--scales 1x,100x]
+    global QUERIES
+    args = sys.argv[1:]
+    out_path = "/tmp/probe_scale100.json"
+    scales = dict(SCALES)
+    rest = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--queries":
+            QUERIES = args[i + 1].split(","); i += 2
+        elif args[i] == "--scales":
+            keep = set(args[i + 1].split(",")); i += 2
+            scales = {k: v for k, v in scales.items() if k in keep}
+        else:
+            rest.append(args[i]); i += 1
+    if rest:
+        out_path = rest[0]
     # the x100 fixture is ONE ~80 MB parquet file per table, so the
     # default 128 MB maxPartitionBytes would scan it as 1-2 partitions
     # and serialize the probe on 2 of 32 threads — a fixture artifact a
@@ -112,10 +128,12 @@ def main() -> None:
     )
     qs = registry.queries()
     result: dict = {"method": "toPandas wall-clock, one warm session", "per_scale": {}}
-    for label, d in SCALES.items():
+    for label, d in scales.items():
         if not Path(d).exists():
             print("missing fixture:", d, "— run tools/make_scale10.py")
             continue
+        registry.prestage(spark, d)  # staged artifacts are index-build
+        # costs, not per-query costs — same convention as bench.py
         rows = {}
         for name in QUERIES:
             t0 = time.perf_counter()
