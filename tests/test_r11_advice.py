@@ -168,3 +168,48 @@ def test_bench_json_carries_action_tag():
         rec = json.loads(out.read_text())
         if rec.get("metric") == "all_queries_total":
             assert rec.get("action") in ("collect", "count")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_assign_nearest_is_argmin_aggregate_not_window(spark):
+    """The r11 shape: centroid assignment must stay a
+    map-side-combining aggregate — a row_number window over the ×k
+    expanded frame sorts/shuffles both vector payloads and AQE
+    serializes the post-shuffle side (the 45 s shape)."""
+    vecs = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), (F.col("id") % 3).cast("double")).alias("v"),
+    )
+    cents = S.kmeans_centroids(vecs, "vec_id", n_iters=0)
+    p = _plan(S.assign_nearest(vecs, cents, "vec_id"))
+    assert "Window" not in p, p
+    # min(struct) plans as SortAggregate (struct has no mutable hash
+    # buffer) — same node the fast _pq_codes exemplar uses; the point
+    # is an AGGREGATE with a map-side partial, not a rank window.
+    assert "SortAggregate" in p or "HashAggregate" in p, p
+    assert p.count("Aggregate") >= 2, p  # partial + final
+
+
+def test_kmeans_init_is_take_ordered(spark):
+    """The offset-proof init must plan as TakeOrderedAndProject (a
+    per-partition top-K merge), never a global Sort of the sample."""
+    vecs = spark.range(0, 31 * 400).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("v"),
+    )
+    p = _plan(S.kmeans_centroids(vecs, "vec_id", n_iters=0))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_exact_knn_no_dimension_join(spark):
+    """knn_classifier_eval's all-pairs expansion must not shuffle on
+    the 12-value dimension key (12 skewed tasks); the array-dot form
+    has no posexplode/dimension join in the plan."""
+    from dataengineeringproject_spark import registry
+
+    df = registry.queries()["knn_classifier_eval"](spark, SF)
+    p = _plan(df)
+    assert "posexplode" not in p.lower(), p[:2000]
