@@ -49,51 +49,31 @@ _SCALE_CLASS: dict[str, str] = {}
 # each round, regenerate from the union of CORRECTNESS_r0*.json (latest
 # green round per query; see tools/gen_sweep_tiers.py).
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # --- round 2 is the newest green driver row (13 queries)
-    "monthly_from_daily_rollup": 2,
-    "q11_important_parts": 2,
-    "q12_priority_shipping": 2,
-    "q13_customer_distribution": 2,
-    "q15_top_supplier": 2,
-    "q16_part_supplier_counts": 2,
-    "q17_small_quantity_revenue": 2,
-    "q19_disjunctive_revenue": 2,
-    "q20_promo_suppliers": 2,
-    "q21_waiting_suppliers": 2,
-    "q22_idle_rich_customers": 2,
-    "q8_market_share": 2,
-    "q9_product_profit": 2,
-    # --- round 3 is the newest green driver row (46 queries)
+    # --- round 3 is the newest green driver row (37 queries)
     "asof_join_cogroup": 3,
-    "asof_join_purchase_click": 3,
     "chunk_sliding_rag": 3,
     "cohort_retention": 3,
     "contamination_pairs": 3,
     "conversion_funnel_3step": 3,
-    "data_profile": 3,
     "drift_chi2_event_mix": 3,
     "embedding_quantize_int8": 3,
     "ewma_daily_by_type": 3,
     "grouping_sets_agg": 3,
     "histogram_equidepth_value": 3,
     "histogram_value_buckets": 3,
-    "json_props_rollup": 3,
     "merge_scd1_upsert": 3,
     "mixture_temperature_weights": 3,
     "multimodal_phash_neardup": 3,
     "outlier_mad_robust_zscore": 3,
-    "pivot_daily_event_counts": 3,
     "pq_adc_topk": 3,
     "pq_encode_recon": 3,
     "quality_filter_funnel": 3,
     "quality_gopher_rules": 3,
     "repetition_ngram_ratio": 3,
-    "salted_skew_agg": 3,
     "sample_balanced_per_source": 3,
     "sample_stratified_hash": 3,
     "scd2_customer_priority": 3,
     "sequence_packing": 3,
-    "sessionization": 3,
     "split_train_val_test": 3,
     "sql_recursive_hierarchy_rollup": 3,
     "streaming_band_join": 3,
@@ -104,13 +84,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "streaming_sliding_means": 3,
     "streaming_static_join_daily": 3,
     "synth_source_events": 3,
-    "time_band_join": 3,
     "unpivot_daily_metrics": 3,
-    "value_quantiles": 3,
     "window_lag_delta": 3,
     "window_range_rolling_7d": 3,
-    "zscore_per_group": 3,
-    # --- round 4 is the newest green driver row (46 queries)
+    # --- round 4 is the newest green driver row (39 queries)
     "ann_lsh_topk": 4,
     "bloom_prefilter_join": 4,
     "bm25_topk": 4,
@@ -120,17 +97,13 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "cms_heavy_hitters": 4,
     "corpus_curation_pipeline": 4,
     "cosine_topk": 4,
-    "dedup_clusters_minhash": 4,
     "dedup_embedding_cosine": 4,
     "dedup_exact": 4,
-    "dedup_minhash_lsh": 4,
-    "dedup_simhash": 4,
     "doc_fingerprints": 4,
     "drift_ks_binned": 4,
     "drift_ks_value": 4,
     "embedding_norms": 4,
     "event_path_top3": 4,
-    "fuzzy_pairs_blocked": 4,
     "fuzzy_pairs_levenshtein": 4,
     "fuzzy_recall_blocked": 4,
     "gap_fill_daily_interp": 4,
@@ -139,11 +112,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "hll_distinct_users": 4,
     "hll_rolling_7d_distinct": 4,
     "lang_id": 4,
-    "minhash_signatures": 4,
     "multimodal_frame_sample": 4,
     "multimodal_image_features": 4,
-    "ngram_containment_blocked": 4,
-    "ngram_jaccard_blocked": 4,
     "ngram_novelty": 4,
     "quality_unigram_nll": 4,
     "rrf_fusion_topk": 4,
@@ -157,11 +127,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "value_quantiles_binned": 4,
     "variant_props_extract": 4,
     "window_rank_family": 4,
-    # --- round 5 is the newest green driver row (45 queries)
+    # --- round 5 is the newest green driver row (41 queries)
     "ann_recall_matryoshka": 5,
     "attribution_first_last_touch": 5,
     "audience_overlap_daily": 5,
-    "bootstrap_ci_mean": 5,
     "bpe_train_apply_e2e": 5,
     "bpe_train_k_merges": 5,
     "burstiness_by_user_topk": 5,
@@ -170,8 +139,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "copurchase_lift_pairs": 5,
     "corr_chars_quality_by_source": 5,
     "dedup_cluster_size_histogram": 5,
-    "dedup_keep_best_quality": 5,
-    "dedup_signal_agreement": 5,
     "domain_centroid_topk": 5,
     "drift_js_binned": 5,
     "drift_mannwhitney_binned": 5,
@@ -180,7 +147,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "funnel_latency_quantiles": 5,
     "hard_negative_mining": 5,
     "hll_intersection_estimate": 5,
-    "jaccard_prefix_filter_join": 5,
     "lang_mix_entropy_by_source": 5,
     "langid_confusion": 5,
     "pagerank_event_graph": 5,
@@ -203,7 +169,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "user_behavior_outliers": 5,
     "vocab_coverage_topk": 5,
     "zipf_slope_vocab": 5,
-    # --- round 7 is the newest green driver row (48 queries)
+    # --- round 7 is the newest green driver row (46 queries)
     "acf_daily_by_type": 7,
     "ann_recall_lsh": 7,
     "cdc_merge_on_read_compaction": 7,
@@ -213,7 +179,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "daily_agg": 7,
     "dedup_chunks_c4": 7,
     "dedup_corpus_materialize": 7,
-    "dedup_incremental_minhash": 7,
     "dedup_keep_first": 7,
     "dedup_threshold_sensitivity": 7,
     "drop_unparseable": 7,
@@ -236,7 +201,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sample_weighted_priority": 7,
     "scalar_exprs": 7,
     "seasonal_dow_anomaly": 7,
-    "session_overlap_top_pairs": 7,
     "session_peak_concurrency": 7,
     "sql_lateral_topk_orders": 7,
     "sql_pivot_event_counts": 7,
@@ -303,26 +267,22 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "winsorized_mean_value": 8,
     "woe_iv_value_bins": 8,
     "wow_growth_by_type": 8,
-    # --- round 9 is the newest green driver row (44 queries)
+    # --- round 9 is the newest green driver row (40 queries)
     "association_rules_topk": 9,
     "collocations_llr": 9,
     "corpus_release_gate_e2e": 9,
-    "corpus_similarity_minhash": 9,
     "decision_stump_quality": 9,
     "dedup_cross_source_matrix": 9,
-    "dedup_substring_exact": 9,
     "degree_assortativity": 9,
     "dp_noisy_counts_by_source": 9,
     "embedding_robust_scale": 9,
     "embedding_standardize": 9,
     "epoch_shuffle_manifest": 9,
     "frequent_itemsets_triples": 9,
-    "graph_khop_reach": 9,
     "hash_uniformity_audit": 9,
     "heaps_law_vocab_growth": 9,
     "inverted_index_postings": 9,
     "k_anonymity_audit": 9,
-    "knn_classifier_eval": 9,
     "l_diversity_audit": 9,
     "link_prediction_adamic_adar": 9,
     "mcnemar_quality_signals": 9,
@@ -348,12 +308,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "training_data_build_e2e": 9,
     "vocab_kl_by_source": 9,
     "zorder_file_skipping": 9,
-    # --- round 10 is the newest green driver row (50 queries)
+    # --- round 10 is the newest green driver row (39 queries)
     "ann_mrr_lsh": 10,
     "ann_ndcg_lsh": 10,
     "bucketed_join_readback": 10,
     "chi2_cell_residuals": 10,
-    "corpus_release_gate_neardup": 10,
     "cube_agg": 10,
     "dedup_incremental_batch": 10,
     "dim_variance_concentration": 10,
@@ -363,7 +322,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "embedding_pca_project": 10,
     "gap_fill_daily_locf": 10,
     "hapax_ratio_by_source": 10,
-    "knn_classifier_eval_lsh": 10,
     "naive_bayes_lang_confusion": 10,
     "nation_wealth_full_outer": 10,
     "order_limit": 10,
@@ -388,62 +346,93 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sql_q10_returned_items": 10,
     "streaming_corpus_release_gate": 10,
     "streaming_multimodal_ingest": 10,
-    "tfidf_cosine_pairs": 10,
     "training_mix_budget_sample": 10,
     "window_running_sum": 10,
+    # --- round 11 is the newest green driver row (50 queries)
+    "ann_ivf_topk": 11,
+    "ann_ivf_trained_topk": 11,
+    "ann_ivfpq_topk": 11,
+    "ann_recall_trained_ivf": 11,
+    "ann_recall_trained_ivfpq": 11,
+    "asof_join_purchase_click": 11,
+    "bootstrap_ci_mean": 11,
+    "corpus_release_gate_neardup": 11,
+    "corpus_similarity_minhash": 11,
+    "data_profile": 11,
+    "dedup_clusters_minhash": 11,
+    "dedup_incremental_minhash": 11,
+    "dedup_keep_best_quality": 11,
+    "dedup_minhash_lsh": 11,
+    "dedup_semantic": 11,
+    "dedup_signal_agreement": 11,
+    "dedup_simhash": 11,
+    "dedup_substring_exact": 11,
+    "fuzzy_pairs_blocked": 11,
+    "graph_khop_reach": 11,
+    "jaccard_prefix_filter_join": 11,
+    "json_props_rollup": 11,
+    "kmeans_cluster_stats": 11,
+    "knn_classifier_eval": 11,
+    "knn_classifier_eval_lsh": 11,
+    "minhash_signatures": 11,
+    "monthly_from_daily_rollup": 11,
+    "ngram_containment_blocked": 11,
+    "ngram_jaccard_blocked": 11,
+    "pivot_daily_event_counts": 11,
+    "q11_important_parts": 11,
+    "q12_priority_shipping": 11,
+    "q13_customer_distribution": 11,
+    "q15_top_supplier": 11,
+    "q16_part_supplier_counts": 11,
+    "q17_small_quantity_revenue": 11,
+    "q19_disjunctive_revenue": 11,
+    "q20_promo_suppliers": 11,
+    "q21_waiting_suppliers": 11,
+    "q22_idle_rich_customers": 11,
+    "q8_market_share": 11,
+    "q9_product_profit": 11,
+    "salted_skew_agg": 11,
+    # session_overlap_top_pairs: r11 entry DELETED r12 (oracle changed:
+    # _OVL_BUCKCAP concurrency cap mirrored into the SQL) — pinned in
+    # _PRIORITY_R12 until CORRECTNESS_r12 re-earns its row.
+    "sessionization": 11,
+    "streaming_ivf_index_append": 11,
+    "tfidf_cosine_pairs": 11,
+    "time_band_join": 11,
+    "value_quantiles": 11,
+    "zscore_per_group": 11,
 }
 
 
-# Round-11 explicit priority front-list (VERDICT r10 item 2).
-# _PRIORITY_R10 retired (all 19 entries green in CORRECTNESS_r10).
-# Pinned here: the two queries REWRITTEN in r10 after their newest
-# driver rows were earned (session_overlap_top_pairs hour-bucket
-# blocking, dedup_simhash one-pass signature) — changed code re-earns
-# its row — plus the scale-cap queries whose oracles changed in r10
-# (landed green in CORRECTNESS_r10 via the escape hatch; one routine
-# post-fix pass each). Retire after CORRECTNESS_r11 lands.
-_PRIORITY_R11: list[str] = [
+# _PRIORITY_R11 retired (all 28 entries green in CORRECTNESS_r11).
+# Round-12 explicit priority front-list (VERDICT r11 items 2-3 +
+# ADVICE r11): queries whose code or oracle changes this round must
+# re-earn their driver rows ahead of the stale-green sweep.
+# Retire after CORRECTNESS_r12 lands.
+_PRIORITY_R12: list[str] = [
+    # r12 semantic change: priced structural cap on concurrency-squared
+    # candidate growth (VERDICT r11 item 2; oracle mirrored):
     "session_overlap_top_pairs",
-    "dedup_simhash",
-    "tfidf_cosine_pairs",
+    # r12 code change: ragged-embedding zip_with NULL guard
+    # (ADVICE r11 item 2):
+    "knn_classifier_eval",
+    # r12 code change: _KNN_BUCKCAP recall pricing / scaling
+    # (VERDICT r11 item 3):
+    "knn_classifier_eval_lsh",
+    # r12 plan change: ccos projected once before the argmin negation
+    # (ADVICE r11 item 4 — N-referenced-expression trap):
+    "kmeans_cluster_stats",
+    # r12 code change: NaN-cosine sentinel in assign_nearest argmin
+    # (ADVICE r11 item 3) — every assign_nearest consumer re-earns:
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
-    "ann_recall_trained_ivf",
     "ann_ivfpq_topk",
+    "ann_recall_trained_ivf",
     "ann_recall_trained_ivfpq",
-    "kmeans_cluster_stats",
     "dedup_semantic",
-    "knn_classifier_eval_lsh",
-    # r11 oracle change (ADVICE r10: offset-proof centroid init via
-    # ORDER BY id LIMIT cap — byte-identical on provided testdata):
     "streaming_ivf_index_append",
-    # r11 physical-plan change (ensure_min_parallelism guard on the
-    # heavy pre-shuffle map producers; oracles untouched, parity
-    # re-verified at sf0.01 in fresh sessions — re-earn rows anyway):
-    "bootstrap_ci_mean",
-    "dedup_substring_exact",
-    "fuzzy_pairs_blocked",
-    "jaccard_prefix_filter_join",
-    "ngram_jaccard_blocked",
-    "ngram_containment_blocked",
-    # r11 physical-plan change via the shared shingle_table guard
-    # (operators/dedup.py — one edit, whole MinHash family re-planned;
-    # oracles untouched, full 342-query fresh-session re-sweep green):
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_clusters_minhash",
-    "dedup_keep_best_quality",
-    "dedup_signal_agreement",
-    "corpus_similarity_minhash",
-    "dedup_incremental_minhash",
-    "corpus_release_gate_neardup",
-    # r11 physical rewrite (array-dot all-pairs replaces the
-    # 12-task dimension-keyed join; 29.6 -> 2.5 s, same integers):
-    "knn_classifier_eval",
-    # r11 physical change (frontier spread between BFS expansions):
-    "graph_khop_reach",
 ]
-_PRIORITY_PINS = _PRIORITY_R11
+_PRIORITY_PINS = _PRIORITY_R12
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 
 
