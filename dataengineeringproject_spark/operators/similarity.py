@@ -175,7 +175,14 @@ def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     magnitude more splits than cores, so this is a structural no-op
     there (never a down-shuffle of a big corpus); locally it buys full
     parallelism for one tiny corpus shuffle right before a .cache().
-    Hash-partitioning on key_cols keeps placement deterministic."""
+    Hash-partitioning on key_cols keeps placement deterministic.
+
+    Streaming frames pass through untouched (ADVICE r11): `df.rdd`
+    raises AnalysisException on a streaming DataFrame, and micro-batch
+    map stages get their parallelism from the source's own partitioning
+    anyway — the guard is a batch small-file workaround only."""
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
@@ -202,16 +209,28 @@ def assign_nearest(
     (id, neg, cid) only.
 
     Tie semantics are the window's exactly: min(struct(__neg, cid))
-    with __neg = -rounded_cosine, NULL→+inf, picks max cosine then min
-    cid; a NULL cosine (zero-norm side, try_divide) loses to any real
-    value, and an all-NULL id degenerates to min cid — identical to
-    DESC-NULLS-LAST + cid ASC + rn=1 on both engines."""
+    with __neg = -rounded_cosine, NaN→-inf, NULL→+inf, picks max cosine
+    then min cid; a NULL cosine (zero-norm side, try_divide) loses to
+    any real value, and an all-NULL id degenerates to min cid —
+    identical to DESC-NULLS-LAST + cid ASC + rn=1 on both engines.
+
+    NaN sentinel (ADVICE r11): both the pre-r11 window (`ccos DESC` —
+    Spark sorts NaN above +inf) and the unchanged DuckDB row_number
+    oracles rank a NaN cosine FIRST, but min(struct) with __neg =
+    -NaN = NaN would rank it LAST. nanvl maps the negated NaN to -inf
+    so the argmin reproduces the window/oracle ranking bit-for-bit;
+    multiple NaNs still tie-break on min cid, matching NaN==NaN under
+    both engines' sort. (A literal +inf cosine — impossible from
+    finite inputs, only via norm overflow — is out of contract.)"""
     vn = _with_norm(vecs, "v", "__vn")
     cn = _with_norm(cents, "cv", "__cn")
     neg = F.coalesce(
-        -F.round(
-            _cosine_pre(F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")),
-            round_to,
+        F.nanvl(
+            -F.round(
+                _cosine_pre(F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")),
+                round_to,
+            ),
+            F.lit(float("-inf")),
         ),
         F.lit(float("inf")),
     )

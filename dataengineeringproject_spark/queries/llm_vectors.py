@@ -1126,17 +1126,29 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape, with ccos riding as a THIRD struct field (cid is unique,
     # so it never decides the comparison; it just travels with the
     # winner, preserving the window version's exact output values).
+    # ccos is projected in its OWN select stage (ADVICE r11): an
+    # interpreted-HOF expression referenced twice in one projection is
+    # evaluated twice over the N×k expanded frame, and CollapseProject
+    # keeps a non-cheap producer used >1x in its own stage, so the
+    # two-select shape halves the dominant per-row cost. __neg then
+    # derives from the materialized column, with assign_nearest's NaN
+    # sentinel (nanvl -> -inf) so the argmin matches the oracle's
+    # NaN-first row_number ranking.
     ccos = F.round(
         _cosine_pre(F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")),
         6,
     )
     a = (
         vn.crossJoin(F.broadcast(cn))
+        .select("vec_id", "cid", ccos.alias("ccos"))
         .select(
             "vec_id",
-            F.coalesce(-ccos, F.lit(float("inf"))).alias("__neg"),
+            F.coalesce(
+                F.nanvl(-F.col("ccos"), F.lit(float("-inf"))),
+                F.lit(float("inf")),
+            ).alias("__neg"),
             "cid",
-            ccos.alias("ccos"),
+            "ccos",
         )
         .groupBy("vec_id")
         .agg(F.min(F.struct("__neg", "cid", "ccos")).alias("__b"))
@@ -3497,8 +3509,14 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("qb"),
         nq.alias("nqb"),
     )
+    # zip_with pads the shorter of two unequal-length arrays with NULL,
+    # and one NULL product would NULL the whole sum — silently dropping
+    # that pair from the vote (ADVICE r11). coalesce(x*y, 0) restores
+    # the dimension-keyed join's partial-dot-over-shared-indices
+    # semantics (and the oracle's unnest-join dot) for any ragged
+    # embedding; identical on the fixed-dimension provided data.
     d = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.zip_with("qa", "qb", lambda x, y: F.coalesce(x * y, F.lit(0))),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )

@@ -880,6 +880,24 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OVL_TOPK = 50
+# Per-(day, hour-bucket) session-concurrency cap (VERDICT r11 item 2:
+# this was the fleet's only heavy query whose candidate count scales
+# with concurrency SQUARED and had no structural ceiling — measured
+# 59.6x time at 100x data, ~6e10 joined candidates from max-occupancy
+# 6,244 sessions/bucket). The cap keeps, per bucket, the _OVL_BUCKCAP
+# sessions with the greatest overlap POTENTIAL — session length, since
+# a pair's overlap_sec = min(en)-max(st) can never exceed either
+# member's length — under the deterministic total order (length DESC,
+# user_id ASC, st ASC), the _AA_MIDCAP/_TC_DFABS convention. Candidates
+# are then bounded by buckets x cap^2 (linear in time span, constant in
+# concurrency): measured occupancy max 243/bucket at sf0.1 (below the
+# cap -> all provided testdata byte-identical), 2,124 at 10x, 6,244 at
+# 100x where the cap bounds the join to ~2e8 candidates (~300x fewer).
+# The cap is SEMANTIC (a pair counts only if both sessions rank within
+# the cap in the bucket of their later start) and mirrored in the
+# oracle; dropped-session mass at scale is recorded by
+# tools/probe_scale100.py as the query's honesty metric.
+_OVL_BUCKCAP = 256
 
 
 @register(
@@ -905,14 +923,30 @@ _OVL_TOPK = 50
              CAST(date_trunc('day', min(ts)) AS DATE) AS day
       FROM s GROUP BY user_id, session_no
     ),
+    e AS (
+      SELECT day, user_id, st, en,
+             CAST(floor(epoch(en)) AS BIGINT)
+               - CAST(floor(epoch(st)) AS BIGINT) AS len,
+             unnest(generate_series(
+               CAST(floor(epoch(st)) AS BIGINT) // 3600,
+               CAST(floor(epoch(en)) AS BIGINT) // 3600)) AS hb
+      FROM sess
+    ),
+    k AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY day, hb
+                 ORDER BY len DESC, user_id ASC, st ASC) AS rn
+        FROM e) WHERE rn <= {_OVL_BUCKCAP}
+    ),
     p AS (
       SELECT a.user_id AS ua, b.user_id AS ub,
              a.st AS sa_st, b.st AS sb_st,
              CAST(floor(epoch(least(a.en, b.en)))
                   - floor(epoch(greatest(a.st, b.st))) AS BIGINT) AS overlap_sec
-      FROM sess a JOIN sess b
-        ON a.day = b.day AND a.user_id < b.user_id
+      FROM k a JOIN k b
+        ON a.day = b.day AND a.hb = b.hb AND a.user_id < b.user_id
        AND a.st < b.en AND b.st < a.en
+       AND a.hb = CAST(floor(epoch(greatest(a.st, b.st))) AS BIGINT) // 3600
     )
     SELECT ua, ub, strftime(sa_st, '%Y-%m-%d %H:%M:%S') AS sa_start,
            strftime(sb_st, '%Y-%m-%d %H:%M:%S') AS sb_start, overlap_sec
@@ -926,14 +960,15 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (account pairs that are always online together): the pairwise form
     of the interval-overlap family whose aggregate form is
     session_peak_concurrency's sweep line. The self-join is BLOCKED on
-    the session's start-day (pairs per block bounded by that day's
-    session count squared, the same Σblock² discipline as every
-    blocked join here; same-day-start is the deliberate convention —
-    a pair's overlap is attributed to the day both sessions began,
-    cross-midnight tails under the {_GAP_MIN}-min gap are negligible
-    and documented). Overlap is floor-epoch-second arithmetic
-    (engine-exact integers) and the top-K is a TakeOrderedAndProject
-    heap under the total order (sec, users, starts)."""
+    (start-day, hour-bucket) with a per-bucket top-{_OVL_BUCKCAP}
+    concurrency cap ranked by session length — the overlap-potential
+    bound, see _OVL_BUCKCAP (same-day-start is the deliberate
+    convention — a pair's overlap is attributed to the day both
+    sessions began, cross-midnight tails under the {_GAP_MIN}-min gap
+    are negligible and documented). Overlap is floor-epoch-second
+    arithmetic (engine-exact integers) and the top-K is a
+    TakeOrderedAndProject heap under the total order (sec, users,
+    starts)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -949,12 +984,6 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "win.start").cast("date").alias("day"),
         )
     )
-    # One materialization of the tiny per-session frame (one row per
-    # session): both exploded join sides consume it, and without the
-    # checkpoint each side re-runs the session_window aggregation over
-    # raw events (the signature_neardup/global_row_number ReuseExchange
-    # failure family).
-    sess = sess.localCheckpoint()
     # Hour-bucket blocking (r10 scale-trend finding: the original
     # start-DAY blocking was the fleet's only scalable row at the 10x
     # linear boundary — Σday-block² grows with daily session VOLUME).
@@ -962,23 +991,39 @@ def session_overlap_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions span ~1-2 buckets), sides equi-join on (day, hour), and
     # each overlapping pair is generated EXACTLY ONCE — in the bucket
     # containing greatest(st), an hour both sessions necessarily span —
-    # so no post-join distinct. Candidates now scale with CONCURRENT
-    # sessions per hour (the output-bearing set) instead of sessions
-    # per day; the same-start-day convention and every predicate are
-    # unchanged, so the oracle is byte-identical.
+    # so no post-join distinct. r12 (VERDICT r11 item 2): each bucket
+    # keeps only its top-_OVL_BUCKCAP sessions by overlap potential
+    # (length DESC, user_id, st — see _OVL_BUCKCAP), so candidates are
+    # bounded by buckets x cap^2 regardless of concurrency density; the
+    # cap is semantic and the oracle mirrors it row-for-row.
     hours = F.sequence(
         F.expr("cast(st as long) div 3600"),
         F.expr("cast(en as long) div 3600"),
     )
-    a = sess.select(
-        F.col("day"), F.col("user_id").alias("ua"),
-        F.col("st").alias("a_st"), F.col("en").alias("a_en"),
+    e = sess.select(
+        "day", "user_id", "st", "en",
+        (F.col("en").cast("long") - F.col("st").cast("long")).alias("len"),
         F.explode(hours).alias("hb"),
     )
-    b = sess.select(
-        F.col("day"), F.col("user_id").alias("ub"),
+    wcap = Window.partitionBy("day", "hb").orderBy(
+        F.desc("len"), F.asc("user_id"), F.asc("st")
+    )
+    k = e.withColumn("rn", F.row_number().over(wcap)).filter(
+        F.col("rn") <= _OVL_BUCKCAP
+    )
+    # One materialization of the capped per-(session, bucket) frame
+    # (<= cap rows per bucket): both join sides consume it, and without
+    # the checkpoint each side re-runs the session_window aggregation
+    # over raw events PLUS the explode+rank (the signature_neardup/
+    # global_row_number ReuseExchange failure family).
+    k = k.localCheckpoint()
+    a = k.select(
+        F.col("day"), F.col("hb"), F.col("user_id").alias("ua"),
+        F.col("st").alias("a_st"), F.col("en").alias("a_en"),
+    )
+    b = k.select(
+        F.col("day"), F.col("hb"), F.col("user_id").alias("ub"),
         F.col("st").alias("b_st"), F.col("en").alias("b_en"),
-        F.explode(hours).alias("hb"),
     )
     p = (
         a.join(b, ["day", "hb"])
