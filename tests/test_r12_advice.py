@@ -112,6 +112,56 @@ def test_kmeans_stats_ccos_projected_once(spark):
         )
 
 
+def test_knn_lsh_cap_formula_cross_engine(spark):
+    """VERDICT r11 item 3: the log-scaled per-bucket candidate cap must
+    evaluate to the SAME integer on Spark, DuckDB, and the Python twin
+    (_knn_lsh_cap) for the measured fixture sizes and the boundary
+    cases (n <= capbase -> factor 1; exact power-of-two ratios, where
+    log2 is IEEE-exact on both engines)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.queries.llm_vectors import (
+        _KNN_BUCKCAP,
+        _KNN_CAPBASE,
+        _knn_lsh_cap,
+    )
+
+    cases = [1, 100, 1405, _KNN_CAPBASE, 2 * _KNN_CAPBASE,
+             4 * _KNN_CAPBASE, 13997, 140161, 10**9]
+    expected = {1: 128, 1405: 128, _KNN_CAPBASE: 128,
+                2 * _KNN_CAPBASE: 128, 4 * _KNN_CAPBASE: 256,
+                13997: 384, 140161: 896}
+    con = duckdb.connect()
+    for n in cases:
+        py = _knn_lsh_cap(n)
+        duck = con.execute(
+            f"SELECT {_KNN_BUCKCAP} * greatest(1, ceil(log2("
+            f"greatest({n}, 1) / {_KNN_CAPBASE}e0)))"
+        ).fetchone()[0]
+        sp = (
+            spark.range(1)
+            .select(
+                (
+                    F.lit(_KNN_BUCKCAP)
+                    * F.greatest(
+                        F.lit(1).cast("long"),
+                        F.ceil(
+                            F.log2(
+                                F.greatest(F.lit(n), F.lit(1))
+                                / F.lit(float(_KNN_CAPBASE))
+                            )
+                        ),
+                    )
+                ).alias("cap")
+            )
+            .collect()[0].cap
+        )
+        assert py == int(duck) == int(sp), (n, py, duck, sp)
+        if n in expected:
+            assert py == expected[n], (n, py)
+
+
 def test_nanvl_sentinel_value(spark):
     """The sentinel expression itself: -NaN→-inf (wins), NULL→+inf
     (loses), real cosine passes through negated."""

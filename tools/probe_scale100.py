@@ -88,6 +88,80 @@ def _tfidf_kept_mass(spark, sf_dir: str) -> dict:
     }
 
 
+def _overlap_dropped_mass(spark, sf_dir: str) -> dict:
+    """Honesty metric for session_overlap_top_pairs' _OVL_BUCKCAP
+    (r12): re-derive the query's exploded (session, hour-bucket) frame
+    and report how much the per-bucket concurrency cap cuts — kept vs
+    total (session, bucket) rows, the number of over-cap buckets, and
+    the max occupancy. Prices the semantic truncation at each scale
+    (at sf0.1 max occupancy is 243 < 256, so nothing is dropped and
+    provided-testdata results are byte-identical)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.queries.windows_q import (
+        _GAP_MIN,
+        _OVL_BUCKCAP,
+    )
+    from dataengineeringproject_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{_GAP_MIN} minutes").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("st"),
+            F.col("win.end").alias("en"),
+            F.date_trunc("day", "win.start").cast("date").alias("day"),
+        )
+    )
+    e = sess.select(
+        "day", "user_id", "st",
+        (F.col("en").cast("long") - F.col("st").cast("long")).alias("len"),
+        F.explode(
+            F.sequence(
+                F.expr("cast(st as long) div 3600"),
+                F.expr("cast(en as long) div 3600"),
+            )
+        ).alias("hb"),
+    )
+    wcap = Window.partitionBy("day", "hb").orderBy(
+        F.desc("len"), F.asc("user_id"), F.asc("st")
+    )
+    agg = (
+        e.withColumn("rn", F.row_number().over(wcap))
+        .groupBy("day", "hb")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.sum(
+                F.when(F.col("rn") <= _OVL_BUCKCAP, 1).otherwise(0)
+            ).alias("kept"),
+        )
+        .agg(
+            F.sum("occ").alias("total"),
+            F.sum("kept").alias("kept"),
+            F.sum(
+                F.when(F.col("occ") > _OVL_BUCKCAP, 1).otherwise(0)
+            ).alias("buckets_over_cap"),
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("occ").alias("max_occupancy"),
+        )
+        .collect()[0]
+    )
+    return {
+        "cap": _OVL_BUCKCAP,
+        "session_buckets_total": int(agg["total"]),
+        "session_buckets_kept": int(agg["kept"]),
+        "dropped_frac": round(1 - agg["kept"] / max(agg["total"], 1), 4),
+        "buckets_over_cap": int(agg["buckets_over_cap"]),
+        "buckets": int(agg["buckets"]),
+        "max_occupancy": int(agg["max_occupancy"]),
+    }
+
+
 def _metrics(name: str, pdf) -> dict:
     out: dict = {"rows": int(len(pdf))}
     if name == "knn_classifier_eval_lsh" and len(pdf) == 1:
@@ -142,6 +216,8 @@ def main() -> None:
             rows[name] = {"sec": round(sec, 3), **_metrics(name, pdf)}
             if name == "tfidf_cosine_pairs":
                 rows[name].update(_tfidf_kept_mass(spark, d))
+            if name == "session_overlap_top_pairs":
+                rows[name].update(_overlap_dropped_mass(spark, d))
             print(f"{label:>4} {name}: {sec:.2f}s rows={len(pdf)}", flush=True)
         result["per_scale"][label] = rows
     for name in QUERIES:
