@@ -8068,6 +8068,26 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- full DBSCAN: clusters from the core graph ----------------------------------------
 
+# Per-point adjacency cap for the epsilon graph (r12): with a FIXED
+# coordinate extent, point density — and so per-point eps-degree —
+# grows linearly with the corpus, and the materialized pair list grows
+# quadratically (measured: 1,500 pts -> max degree 28; 150k pts at the
+# 100x fixture -> ~1,700 expected degree, ~2.5e8 pair rows, which
+# killed the 8g probe JVM on allocation churn). Every edge consumer is
+# therefore truncated to each point's _DBSCAN_EDGECAP smallest-id
+# eps-neighbors (after role filtering; deterministic, the
+# _AA_MIDCAP/_OVL_BUCKCAP convention), and the core-merge edge list is
+# explicitly SYMMETRIZED after capping (the cap breaks the pair list's
+# natural both-directions symmetry, and min-label propagation needs
+# undirected edges on both engines). Degree COUNTS (core detection)
+# remain exact — counting streams through an aggregate without
+# materializing pairs. Edges are then <= 2 x N x cap (linear), CC
+# rounds unchanged. Max measured degree on provided testdata is 28
+# (sf0.1), so the 64 cap never binds there and results are
+# byte-identical; the cap's bite at scale is recorded by the 100x
+# battery. Mirrored row-for-row in the oracle.
+_DBSCAN_EDGECAP = 64
+
 
 @register(
     "dbscan_clusters",
@@ -8100,10 +8120,20 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     core AS (
       SELECT user_id FROM deg WHERE nn >= {_DBSCAN_MINPTS}
     ),
+    cek AS (
+      SELECT id_a, id_b FROM (
+        SELECT nbp.id_a, nbp.id_b,
+               row_number() OVER (PARTITION BY nbp.id_a
+                                  ORDER BY nbp.id_b ASC) AS rn
+        FROM nbp
+        JOIN core ca ON ca.user_id = nbp.id_a
+        JOIN core cb ON cb.user_id = nbp.id_b
+      ) WHERE rn <= {_DBSCAN_EDGECAP}
+    ),
     ce AS (
-      SELECT nbp.id_a, nbp.id_b FROM nbp
-      JOIN core ca ON ca.user_id = nbp.id_a
-      JOIN core cb ON cb.user_id = nbp.id_b
+      SELECT id_a, id_b FROM cek
+      UNION
+      SELECT id_b AS id_a, id_a AS id_b FROM cek
     ),
     reach(id, lbl) AS (
       SELECT user_id, user_id FROM core
@@ -8112,11 +8142,15 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (SELECT id AS user_id, min(lbl) AS cluster FROM reach GROUP BY 1),
     border AS (
-      SELECT nbp.id_a AS user_id, min(comp.cluster) AS cluster
-      FROM nbp
-      JOIN comp ON comp.user_id = nbp.id_b
-      LEFT JOIN core c1 ON c1.user_id = nbp.id_a
-      WHERE c1.user_id IS NULL
+      SELECT user_id, min(cluster) AS cluster FROM (
+        SELECT nbp.id_a AS user_id, comp.cluster,
+               row_number() OVER (PARTITION BY nbp.id_a
+                                  ORDER BY nbp.id_b ASC) AS rn
+        FROM nbp
+        JOIN comp ON comp.user_id = nbp.id_b
+        LEFT JOIN core c1 ON c1.user_id = nbp.id_a
+        WHERE c1.user_id IS NULL
+      ) WHERE rn <= {_DBSCAN_EDGECAP}
       GROUP BY 1
     ),
     lab AS (
@@ -8155,11 +8189,16 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster census plus a -1 noise row — so the whole clustering
     is value-hash-checked against a recursive-CTE oracle.
 
-    Scale shape: candidate generation stays cell-key-bounded; the CC
-    iterations touch only the core-core edge list (dense clusters are
-    shallow, so rounds = small diameter); border attachment is one
-    join on the pair frame. This is the standard production DBSCAN
-    decomposition (region query -> core graph CC -> border pass)."""
+    Scale shape: candidate generation stays cell-key-bounded and the
+    pair stream is never materialized (degree counting streams through
+    a map-side-combining aggregate; r12: the _DBSCAN_EDGECAP adjacency
+    truncation bounds every edge list actually KEPT at <= N·cap rows,
+    symmetrized for the core merge, no matter how dense the space
+    gets — the uncapped 100x pair list was ~2.5e8 rows and killed the
+    probe JVM); border attachment runs over the capped adjacency. This
+    is the standard production DBSCAN decomposition (region query ->
+    core graph CC -> border pass) with a bounded-degree epsilon
+    graph."""
     from dataengineeringproject_spark.operators.graph import (
         connected_components,
     )
@@ -8197,6 +8236,12 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
+    from pyspark.sql import Window
+
+    # the pair stream: deliberately NOT cached — at density-growing
+    # scales it is the quadratic object (see _DBSCAN_EDGECAP); each of
+    # the three consumers below either aggregates it on the fly (deg)
+    # or truncates it to a capped adjacency before materializing.
     nbp = (
         probe.join(
             bb,
@@ -8206,17 +8251,26 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(d2 <= _GEO_EPS * _GEO_EPS)
         .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
-        .cache()
     )
     deg = nbp.groupBy(F.col("id_a").alias("user_id")).agg(
         F.count(F.lit(1)).alias("nn")
     )
-    core = deg.filter(F.col("nn") >= _DBSCAN_MINPTS).select("user_id")
+    core = (
+        deg.filter(F.col("nn") >= _DBSCAN_MINPTS).select("user_id")
+        .localCheckpoint()
+    )
+    wadj = Window.partitionBy("id_a").orderBy(F.asc("id_b"))
     ce = (
         nbp.join(
             core.select(F.col("user_id").alias("id_a")), "id_a"
-        ).join(core.select(F.col("user_id").alias("id_b")), "id_b")
+        )
+        .join(core.select(F.col("user_id").alias("id_b")), "id_b")
+        .withColumn("rn", F.row_number().over(wadj))
+        .filter(F.col("rn") <= _DBSCAN_EDGECAP)
+        .select("id_a", "id_b")
     )
+    # connected_components symmetrizes + dedups the edge list itself,
+    # matching the oracle's explicit UNION of both directions.
     comp = connected_components(
         core.select(F.col("user_id").alias("id")), ce
     ).select(F.col("id").alias("user_id"), F.col("component").alias("cluster"))
@@ -8230,6 +8284,8 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             core.select(F.col("user_id").alias("id_a")), "id_a", "left_anti"
         )
+        .withColumn("rn", F.row_number().over(wadj))
+        .filter(F.col("rn") <= _DBSCAN_EDGECAP)
         .groupBy(F.col("id_a").alias("user_id"))
         .agg(F.min("cluster").alias("cluster"))
     )

@@ -226,7 +226,9 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "ccf_click_purchase": 8,
     "changepoint_single_split": 8,
     "corr_matrix_lineitem": 8,
-    "dbscan_clusters": 8,
+    # dbscan_clusters: r8 entry DELETED r12 (oracle changed: the
+    # _DBSCAN_EDGECAP bounded-degree epsilon graph mirrored into the
+    # recursive CTE) — pinned in _PRIORITY_R12.
     "dbscan_core_points": 8,
     "design_effect_stratified": 8,
     "effective_source_count": 8,
@@ -413,6 +415,11 @@ _PRIORITY_R12: list[str] = [
     # r12 semantic change: priced structural cap on concurrency-squared
     # candidate growth (VERDICT r11 item 2; oracle mirrored):
     "session_overlap_top_pairs",
+    # r12 semantic change: bounded-degree epsilon graph — per-point
+    # adjacency capped at _DBSCAN_EDGECAP, edge list symmetrized after
+    # capping; the uncapped pair list grew quadratically with density
+    # and killed the 100x probe JVM (oracle mirrored):
+    "dbscan_clusters",
     # r12 code change: ragged-embedding zip_with NULL guard
     # (ADVICE r11 item 2):
     "knn_classifier_eval",

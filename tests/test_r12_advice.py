@@ -95,6 +95,233 @@ def test_knn_ragged_embedding_partial_dot_matches_oracle(spark, tmp_path):
     assert ok, msg
 
 
+def test_dbscan_edgecap_binding_cross_engine(spark, tmp_path):
+    """r12 bounded-degree epsilon graph, verified where the cap BINDS
+    (provided testdata never exceeds degree 28): 6,000 hashed points in
+    the fixed extent give expected eps-degree ~68 > 64. The full
+    differential is intractable here — the oracle's recursive reach CTE
+    floods one giant dense component with |C|^2 (id,label) pairs — so
+    the pin decomposes:
+
+    1. the CAPPED+SYMMETRIZED core edge set built by the oracle's
+       cek/ce SQL (non-recursive) equals Spark's capped edge list after
+       the same symmetrization — the construction that r12 changed;
+    2. Spark's full cluster census equals a union-find reference over
+       that agreed edge set (components = min-id labels), with border
+       and noise replicated from the capped border SQL — so the CC
+       operator's behavior on a TRUNCATED (asymmetric-before-
+       symmetrization) graph is pinned engine-independently."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataengineeringproject_spark.queries.advanced import (
+        _DBSCAN_EDGECAP,
+        _DBSCAN_MINPTS,
+        _GEO_EPS,
+        _GEO_EXTENT,
+        _GEO_SEED,
+    )
+    from dataengineeringproject_spark.functions.text import token_hash_sql
+    from dataengineeringproject_spark.registry import queries
+
+    n = 6000
+    ts = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([ts] * n, pa.timestamp("us")),
+                "user_id": pa.array(range(n), pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    base_sql = f"""
+    WITH u AS (SELECT DISTINCT user_id
+               FROM '{tmp_path}/events.parquet'),
+    pt AS (
+      SELECT user_id,
+             {token_hash_sql("CAST(user_id AS VARCHAR)", seed=_GEO_SEED + "-x")} % {_GEO_EXTENT} AS x,
+             {token_hash_sql("CAST(user_id AS VARCHAR)", seed=_GEO_SEED + "-y")} % {_GEO_EXTENT} AS y
+      FROM u
+    ),
+    cells AS (
+      SELECT user_id, x, y, x // {_GEO_EPS} AS cx, y // {_GEO_EPS} AS cy
+      FROM pt
+    ),
+    probe AS (
+      SELECT c.user_id, c.x, c.y, c.cx + dx.d AS px, c.cy + dy.d AS py
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    nbp AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM probe a JOIN cells b
+        ON b.cx = a.px AND b.cy = a.py AND b.user_id <> a.user_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {_GEO_EPS * _GEO_EPS}
+    ),
+    deg AS (SELECT id_a AS user_id, count(*) AS nn FROM nbp GROUP BY 1),
+    core AS (SELECT user_id FROM deg WHERE nn >= {_DBSCAN_MINPTS}),
+    cek AS (
+      SELECT id_a, id_b FROM (
+        SELECT nbp.id_a, nbp.id_b,
+               row_number() OVER (PARTITION BY nbp.id_a
+                                  ORDER BY nbp.id_b ASC) AS rn
+        FROM nbp
+        JOIN core ca ON ca.user_id = nbp.id_a
+        JOIN core cb ON cb.user_id = nbp.id_b
+      ) WHERE rn <= {_DBSCAN_EDGECAP}
+    ),
+    ce AS (SELECT id_a, id_b FROM cek
+           UNION SELECT id_b, id_a FROM cek)
+    """
+    con = duckdb.connect()
+    dmax = con.execute(
+        base_sql + "SELECT max(nn) FROM deg"
+    ).fetchone()[0]
+    assert dmax > _DBSCAN_EDGECAP, f"fixture not dense enough: {dmax}"
+    duck_edges = set(
+        map(tuple, con.execute(base_sql + "SELECT * FROM ce").fetchall())
+    )
+    duck_core = {
+        r[0]
+        for r in con.execute(base_sql + "SELECT user_id FROM core").fetchall()
+    }
+    # border candidates under the cap (cluster labels attached below).
+    duck_border_pairs = con.execute(
+        base_sql
+        + f"""
+        SELECT user_id, id_b FROM (
+          SELECT nbp.id_a AS user_id, nbp.id_b,
+                 row_number() OVER (PARTITION BY nbp.id_a
+                                    ORDER BY nbp.id_b ASC) AS rn
+          FROM nbp
+          JOIN core cb ON cb.user_id = nbp.id_b
+          LEFT JOIN core c1 ON c1.user_id = nbp.id_a
+          WHERE c1.user_id IS NULL
+        ) WHERE rn <= {_DBSCAN_EDGECAP}"""
+    ).fetchall()
+    n_points = con.execute(base_sql + "SELECT count(*) FROM pt").fetchone()[0]
+
+    # (2) union-find reference over the agreed edge set.
+    parent = {u: u for u in duck_core}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in duck_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labels per component
+    label = {}
+    for u in duck_core:
+        r = find(u)
+        label.setdefault(r, u)
+        label[r] = min(label[r], u)
+    comp = {u: label[find(u)] for u in duck_core}
+    border = {}
+    for ida, idb in duck_border_pairs:
+        c = comp[idb]
+        border[ida] = min(border.get(ida, c), c)
+    from collections import Counter
+
+    census = Counter()
+    for u, c in comp.items():
+        census[(c, True)] += 1
+    for u, c in border.items():
+        census[(c, False)] += 1
+    expected = {}
+    for (c, is_core), cnt in census.items():
+        row = expected.setdefault(c, [0, 0])
+        row[0 if is_core else 1] += cnt
+    n_noise = n_points - len(comp) - len(border)
+
+    got = {
+        r.cluster: (r.n_core, r.n_border, r.n_total)
+        for r in queries()["dbscan_clusters"](spark, str(tmp_path)).collect()
+    }
+    assert got.pop(-1) == (0, 0, n_noise)
+    assert got == {
+        c: (nc, nb, nc + nb) for c, (nc, nb) in expected.items()
+    }
+
+    # (1) Spark's capped edge construction equals the oracle's, after
+    # the operator's own symmetrization.
+    from dataengineeringproject_spark.schemas import load_table
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dataengineeringproject_spark.functions import text as XT
+
+    u = load_table(spark, str(tmp_path), "events").select("user_id").distinct()
+    xh = XT.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
+    yh = XT.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
+    cells = u.select(
+        "user_id",
+        (xh % _GEO_EXTENT).alias("x"),
+        (yh % _GEO_EXTENT).alias("y"),
+    ).select(
+        "user_id", "x", "y",
+        F.expr(f"x div {_GEO_EPS}").alias("cx"),
+        F.expr(f"y div {_GEO_EPS}").alias("cy"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("user_id").alias("id_a"),
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    bb = cells.select(
+        F.col("user_id").alias("id_b"),
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbp = (
+        probe.join(
+            bb,
+            (F.col("bcx") == F.col("px")) & (F.col("bcy") == F.col("py"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .filter(d2 <= _GEO_EPS * _GEO_EPS)
+        .select("id_a", "id_b")
+    )
+    deg = nbp.groupBy(F.col("id_a").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("nn")
+    )
+    core = deg.filter(F.col("nn") >= _DBSCAN_MINPTS).select("user_id")
+    wadj = Window.partitionBy("id_a").orderBy(F.asc("id_b"))
+    cek = (
+        nbp.join(core.select(F.col("user_id").alias("id_a")), "id_a")
+        .join(core.select(F.col("user_id").alias("id_b")), "id_b")
+        .withColumn("rn", F.row_number().over(wadj))
+        .filter(F.col("rn") <= _DBSCAN_EDGECAP)
+        .select("id_a", "id_b")
+    )
+    sym = cek.union(
+        cek.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    spark_edges = {(r.id_a, r.id_b) for r in sym.collect()}
+    assert spark_edges == duck_edges
+
+
 def test_kmeans_stats_ccos_projected_once(spark):
     """ADVICE r11 item 4: __neg must derive from the MATERIALIZED ccos
     attribute, not re-inline the N×k interpreted-HOF cosine — every

@@ -22,19 +22,17 @@ SF_BENCH = "/root/testdata/sf0.1"
 
 SPOT = [
     "q5_region_revenue",
-    "window_range_rolling_7d",
     "dedup_minhash_lsh",
-    # (r11 rotation: histogram_equidepth_approx and drift_ks_binned —
-    # green here r4-r10 — rotate out for the r11-changed queries below)
+    # (r12 rotation: window_range_rolling_7d and profile_table — green
+    # here since r4/r5, plain shapes re-checked every sweep — rotate
+    # out for the two r12-changed paths at the bottom)
     # r5 slice: the iterative trainer (per-round cache + TakeOrdered-1
     # selection meets AQE re-planning), the IVF-PQ composition (two
-    # cached frames + broadcast chain), the prefix-filter join
-    # (candidate-join heavy like LSH), and the one-pass profiler
-    # (cached dual-consumer aggregate)
+    # cached frames + broadcast chain), and the prefix-filter join
+    # (candidate-join heavy like LSH)
     "bpe_train_k_merges",
     "ann_ivfpq_topk",
     "jaccard_prefix_filter_join",
-    "profile_table",
     # r9 slice: the capped wedge enumeration (the per-middle fan-in
     # cap only bites at bench scale — sf0.001 never hits it), the LSH
     # kNN twin (bucket join + two windows under AQE), the composed
@@ -61,6 +59,12 @@ SPOT = [
     # rewrite whose blocking only fans out at bench scale.
     "kmeans_cluster_stats",
     "session_overlap_top_pairs",
+    # r12 slice: the exact-kNN array-dot with the ragged-pair guard
+    # (unhinted all-pairs join — AQE picks the broadcast side at bench
+    # scale), and a NaN-sentinel assign_nearest consumer whose argmin
+    # feeds a semantic join (centroid assignment under AQE).
+    "knn_classifier_eval",
+    "dedup_semantic",
 ]
 
 
