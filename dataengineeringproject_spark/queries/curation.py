@@ -1170,7 +1170,21 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves only surviving (id, id, dist) triples. Approximate by
     design: a near-pair with no colliding band is missed (raise
     bands for recall — the standard LSH dial), but both engines
-    compute the identical candidate set, so the check is exact."""
+    compute the identical candidate set, so the check is exact.
+
+    Physical shape (r12, output-identical): everything about a pair —
+    band keys, levenshtein, the _LEV_MAX filter — depends ONLY on the
+    two normalized prefixes, so the band join runs over ONE
+    REPRESENTATIVE per DISTINCT prefix and the result expands back to
+    member pairs afterwards (plus the all-pairs-at-distance-0
+    expansion within each identical-prefix group, which is what the
+    raw join produced for them). On corpora with heavy verbatim
+    duplication the raw join is quadratic in duplicate-group size —
+    the 100x fixture (every doc has ~20 byte-identical copies) drove
+    ~4.0e9 band-join candidates and a 977 s run; rep-level joining
+    collapses that by the dup-factor squared while the true 15.3M-pair
+    output is produced by a pure output-sized expansion join. The
+    oracle keeps the raw formulation — same rows by construction."""
     from dataengineeringproject_spark.operators.similarity import (
         ensure_min_parallelism,
     )
@@ -1181,7 +1195,9 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         _LEV_PREFIX,
     )
-    p = d.select("doc_id", pfx.alias("pfx"))
+    mem = d.select("doc_id", pfx.alias("pfx"))
+    reps = mem.groupBy("pfx").agg(F.min("doc_id").alias("doc_id"))
+
     def _band_min(b: int, r: int) -> str:
         return (
             f"array_min(transform(sequence(1, greatest(length(pfx) - 2, 1)), "
@@ -1194,7 +1210,7 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"bkey_{b}")
         for b in range(_FUZ_BANDS)
     ]
-    k = p.select("doc_id", "pfx", *band_keys).select(
+    k = reps.select("doc_id", "pfx", *band_keys).select(
         "doc_id",
         "pfx",
         F.explode(
@@ -1218,16 +1234,48 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bkey").alias("bkey_b"),
     )
     dist = F.levenshtein("pfx_a", "pfx_b", _LEV_MAX)
-    return (
+    # rep-level pairs, keyed by prefix (rep <-> prefix is a bijection,
+    # so the distinct matches the raw formulation's pair distinct)
+    rp = (
         a.join(
             b,
             (F.col("band") == F.col("band_b"))
             & (F.col("bkey") == F.col("bkey_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+        .select("pfx_a", "pfx_b", dist.cast("long").alias("edit_dist"))
         .filter(F.col("edit_dist") >= 0)
         .distinct()
+    )
+    # both orientations for cross-group expansion (exactly one
+    # orientation survives id_a < id_b per member pair), plus the
+    # within-group diagonal: identical prefixes pair at distance 0.
+    rp_sym = (
+        rp.unionAll(
+            rp.select(
+                F.col("pfx_b").alias("pfx_a"),
+                F.col("pfx_a").alias("pfx_b"),
+                "edit_dist",
+            )
+        ).unionAll(
+            reps.select(
+                F.col("pfx").alias("pfx_a"),
+                F.col("pfx").alias("pfx_b"),
+                F.lit(0).cast("long").alias("edit_dist"),
+            )
+        )
+    )
+    return (
+        rp_sym.join(
+            mem.select(F.col("pfx").alias("pfx_a"), F.col("doc_id").alias("id_a")),
+            "pfx_a",
+        )
+        .join(
+            mem.select(F.col("pfx").alias("pfx_b"), F.col("doc_id").alias("id_b")),
+            "pfx_b",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "edit_dist")
     )
 
 

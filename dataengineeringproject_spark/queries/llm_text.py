@@ -2532,11 +2532,38 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t={_PPJ_T} — the deterministic-completeness alternative the
     MinHash-LSH / SimHash entries trade away, at the cost of the df
     ranking pass. All set arithmetic integer-exact; only the final
-    ratio is floating, rounded identically in both engines."""
+    ratio is floating, rounded identically in both engines.
+
+    Physical shape (r12, output-identical): Jaccard depends ONLY on
+    the two shingle SETS, so documents are first grouped by identical
+    set (md5 of the sorted set — the dedup_exact convention) and the
+    whole prefix-filter pipeline runs on ONE representative per
+    distinct set; rep pairs then expand to member pairs, and each
+    multi-member group contributes its within-group all-pairs at
+    jaccard exactly 1.0 (identical sets always qualify at any
+    t <= 1, which is what the raw join produced for them). On corpora
+    with heavy verbatim duplication the raw posting-list join is
+    quadratic in duplicate-group size — the 100x fixture (every doc
+    has ~20 byte-identical copies) killed the probe JVM here;
+    rep-level joining collapses candidates by the dup-factor squared
+    while the true output is produced by a pure output-sized
+    expansion join. The oracle keeps the raw formulation — same rows
+    by construction."""
     d = SIM.ensure_min_parallelism(_docs(spark, sf_dir), "doc_id")
-    tokset = d.select(
+    tokset_all = d.select(
         "doc_id", F.explode(D.shingles(F.col("text"), _SHINGLE_K)).alias("w")
     ).distinct()
+    # doc -> set-group key (docs with an empty shingle set have no
+    # tokset rows and are absent, exactly as in the raw formulation)
+    docg = tokset_all.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list("w")))
+        ).alias("gh")
+    )
+    reps = docg.groupBy("gh").agg(F.min("doc_id").alias("doc_id"))
+    tokset = tokset_all.join(
+        reps.select("doc_id"), "doc_id", "left_semi"
+    )
     n = tokset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = tokset.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
@@ -2572,11 +2599,47 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = n.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = n.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
+    # rep-level qualifying pairs, keyed by set-group (rep <-> group is
+    # a bijection)
+    rg = reps.select(F.col("doc_id").alias("rid"), "gh")
+    rp = (
         inter.join(F.broadcast(na), "id_a")
         .join(F.broadcast(nb), "id_b")
         .filter(jac >= _PPJ_T)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .join(rg.select(F.col("rid").alias("id_a"), F.col("gh").alias("gh_a")), "id_a")
+        .join(rg.select(F.col("rid").alias("id_b"), F.col("gh").alias("gh_b")), "id_b")
+        .select("gh_a", "gh_b", "jaccard")
+    )
+    # both orientations for cross-group expansion (exactly one
+    # orientation survives id_a < id_b per member pair), plus the
+    # within-group diagonal: identical non-empty sets pair at 1.0.
+    rp_sym = (
+        rp.unionAll(
+            rp.select(
+                F.col("gh_b").alias("gh_a"),
+                F.col("gh_a").alias("gh_b"),
+                "jaccard",
+            )
+        ).unionAll(
+            reps.select(
+                F.col("gh").alias("gh_a"),
+                F.col("gh").alias("gh_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    )
+    return (
+        rp_sym.join(
+            docg.select(F.col("gh").alias("gh_a"), F.col("doc_id").alias("id_a")),
+            "gh_a",
+        )
+        .join(
+            docg.select(F.col("gh").alias("gh_b"), F.col("doc_id").alias("id_b")),
+            "gh_b",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "jaccard")
     )
 
 

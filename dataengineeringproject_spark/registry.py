@@ -429,6 +429,12 @@ _PRIORITY_R12: list[str] = [
     # r12 plan change: ccos projected once before the argmin negation
     # (ADVICE r11 item 4 — N-referenced-expression trap):
     "kmeans_cluster_stats",
+    # r12 physical rewrite (output-identical, oracles untouched):
+    # exact duplicate-group pre-join collapse — band/posting joins run
+    # on one representative per identical prefix / shingle set, then
+    # expand; the raw joins were quadratic in dup-group size at 100x:
+    "fuzzy_pairs_blocked",
+    "jaccard_prefix_filter_join",
     # r12 code change: NaN-cosine sentinel in assign_nearest argmin
     # (ADVICE r11 item 3) — every assign_nearest consumer re-earns:
     "ann_ivf_topk",
