@@ -2554,10 +2554,15 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(D.shingles(F.col("text"), _SHINGLE_K)).alias("w")
     ).distinct()
     # doc -> set-group key (docs with an empty shingle set have no
-    # tokset rows and are absent, exactly as in the raw formulation)
+    # tokset rows and are absent, exactly as in the raw formulation).
+    # The joiner must be a char no shingle can contain, else two
+    # DIFFERENT sets could fuse to one concat string and silently
+    # merge groups: tokens are \s+-split, so "\n" can never survive
+    # tokenization into a shingle (a non-whitespace joiner like \x01
+    # could, if it ever appeared inside a token).
     docg = tokset_all.groupBy("doc_id").agg(
         F.md5(
-            F.concat_ws("", F.array_sort(F.collect_list("w")))
+            F.concat_ws("\n", F.array_sort(F.collect_list("w")))
         ).alias("gh")
     )
     reps = docg.groupBy("gh").agg(F.min("doc_id").alias("doc_id"))

@@ -3415,6 +3415,12 @@ _KNN_TRAIN = 70
 # IEEE log2 on both engines.
 _KNN_BUCKCAP = 128
 _KNN_CAPBASE = 2048
+# Join-salt fan-out for the LSH bucket probe (r12): 2^_N_PLANES
+# distinct bucket keys cap the probe join's parallelism at that many
+# tasks; salting widens it to buckets x _KNN_JOINSALT while the
+# replicated side is the CAPPED train frame (<= buckets x cap rows),
+# so the copy cost is bounded and independent of corpus size.
+_KNN_JOINSALT = 8
 _KNN_K = 3
 
 
@@ -3731,7 +3737,25 @@ def knn_classifier_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= F.col("__cap"))
         .drop("crn", "__cap")
     )
-    cosv = te.join(tr, "bucket").select(
+    # Salt the bucket equi-join (r12): with {_N_PLANES} planes there
+    # are only 2^{_N_PLANES} distinct join keys, so the shuffle join —
+    # and the dominant per-pair HOF cosine right after it — runs on at
+    # most that many tasks no matter the core count (measured: the
+    # 100x probe spent ~190 s with 16 of 32 cores idle). Each test row
+    # takes ONE deterministic salt, the (already capped, <= buckets x
+    # cap rows) train side replicates across ALL salts, and the join
+    # key widens to (bucket, salt): every same-bucket pair still meets
+    # exactly once, candidate volume is unchanged, and parallelism
+    # rises to buckets x _KNN_JOINSALT. Pure partitioning — results
+    # byte-identical, oracle untouched.
+    te_s = te.withColumn(
+        "__salt", F.pmod(F.xxhash64("test_id"), F.lit(_KNN_JOINSALT))
+    )
+    tr_s = tr.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(_KNN_JOINSALT - 1))),
+    )
+    cosv = te_s.join(tr_s, ["bucket", "__salt"]).select(
         "test_id",
         "actual",
         "train_id",

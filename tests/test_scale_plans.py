@@ -472,10 +472,14 @@ def test_knn_lsh_twin_no_all_pairs(spark):
     bucket equi-join, so the plan must contain no nested-loop /
     cartesian shape over RAW data — the all-pairs test x train
     scoring is exactly what the twin exists to avoid (VERDICT r8
-    item 2). The final 1-row x 1-row scalar combine (n_test x stats)
-    legitimately prints as a BroadcastNestedLoopJoin; it is allowed
-    iff every scan beneath it passes through a global aggregate
-    first, i.e. both sides are single-row frames."""
+    item 2). Nested-loop shapes are allowed ONLY as broadcast-scalar
+    combines: for every BroadcastNestedLoopJoin, at most one child
+    subtree may contain an un-aggregated parquet scan — the other
+    side must be single-row (all its scans pass through a global
+    aggregate). That admits the n_test x stats scalar combine AND the
+    r12 log-scaled cap (a 1-row count frame broadcast-cross-joined
+    onto the ranked train frame: O(N) map-side, no pair blowup) while
+    still rejecting any raw x raw all-pairs scoring."""
     plan = _physical_plan(spark, "knn_classifier_eval_lsh")
     assert "CartesianProduct" not in plan, plan
     lines = [ln for ln in plan.splitlines() if ln.strip()]
@@ -483,18 +487,34 @@ def test_knn_lsh_twin_no_all_pairs(spark):
         if "BroadcastNestedLoopJoin" not in ln:
             continue
         d = _depth(ln)
+        # Split the BNLJ's subtree into immediate-child subtrees and
+        # count how many contain a scan not covered by an aggregate on
+        # its path from the child root.
+        child_root_depth: int | None = None
+        raw_children = 0
         agg_depths: list[int] = []
+        in_child_has_raw = False
         for nxt in lines[i + 1:]:
             nd = _depth(nxt)
             if nd <= d:
                 break
+            if child_root_depth is None:
+                child_root_depth = nd
+            if nd == child_root_depth:
+                raw_children += 1 if in_child_has_raw else 0
+                in_child_has_raw = False
+                agg_depths = []
             agg_depths = [a for a in agg_depths if a < nd]
             if _AGG_RE.search(nxt):
                 agg_depths.append(nd)
             if "Scan parquet" in nxt and not agg_depths:
-                raise AssertionError(
-                    f"nested-loop join over un-aggregated scan:\n{ln}\n{plan}"
-                )
+                in_child_has_raw = True
+        raw_children += 1 if in_child_has_raw else 0
+        if raw_children > 1:
+            raise AssertionError(
+                f"nested-loop join with {raw_children} un-aggregated"
+                f" sides (raw x raw all-pairs):\n{ln}\n{plan}"
+            )
 
 
 def test_zorder_no_unpartitioned_raw_window(spark):
