@@ -206,10 +206,20 @@ def main() -> None:
         if not Path(d).exists():
             print("missing fixture:", d, "— run tools/make_scale10.py")
             continue
-        registry.prestage(spark, d)  # staged artifacts are index-build
-        # costs, not per-query costs — same convention as bench.py
         rows = {}
         for name in QUERIES:
+            # Per-query cache isolation (r12): queries that .cache()
+            # internally (the ANN index builds) leak that state into
+            # whatever runs next in the same session — measured 4x on
+            # knn_classifier_eval_lsh at 100x when it followed
+            # ann_ivfpq_topk (198 s polluted vs ~50 s fresh-session).
+            # Wipe everything, then re-run the staging hooks so each
+            # query is timed against exactly the staged state a fresh
+            # driver session would see (staged artifacts are
+            # index-build costs, not per-query costs — the bench.py
+            # convention; the re-stage itself is outside the timer).
+            spark.catalog.clearCache()
+            registry.prestage(spark, d)
             t0 = time.perf_counter()
             pdf = qs[name](spark, d).toPandas()
             sec = time.perf_counter() - t0
