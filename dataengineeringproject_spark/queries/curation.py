@@ -1114,6 +1114,22 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZ_BANDS = 2  # minhash bands; a pair is a candidate if ANY band key matches
 _FUZ_ROWS = 2   # minhashes concatenated per band key: P(collide) = J^_FUZ_ROWS
+# Per-(band, band-key) bucket cap at the REP level (r12, measured at
+# the third decade): band-bucket occupancy grows linearly with the
+# corpus when a prefix family is popular (boilerplate headers, the
+# 100x fixture's salted copy families), so the band join's candidate
+# count — Σ occupancy² — grows QUADRATICALLY: measured 3.7e7 rep-pair
+# candidates at 10x (max occupancy 2,282) and ~3.7e9 / 3,458 s at
+# 100x. The cap keeps, per (band, bkey), the _FUZ_BUCKCAP reps with
+# the smallest rep doc_id (deterministic, the _AA_MIDCAP/_OVL_BUCKCAP
+# convention); a pair is a candidate iff BOTH members rank within the
+# cap in a shared bucket, so candidates are bounded by
+# buckets x cap² — linear in corpus size. SEMANTIC (recall trade at
+# scale, mirrored row-for-row in the oracle); max occupancy on
+# provided testdata is 223 (sf0.1) < 256, so every provided-sf result
+# is byte-identical. Dropped-rep mass at scale is recorded by
+# tools/probe_scale100.py as this query's honesty metric.
+_FUZ_BUCKCAP = 256
 
 
 def _fuz_band_min_sql(band: int, row: int) -> str:
@@ -1134,6 +1150,7 @@ def _fuz_band_min_sql(band: int, row: int) -> str:
                     1, {_LEV_PREFIX}) AS pfx
       FROM documents
     ),
+    g AS (SELECT pfx, min(doc_id) AS doc_id FROM p GROUP BY pfx),
     k AS (
       SELECT doc_id, pfx, band,
              {" || ".join(
@@ -1143,14 +1160,33 @@ def _fuz_band_min_sql(band: int, row: int) -> str:
                  ) + " END"
                  for r in range(_FUZ_ROWS)
              )} AS bkey
-      FROM p, (SELECT unnest([{", ".join(str(b) for b in range(_FUZ_BANDS))}])
+      FROM g, (SELECT unnest([{", ".join(str(b) for b in range(_FUZ_BANDS))}])
                AS band) bands
+    ),
+    kk AS (
+      SELECT doc_id, pfx, band, bkey FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bkey
+                                     ORDER BY doc_id ASC) AS rn
+        FROM k) WHERE rn <= {_FUZ_BUCKCAP}
+    ),
+    rp AS (
+      SELECT DISTINCT a.pfx AS pfx_a, b.pfx AS pfx_b,
+             CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+      FROM kk a JOIN kk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+    ),
+    rps AS (
+      SELECT pfx_a, pfx_b, edit_dist FROM rp
+      UNION ALL SELECT pfx_b AS pfx_a, pfx_a AS pfx_b, edit_dist FROM rp
+      UNION ALL SELECT pfx AS pfx_a, pfx AS pfx_b,
+                       CAST(0 AS BIGINT) AS edit_dist FROM g
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
-    FROM k a JOIN k b
-      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+    SELECT ma.doc_id AS id_a, mb.doc_id AS id_b, rps.edit_dist
+    FROM rps
+    JOIN p ma ON ma.pfx = rps.pfx_a
+    JOIN p mb ON mb.pfx = rps.pfx_b
+    WHERE ma.doc_id < mb.doc_id
     """,
 )
 def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,19 +1208,22 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands for recall — the standard LSH dial), but both engines
     compute the identical candidate set, so the check is exact.
 
-    Physical shape (r12, output-identical): everything about a pair —
-    band keys, levenshtein, the _LEV_MAX filter — depends ONLY on the
-    two normalized prefixes, so the band join runs over ONE
-    REPRESENTATIVE per DISTINCT prefix and the result expands back to
-    member pairs afterwards (plus the all-pairs-at-distance-0
-    expansion within each identical-prefix group, which is what the
-    raw join produced for them). On corpora with heavy verbatim
-    duplication the raw join is quadratic in duplicate-group size —
-    the 100x fixture (every doc has ~20 byte-identical copies) drove
-    ~4.0e9 band-join candidates and a 977 s run; rep-level joining
-    collapses that by the dup-factor squared while the true 15.3M-pair
-    output is produced by a pure output-sized expansion join. The
-    oracle keeps the raw formulation — same rows by construction."""
+    Physical shape (r12, output-identical where the cap doesn't
+    bind): everything about a pair — band keys, levenshtein, the
+    _LEV_MAX filter — depends ONLY on the two normalized prefixes, so
+    the band join runs over ONE REPRESENTATIVE per DISTINCT prefix
+    and the result expands back to member pairs afterwards (plus the
+    all-pairs-at-distance-0 expansion within each identical-prefix
+    group, which is what the raw join produced for them). Rep
+    collapse alone was NOT enough at the third decade: the 100x
+    fixture's salted copy families are distinct-prefix NEAR-dups, so
+    band-bucket occupancy grows linearly with the corpus and the
+    rep-level band join still ran ~3.7e9 candidates in 3,458 s. Each
+    (band, bkey) bucket therefore keeps only its _FUZ_BUCKCAP
+    smallest-id reps (see _FUZ_BUCKCAP — semantic, oracle-mirrored,
+    no bite on provided testdata), bounding candidates at
+    buckets x cap². The oracle mirrors the rep + cap construction
+    row-for-row; member-pair expansion is output-sized."""
     from dataengineeringproject_spark.operators.similarity import (
         ensure_min_parallelism,
     )
@@ -1224,6 +1263,18 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "pfx", "bk.band", "bk.bkey")
+    # r12: per-bucket concurrency cap (see _FUZ_BUCKCAP) — rank reps
+    # within each (band, bkey) by doc_id and keep the cap smallest;
+    # candidates fall from Σ occupancy² (quadratic in corpus) to
+    # buckets x cap² (linear). Mirrored row-for-row in the oracle.
+    from pyspark.sql import Window
+
+    wbk = Window.partitionBy("band", "bkey").orderBy(F.asc("doc_id"))
+    k = (
+        k.withColumn("rn", F.row_number().over(wbk))
+        .filter(F.col("rn") <= _FUZ_BUCKCAP)
+        .drop("rn")
+    )
     a = k.select(
         F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a"), "band", "bkey"
     )

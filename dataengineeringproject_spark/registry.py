@@ -369,7 +369,9 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_signal_agreement": 11,
     "dedup_simhash": 11,
     "dedup_substring_exact": 11,
-    "fuzzy_pairs_blocked": 11,
+    # fuzzy_pairs_blocked: r11 entry DELETED r12 (oracle changed: rep
+    # collapse + _FUZ_BUCKCAP band-bucket cap mirrored into the SQL) —
+    # pinned in _PRIORITY_R12 until CORRECTNESS_r12 re-earns its row.
     "graph_khop_reach": 11,
     "jaccard_prefix_filter_join": 11,
     "json_props_rollup": 11,
@@ -429,10 +431,13 @@ _PRIORITY_R12: list[str] = [
     # r12 plan change: ccos projected once before the argmin negation
     # (ADVICE r11 item 4 — N-referenced-expression trap):
     "kmeans_cluster_stats",
-    # r12 physical rewrite (output-identical, oracles untouched):
-    # exact duplicate-group pre-join collapse — band/posting joins run
-    # on one representative per identical prefix / shingle set, then
-    # expand; the raw joins were quadratic in dup-group size at 100x:
+    # r12 rewrites: duplicate-group pre-join collapse (band/posting
+    # joins on one representative per identical prefix / shingle set,
+    # expanded afterwards), and — fuzzy only — a semantic
+    # _FUZ_BUCKCAP band-bucket concurrency cap with the oracle
+    # rewritten to mirror the rep + cap construction (band occupancy
+    # grows linearly with the corpus, so the uncapped rep join was
+    # still quadratic: 3,458 s at 100x):
     "fuzzy_pairs_blocked",
     "jaccard_prefix_filter_join",
     # r12 code change: NaN-cosine sentinel in assign_nearest argmin

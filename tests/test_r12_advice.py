@@ -410,3 +410,105 @@ def test_nanvl_sentinel_value(spark):
     assert row.null_case == float("inf")
     assert row.real_case == -0.25
     assert not math.isnan(row.nan_case)
+
+
+def test_fuzzy_bucket_cap_binding_cross_engine(spark, monkeypatch, tmp_path):
+    """r12 _FUZ_BUCKCAP: where the per-(band, bkey) rep cap BINDS, both
+    engines must keep the identical rep subset and produce identical
+    member pairs. Provided testdata only ever emits distance-0
+    (identical-prefix) pairs, which the cap never drops — so this runs
+    on a dense synthetic fixture: 30 docs whose 40-char prefixes share
+    37 chars (pairwise edit distance 3, one shared hot band bucket)
+    plus one identical-prefix pair for the diagonal path. The engine
+    reads the module global at call time (monkeypatched to 5) and the
+    oracle template is re-rendered with the same cap."""
+    import duckdb
+
+    from dataengineeringproject_spark import registry
+    from dataengineeringproject_spark.queries import curation as C
+
+    base = "the quick brown fox jumps over the lazy dogs"[:40]
+    assert len(base) == 40
+    rows = []
+    for i in range(30):
+        # mutate chars 31..33 only: every pair differs in <= 3 chars,
+        # all 3-grams outside 29..35 are shared across the family
+        t = base[:31] + f"{i:03d}" + base[34:]
+        rows.append((100 + 7 * i, t))
+    rows.append((9001, rows[0][1]))  # identical prefix -> diagonal pair
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, 'en', 'synth', ?)",
+        [(i, t, len(t)) for i, t in rows],
+    )
+    fx = tmp_path / "fixture"
+    fx.mkdir()
+    con.execute(
+        f"COPY docs TO '{fx}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{fx}/documents.parquet')"
+    )
+    cap = 5
+    oracle = registry.oracle_sql()["fuzzy_pairs_blocked"]
+    assert f"rn <= {C._FUZ_BUCKCAP}" in oracle
+    capped_sql = oracle.replace(f"rn <= {C._FUZ_BUCKCAP}", f"rn <= {cap}")
+    # the fixture must actually overflow a bucket (else the test is
+    # vacuous): hottest (band, bkey) holds > cap reps
+    occ_sql = capped_sql.split("kk AS")[0] + (
+        "o AS (SELECT band, bkey, count(*) AS n FROM k GROUP BY 1, 2) "
+        "SELECT max(n) FROM o"
+    )
+    max_occ = con.execute(occ_sql).fetchone()[0]
+    assert max_occ > cap, f"fixture not dense enough: {max_occ}"
+    duck = sorted(map(tuple, con.execute(capped_sql).fetchall()))
+    uncapped = sorted(
+        map(
+            tuple,
+            con.execute(
+                capped_sql.replace(f"rn <= {cap}", "rn <= 1000000")
+            ).fetchall(),
+        )
+    )
+    assert len(uncapped) > len(duck) > 0, (len(uncapped), len(duck))
+    monkeypatch.setattr(C, "_FUZ_BUCKCAP", cap)
+    sp = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in registry.queries()["fuzzy_pairs_blocked"](
+            spark, str(fx)
+        ).collect()
+    )
+    assert sp == duck, (len(sp), len(duck), sp[:3], duck[:3])
+    # the diagonal (identical-prefix) pair survives any cap
+    assert (100, 9001, 0) in sp
+
+
+def test_fuzzy_cap_no_bite_on_provided_testdata(spark):
+    """The production _FUZ_BUCKCAP=256 must not drop anything at
+    sf0.001 (max bucket occupancy 25): capped output == uncapped
+    output, i.e. every provided-sf driver row stays byte-identical."""
+    import duckdb
+
+    from dataengineeringproject_spark import registry
+    from dataengineeringproject_spark.queries import curation as C
+
+    oracle = registry.oracle_sql()["fuzzy_pairs_blocked"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    capped = sorted(map(tuple, con.execute(oracle).fetchall()))
+    uncapped = sorted(
+        map(
+            tuple,
+            con.execute(
+                oracle.replace(f"rn <= {C._FUZ_BUCKCAP}", "rn <= 1000000")
+            ).fetchall(),
+        )
+    )
+    assert capped == uncapped and len(capped) > 0

@@ -162,6 +162,87 @@ def _overlap_dropped_mass(spark, sf_dir: str) -> dict:
     }
 
 
+def _fuzzy_dropped_mass(spark, sf_dir: str) -> dict:
+    """Honesty metric for fuzzy_pairs_blocked's _FUZ_BUCKCAP (r12):
+    re-derive the rep-level (band, bkey) frame and report how much of
+    the rep-band mass the per-bucket cap cuts — kept vs total rows,
+    over-cap bucket count, max occupancy. Prices the semantic recall
+    trade at each scale (max occupancy on provided sf0.1 is 223 < 256,
+    so nothing is dropped there and provided results are
+    byte-identical)."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.queries.curation import (
+        _FUZ_BANDS,
+        _FUZ_BUCKCAP,
+        _FUZ_ROWS,
+        _LEV_PREFIX,
+        _docs,
+    )
+
+    d = _docs(spark, sf_dir)
+    pfx = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        1,
+        _LEV_PREFIX,
+    )
+    reps = (
+        d.select("doc_id", pfx.alias("pfx"))
+        .groupBy("pfx")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+    def _band_min(b: int, r: int) -> str:
+        return (
+            f"array_min(transform(sequence(1, greatest(length(pfx) - 2, 1)), "
+            f"i -> md5(concat('{b}r{r}|', substring(pfx, i, 3)))))"
+        )
+
+    band_keys = [
+        F.expr(
+            "concat(" + ", ".join(_band_min(b, r) for r in range(_FUZ_ROWS)) + ")"
+        ).alias(f"bkey_{b}")
+        for b in range(_FUZ_BANDS)
+    ]
+    k = reps.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bkey_{b}").alias("bkey")
+                    )
+                    for b in range(_FUZ_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    agg = (
+        k.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .agg(
+            F.sum("occ").alias("total"),
+            F.sum(F.least(F.col("occ"), F.lit(_FUZ_BUCKCAP))).alias("kept"),
+            F.sum(
+                F.when(F.col("occ") > _FUZ_BUCKCAP, 1).otherwise(0)
+            ).alias("buckets_over_cap"),
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("occ").alias("max_occupancy"),
+        )
+        .toPandas()
+        .iloc[0]
+    )
+    return {
+        "cap": _FUZ_BUCKCAP,
+        "rep_band_rows_total": int(agg["total"]),
+        "rep_band_rows_kept": int(agg["kept"]),
+        "dropped_frac": round(1 - agg["kept"] / max(agg["total"], 1), 4),
+        "buckets_over_cap": int(agg["buckets_over_cap"]),
+        "buckets": int(agg["buckets"]),
+        "max_occupancy": int(agg["max_occupancy"]),
+    }
+
+
 def _metrics(name: str, pdf) -> dict:
     out: dict = {"rows": int(len(pdf))}
     if name == "knn_classifier_eval_lsh" and len(pdf) == 1:
@@ -228,6 +309,8 @@ def main() -> None:
                 rows[name].update(_tfidf_kept_mass(spark, d))
             if name == "session_overlap_top_pairs":
                 rows[name].update(_overlap_dropped_mass(spark, d))
+            if name == "fuzzy_pairs_blocked":
+                rows[name].update(_fuzzy_dropped_mass(spark, d))
             print(f"{label:>4} {name}: {sec:.2f}s rows={len(pdf)}", flush=True)
         result["per_scale"][label] = rows
     for name in QUERIES:
