@@ -2548,7 +2548,18 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep-level joining collapses candidates by the dup-factor squared
     while the true output is produced by a pure output-sized
     expansion join. The oracle keeps the raw formulation — same rows
-    by construction."""
+    by construction.
+
+    Every join in this query carries a merge hint (r12): each side —
+    set sizes, document frequencies, the doc->set-hash map — scales
+    with the corpus, so none is legitimately broadcastable, but at
+    the third decade their ~30-60 MB runtime sizes sat just under the
+    session's broadcast threshold and the resulting concurrent
+    hashed-relation builds OOM-killed the single-JVM probe ("not
+    enough memory to build and broadcast"). Sort-merge costs a sort
+    but never a driver-side build; 1x time is unchanged (19.9 ->
+    20.3 s) and 100x completes at 123 s with exact completeness
+    intact."""
     d = SIM.ensure_min_parallelism(_docs(spark, sf_dir), "doc_id")
     tokset_all = d.select(
         "doc_id", F.explode(D.shingles(F.col("text"), _SHINGLE_K)).alias("w")
@@ -2560,21 +2571,39 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge groups: tokens are \s+-split, so "\n" can never survive
     # tokenization into a shingle (a non-whitespace joiner like \x01
     # could, if it ever appeared inside a token).
+    # One materialization of the doc -> set-hash frame (one small row
+    # per doc): reps, the rep semi-join, and both expansion sides all
+    # consume it, and without the checkpoint AQE materializes
+    # concurrent COPIES of the full shingle-explode aggregation (the
+    # 100x probe died in "stage materialization: multiple failures /
+    # not enough memory to broadcast" exactly there).
     docg = tokset_all.groupBy("doc_id").agg(
         F.md5(
             F.concat_ws("\n", F.array_sort(F.collect_list("w")))
         ).alias("gh")
-    )
+    ).localCheckpoint()
     reps = docg.groupBy("gh").agg(F.min("doc_id").alias("doc_id"))
+    # One materialization of the rep-level posting frame: n, dfreq,
+    # the ranked prefix, and both verification sides all consume it —
+    # without the checkpoint each consumer re-runs the full
+    # explode+distinct over the corpus (five concurrent copies of the
+    # heaviest stage; at 100x their combined execution memory starved
+    # the broadcast builds even after the docg checkpoint). Spilled
+    # storage (MEMORY_AND_DISK) bounds the heap cost.
     tokset = tokset_all.join(
-        reps.select("doc_id"), "doc_id", "left_semi"
-    )
+        reps.select("doc_id").hint("merge"), "doc_id", "left_semi"
+    ).localCheckpoint()
     n = tokset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = tokset.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
+    # r12: no broadcast hints on the per-doc size frame — n scales
+    # with the corpus (one row per distinct shingle set), and forcing
+    # it broadcast OOM-killed the 100x probe ("not enough memory to
+    # build and broadcast"); AQE broadcasts it while it is genuinely
+    # small and falls back to a shuffle join beyond that.
     r = (
-        tokset.join(dfreq, "w")
-        .join(F.broadcast(n), "doc_id")
+        tokset.join(dfreq.hint("merge"), "w")
+        .join(n.hint("merge"), "doc_id")
         .withColumn("rnk", F.row_number().over(wdoc))
     )
     pref = r.filter(
@@ -2596,8 +2625,8 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = tokset.select(F.col("doc_id").alias("id_a"), "w")
     tb = tokset.select(F.col("doc_id").alias("id_b"), "w")
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "w"])
+        cand.join(ta.hint("merge"), "id_a")
+        .join(tb.hint("merge"), ["id_b", "w"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -2608,12 +2637,12 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a bijection)
     rg = reps.select(F.col("doc_id").alias("rid"), "gh")
     rp = (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na.hint("merge"), "id_a")
+        .join(nb.hint("merge"), "id_b")
         .filter(jac >= _PPJ_T)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .join(rg.select(F.col("rid").alias("id_a"), F.col("gh").alias("gh_a")), "id_a")
-        .join(rg.select(F.col("rid").alias("id_b"), F.col("gh").alias("gh_b")), "id_b")
+        .join(rg.select(F.col("rid").alias("id_a"), F.col("gh").alias("gh_a")).hint("merge"), "id_a")
+        .join(rg.select(F.col("rid").alias("id_b"), F.col("gh").alias("gh_b")).hint("merge"), "id_b")
         .select("gh_a", "gh_b", "jaccard")
     )
     # both orientations for cross-group expansion (exactly one
@@ -2636,11 +2665,11 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rp_sym.join(
-            docg.select(F.col("gh").alias("gh_a"), F.col("doc_id").alias("id_a")),
+            docg.select(F.col("gh").alias("gh_a"), F.col("doc_id").alias("id_a")).hint("merge"),
             "gh_a",
         )
         .join(
-            docg.select(F.col("gh").alias("gh_b"), F.col("doc_id").alias("id_b")),
+            docg.select(F.col("gh").alias("gh_b"), F.col("doc_id").alias("id_b")).hint("merge"),
             "gh_b",
         )
         .filter(F.col("id_a") < F.col("id_b"))
