@@ -272,15 +272,17 @@ def main() -> None:
             rest.append(args[i]); i += 1
     if rest:
         out_path = rest[0]
-    # the x100 fixture is ONE ~80 MB parquet file per table, so the
-    # default 128 MB maxPartitionBytes would scan it as 1-2 partitions
-    # and serialize the probe on 2 of 32 threads — a fixture artifact a
-    # real 100 TB table (millions of row groups) never has. 4 MB split
-    # size restores the many-partition scan shape the plan is graded on.
-    spark = get_spark(
-        "probe_scale100",
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
-    )
+    # r12: the probe session now uses the engine's stock configs, the
+    # same session shape bench.py and the external driver run. The r11
+    # 4 MB maxPartitionBytes override compensated for one-file
+    # fixtures, but make_scale10.py has written 32 files per table
+    # since r11 — and the override itself distorted measurements
+    # (knn_classifier_eval_lsh at 100x: 126-186 s under 4 MB splits vs
+    # ~50 s under the default in an otherwise identical fresh
+    # session). Heavy pre-shuffle producers are protected by
+    # ensure_min_parallelism in the queries themselves, where the
+    # production code — not the probe harness — owns the guarantee.
+    spark = get_spark("probe_scale100")
     qs = registry.queries()
     result: dict = {"method": "toPandas wall-clock, one warm session", "per_scale": {}}
     for label, d in scales.items():
