@@ -1125,10 +1125,14 @@ _FUZ_ROWS = 2   # minhashes concatenated per band key: P(collide) = J^_FUZ_ROWS
 # convention); a pair is a candidate iff BOTH members rank within the
 # cap in a shared bucket, so candidates are bounded by
 # buckets x cap² — linear in corpus size. SEMANTIC (recall trade at
-# scale, mirrored row-for-row in the oracle); max occupancy on
-# provided testdata is 223 (sf0.1) < 256, so every provided-sf result
-# is byte-identical. Dropped-rep mass at scale is recorded by
-# tools/probe_scale100.py as this query's honesty metric.
+# scale, mirrored row-for-row in the oracle). On provided testdata
+# the cap trims CANDIDATES but not OUTPUT: sf0.1's hottest bucket
+# holds 529 reps (3 buckets over cap, 4.8% of rep-band rows dropped —
+# probe_scale100_battery_r12.json) yet the 257 output pairs are
+# row-identical to the uncapped run, hash-matched against the
+# mirrored oracle at sf0.001/0.01/0.1 in fresh sessions. Dropped-rep
+# mass at scale is recorded by tools/probe_scale100.py as this
+# query's honesty metric.
 _FUZ_BUCKCAP = 256
 
 

@@ -490,7 +490,7 @@ def test_fuzzy_bucket_cap_binding_cross_engine(spark, monkeypatch, tmp_path):
 
 def test_fuzzy_cap_no_bite_on_provided_testdata(spark):
     """The production _FUZ_BUCKCAP=256 must not drop anything at
-    sf0.001 (max bucket occupancy 25): capped output == uncapped
+    sf0.001: capped output == uncapped
     output, i.e. every provided-sf driver row stays byte-identical."""
     import duckdb
 
