@@ -49,44 +49,8 @@ _SCALE_CLASS: dict[str, str] = {}
 # each round, regenerate from the union of CORRECTNESS_r0*.json (latest
 # green round per query; see tools/gen_sweep_tiers.py).
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # --- round 3 is the newest green driver row (37 queries)
-    "asof_join_cogroup": 3,
-    "chunk_sliding_rag": 3,
-    "cohort_retention": 3,
-    "contamination_pairs": 3,
-    "conversion_funnel_3step": 3,
-    "drift_chi2_event_mix": 3,
-    "embedding_quantize_int8": 3,
+    # --- round 3 is the newest green driver row (1 queries)
     "ewma_daily_by_type": 3,
-    "grouping_sets_agg": 3,
-    "histogram_equidepth_value": 3,
-    "histogram_value_buckets": 3,
-    "merge_scd1_upsert": 3,
-    "mixture_temperature_weights": 3,
-    "multimodal_phash_neardup": 3,
-    "outlier_mad_robust_zscore": 3,
-    "pq_adc_topk": 3,
-    "pq_encode_recon": 3,
-    "quality_filter_funnel": 3,
-    "quality_gopher_rules": 3,
-    "repetition_ngram_ratio": 3,
-    "sample_balanced_per_source": 3,
-    "sample_stratified_hash": 3,
-    "scd2_customer_priority": 3,
-    "sequence_packing": 3,
-    "split_train_val_test": 3,
-    "sql_recursive_hierarchy_rollup": 3,
-    "streaming_band_join": 3,
-    "streaming_daily_means": 3,
-    "streaming_daily_mode": 3,
-    "streaming_dedup_daily_counts": 3,
-    "streaming_outer_join": 3,
-    "streaming_sliding_means": 3,
-    "streaming_static_join_daily": 3,
-    "synth_source_events": 3,
-    "unpivot_daily_metrics": 3,
-    "window_lag_delta": 3,
-    "window_range_rolling_7d": 3,
     # --- round 4 is the newest green driver row (39 queries)
     "ann_lsh_topk": 4,
     "bloom_prefilter_join": 4,
@@ -216,7 +180,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "trend_theil_sen": 7,
     "validation_summary": 7,
     "wind_buckets": 7,
-    # --- round 8 is the newest green driver row (50 queries)
+    # --- round 8 is the newest green driver row (49 queries)
     "abtest_power_analysis": 8,
     "abtest_two_proportion": 8,
     "anova_value_by_type": 8,
@@ -226,10 +190,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "ccf_click_purchase": 8,
     "changepoint_single_split": 8,
     "corr_matrix_lineitem": 8,
-    # dbscan_clusters: r8 entry DELETED r12 (oracle changed: the
-    # _DBSCAN_EDGECAP bounded-degree epsilon graph mirrored into the
-    # recursive CTE) — pinned in _PRIORITY_R12.
-    "dbscan_core_points": 8,
     "design_effect_stratified": 8,
     "effective_source_count": 8,
     "event_transition_matrix": 8,
@@ -350,12 +310,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "streaming_multimodal_ingest": 10,
     "training_mix_budget_sample": 10,
     "window_running_sum": 10,
-    # --- round 11 is the newest green driver row (50 queries)
-    "ann_ivf_topk": 11,
-    "ann_ivf_trained_topk": 11,
-    "ann_ivfpq_topk": 11,
-    "ann_recall_trained_ivf": 11,
-    "ann_recall_trained_ivfpq": 11,
+    # --- round 11 is the newest green driver row (37 queries)
     "asof_join_purchase_click": 11,
     "bootstrap_ci_mean": 11,
     "corpus_release_gate_neardup": 11,
@@ -365,19 +320,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_incremental_minhash": 11,
     "dedup_keep_best_quality": 11,
     "dedup_minhash_lsh": 11,
-    "dedup_semantic": 11,
     "dedup_signal_agreement": 11,
     "dedup_simhash": 11,
     "dedup_substring_exact": 11,
-    # fuzzy_pairs_blocked: r11 entry DELETED r12 (oracle changed: rep
-    # collapse + _FUZ_BUCKCAP band-bucket cap mirrored into the SQL) —
-    # pinned in _PRIORITY_R12 until CORRECTNESS_r12 re-earns its row.
     "graph_khop_reach": 11,
-    "jaccard_prefix_filter_join": 11,
     "json_props_rollup": 11,
-    "kmeans_cluster_stats": 11,
-    "knn_classifier_eval": 11,
-    "knn_classifier_eval_lsh": 11,
     "minhash_signatures": 11,
     "monthly_from_daily_rollup": 11,
     "ngram_containment_blocked": 11,
@@ -396,61 +343,90 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "q8_market_share": 11,
     "q9_product_profit": 11,
     "salted_skew_agg": 11,
-    # session_overlap_top_pairs: r11 entry DELETED r12 (oracle changed:
-    # _OVL_BUCKCAP concurrency cap mirrored into the SQL) — pinned in
-    # _PRIORITY_R12 until CORRECTNESS_r12 re-earns its row.
     "sessionization": 11,
-    "streaming_ivf_index_append": 11,
     "tfidf_cosine_pairs": 11,
     "time_band_join": 11,
     "value_quantiles": 11,
     "zscore_per_group": 11,
+    # --- round 12 is the newest green driver row (50 queries)
+    "ann_ivf_topk": 12,
+    "ann_ivf_trained_topk": 12,
+    "ann_ivfpq_topk": 12,
+    "ann_recall_trained_ivf": 12,
+    "ann_recall_trained_ivfpq": 12,
+    "asof_join_cogroup": 12,
+    "chunk_sliding_rag": 12,
+    "cohort_retention": 12,
+    "contamination_pairs": 12,
+    "conversion_funnel_3step": 12,
+    "dedup_semantic": 12,
+    "drift_chi2_event_mix": 12,
+    "embedding_quantize_int8": 12,
+    "fuzzy_pairs_blocked": 12,
+    "grouping_sets_agg": 12,
+    "histogram_equidepth_value": 12,
+    "histogram_value_buckets": 12,
+    "jaccard_prefix_filter_join": 12,
+    "kmeans_cluster_stats": 12,
+    "knn_classifier_eval": 12,
+    "knn_classifier_eval_lsh": 12,
+    "merge_scd1_upsert": 12,
+    "mixture_temperature_weights": 12,
+    "multimodal_phash_neardup": 12,
+    "outlier_mad_robust_zscore": 12,
+    "pq_adc_topk": 12,
+    "pq_encode_recon": 12,
+    "quality_filter_funnel": 12,
+    "quality_gopher_rules": 12,
+    "repetition_ngram_ratio": 12,
+    "sample_balanced_per_source": 12,
+    "sample_stratified_hash": 12,
+    "scd2_customer_priority": 12,
+    "sequence_packing": 12,
+    "session_overlap_top_pairs": 12,
+    "split_train_val_test": 12,
+    "sql_recursive_hierarchy_rollup": 12,
+    "streaming_band_join": 12,
+    "streaming_daily_means": 12,
+    "streaming_daily_mode": 12,
+    "streaming_dedup_daily_counts": 12,
+    "streaming_ivf_index_append": 12,
+    "streaming_outer_join": 12,
+    "streaming_sliding_means": 12,
+    "streaming_static_join_daily": 12,
+    "synth_source_events": 12,
+    "unpivot_daily_metrics": 12,
+    "window_lag_delta": 12,
+    "window_range_rolling_7d": 12,
 }
 
 
 # _PRIORITY_R11 retired (all 28 entries green in CORRECTNESS_r11).
-# Round-12 explicit priority front-list (VERDICT r11 items 2-3 +
-# ADVICE r11): queries whose code or oracle changes this round must
-# re-earn their driver rows ahead of the stale-green sweep.
-# Retire after CORRECTNESS_r12 lands.
-_PRIORITY_R12: list[str] = [
-    # r12 semantic change: priced structural cap on concurrency-squared
-    # candidate growth (VERDICT r11 item 2; oracle mirrored):
-    "session_overlap_top_pairs",
-    # r12 semantic change: bounded-degree epsilon graph — per-point
-    # adjacency capped at _DBSCAN_EDGECAP, edge list symmetrized after
-    # capping; the uncapped pair list grew quadratically with density
-    # and killed the 100x probe JVM (oracle mirrored):
+# _PRIORITY_R12 retired (all 14 entries green in CORRECTNESS_r12).
+# Round-13 explicit priority front-list (VERDICT r12 item 1): keep the
+# fuzzy pair pinned one more round — the construction-mirrored oracle
+# rewrite deserves a second consecutive driver check — plus any query
+# whose code or oracle changes this round.  The sweep tail then spends
+# the budget on the stalest green cohort (r3/r4: ewma, the text/sketch
+# family, bpe, cosine_topk).  Retire after CORRECTNESS_r13 lands.
+_PRIORITY_R13: list[str] = [
+    # r13 semantic change: _DBSCAN_CELLCAP build-side occupancy cap on
+    # the epsilon cell join (VERDICT r12 item 2 — the candidate STREAM
+    # was still density-quadratic work; oracle mirrored, no bite on
+    # provided testdata):
     "dbscan_clusters",
-    # r12 code change: ragged-embedding zip_with NULL guard
-    # (ADVICE r11 item 2):
-    "knn_classifier_eval",
-    # r12 code change: _KNN_BUCKCAP recall pricing / scaling
-    # (VERDICT r11 item 3):
-    "knn_classifier_eval_lsh",
-    # r12 plan change: ccos projected once before the argmin negation
-    # (ADVICE r11 item 4 — N-referenced-expression trap):
-    "kmeans_cluster_stats",
-    # r12 rewrites: duplicate-group pre-join collapse (band/posting
-    # joins on one representative per identical prefix / shingle set,
-    # expanded afterwards), and — fuzzy only — a semantic
-    # _FUZ_BUCKCAP band-bucket concurrency cap with the oracle
-    # rewritten to mirror the rep + cap construction (band occupancy
-    # grows linearly with the corpus, so the uncapped rep join was
-    # still quadratic: 3,458 s at 100x):
+    "dbscan_core_points",
+    # second consecutive driver check of the r12 rep+cap mirrored
+    # oracle (VERDICT r12 "watch" item 3); both also consume the r13
+    # staged band-key table (_staged_fuz_keys):
     "fuzzy_pairs_blocked",
+    "fuzzy_recall_blocked",
+    # r13 physical change (output-identical): posting frame read from
+    # the staged parquet table (_staged_tokset) instead of re-shingling
+    # per call — re-earn the driver row on the new plan:
     "jaccard_prefix_filter_join",
-    # r12 code change: NaN-cosine sentinel in assign_nearest argmin
-    # (ADVICE r11 item 3) — every assign_nearest consumer re-earns:
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "ann_ivfpq_topk",
-    "ann_recall_trained_ivf",
-    "ann_recall_trained_ivfpq",
-    "dedup_semantic",
-    "streaming_ivf_index_append",
 ]
-_PRIORITY_PINS = _PRIORITY_R12
+_PRIORITY_PINS = _PRIORITY_R13
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 
 
