@@ -489,26 +489,35 @@ def test_fuzzy_bucket_cap_binding_cross_engine(spark, monkeypatch, tmp_path):
 
 
 def test_fuzzy_cap_no_bite_on_provided_testdata(spark):
-    """The production _FUZ_BUCKCAP=256 must not drop anything at
-    sf0.001: capped output == uncapped
-    output, i.e. every provided-sf driver row stays byte-identical."""
+    """The production _FUZ_BUCKCAP=256 must yield OUTPUT identical to
+    uncapped at EVERY provided sf (ADVICE r12 item 3) — not just
+    sf0.001 where the cap never binds. At sf0.1 the cap provably trims
+    ~4.8% of rep-band candidate rows (max occupancy 529 > 256), yet
+    every surviving pair's members co-rank within the cap in some
+    shared bucket, so the pair output stays row-identical. DuckDB-only
+    (the oracle mirrors the engine construction row-for-row), so the
+    three-sf loop runs in seconds and pins the no-bite guarantee where
+    the cap actually trims candidates."""
     import duckdb
 
     from dataengineeringproject_spark import registry
     from dataengineeringproject_spark.queries import curation as C
 
     oracle = registry.oracle_sql()["fuzzy_pairs_blocked"]
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
-    )
-    capped = sorted(map(tuple, con.execute(oracle).fetchall()))
-    uncapped = sorted(
-        map(
-            tuple,
-            con.execute(
-                oracle.replace(f"rn <= {C._FUZ_BUCKCAP}", "rn <= 1000000")
-            ).fetchall(),
+    for sf_dir in (SF, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/documents.parquet')"
         )
-    )
-    assert capped == uncapped and len(capped) > 0
+        capped = sorted(map(tuple, con.execute(oracle).fetchall()))
+        uncapped = sorted(
+            map(
+                tuple,
+                con.execute(
+                    oracle.replace(f"rn <= {C._FUZ_BUCKCAP}", "rn <= 1000000")
+                ).fetchall(),
+            )
+        )
+        assert capped == uncapped and len(capped) > 0, sf_dir
+        con.close()

@@ -26,6 +26,13 @@ from dataengineeringproject_spark import registry
 from conftest import SF_SMOKE
 
 _AGG_RE = re.compile(r"HashAggregate|SortAggregate|ObjectHashAggregate")
+# A GLOBAL aggregate (empty grouping keys → single-row output). Only
+# this shape shields a scan inside a BroadcastNestedLoopJoin child: a
+# grouped aggregate still emits many rows, so raw x grouped-agg BNLJ is
+# a genuine pair blowup (ADVICE r12 item 2).
+_GLOBAL_AGG_RE = re.compile(
+    r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
+)
 
 
 @contextlib.contextmanager
@@ -474,12 +481,14 @@ def test_knn_lsh_twin_no_all_pairs(spark):
     scoring is exactly what the twin exists to avoid (VERDICT r8
     item 2). Nested-loop shapes are allowed ONLY as broadcast-scalar
     combines: for every BroadcastNestedLoopJoin, at most one child
-    subtree may contain an un-aggregated parquet scan — the other
-    side must be single-row (all its scans pass through a global
-    aggregate). That admits the n_test x stats scalar combine AND the
-    r12 log-scaled cap (a 1-row count frame broadcast-cross-joined
-    onto the ranked train frame: O(N) map-side, no pair blowup) while
-    still rejecting any raw x raw all-pairs scoring."""
+    subtree may contain a parquet scan not shielded by a GLOBAL
+    aggregate (`keys=[]`, single-row output) — a grouped aggregate
+    emits many rows, so raw x grouped-agg would still be a pair
+    blowup (ADVICE r12 item 2). That admits the n_test x stats scalar
+    combine AND the r12 log-scaled cap (a 1-row count frame
+    broadcast-cross-joined onto the ranked train frame: O(N)
+    map-side, no pair blowup) while rejecting raw x raw AND
+    raw x multi-row-grouped all-pairs scoring."""
     plan = _physical_plan(spark, "knn_classifier_eval_lsh")
     assert "CartesianProduct" not in plan, plan
     lines = [ln for ln in plan.splitlines() if ln.strip()]
@@ -505,7 +514,7 @@ def test_knn_lsh_twin_no_all_pairs(spark):
                 in_child_has_raw = False
                 agg_depths = []
             agg_depths = [a for a in agg_depths if a < nd]
-            if _AGG_RE.search(nxt):
+            if _GLOBAL_AGG_RE.search(nxt):
                 agg_depths.append(nd)
             if "Scan parquet" in nxt and not agg_depths:
                 in_child_has_raw = True
