@@ -7945,6 +7945,29 @@ def morans_i_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DBSCAN_MINPTS = 3  # neighbors (excluding self) within eps to be "core"
 
+# Per-CELL occupancy cap on the BUILD side of the epsilon cell join
+# (r13, VERDICT r12 item 2). The r12 _DBSCAN_EDGECAP bounded what the
+# consumers MATERIALIZE, but the candidate *stream* itself still did
+# O(density²) CPU work: with a fixed coordinate extent, per-cell
+# occupancy m grows linearly with the corpus and the cell equi-join
+# emits Σ 9·m² candidate rows through the distance filter (visible at
+# the third decade: 100x moved 68 -> 122 s when the probe dropped its
+# split override — pure candidate-stream CPU). The build side of the
+# join therefore keeps only the _DBSCAN_CELLCAP smallest-user_id
+# points per (cx, cy) cell (deterministic, the
+# _OVL_BUCKCAP/_FUZ_BUCKCAP fleet convention); every point still
+# PROBES its 9 cells, so candidates are bounded at 9·cap·N — linear in
+# corpus size no matter how dense the space gets. SEMANTIC (degree
+# counts, core labels, edges and border attachment all see only
+# capped-cell neighbors at scale), mirrored row-for-row in both
+# oracles. Provided-testdata max cell occupancy is 12 (sf0.1, 284
+# occupied cells / 1,500 points), so the 64 cap never binds there and
+# all provided-sf results are byte-identical (regression-pinned
+# DuckDB-only across sf0.001/0.01/0.1); the cap's bite at scale is
+# recorded by tools/probe_scale100.py as this family's honesty
+# metric.
+_DBSCAN_CELLCAP = 64
+
 
 @register(
     "dbscan_core_points",
@@ -7960,6 +7983,12 @@ _DBSCAN_MINPTS = 3  # neighbors (excluding self) within eps to be "core"
       SELECT user_id, x, y, x // {_GEO_EPS} AS cx, y // {_GEO_EPS} AS cy
       FROM pt
     ),
+    bcells AS (
+      SELECT user_id, x, y, cx, cy FROM (
+        SELECT *, row_number() OVER (PARTITION BY cx, cy
+                                     ORDER BY user_id ASC) AS crn
+        FROM cells) WHERE crn <= {_DBSCAN_CELLCAP}
+    ),
     probe AS (
       SELECT c.user_id, c.x, c.y, c.cx + dx.d AS px, c.cy + dy.d AS py
       FROM cells c
@@ -7968,7 +7997,7 @@ _DBSCAN_MINPTS = 3  # neighbors (excluding self) within eps to be "core"
     ),
     nb AS (
       SELECT a.user_id, count(*) AS n_neighbors
-      FROM probe a JOIN cells b
+      FROM probe a JOIN bcells b
         ON b.cx = a.px AND b.cy = a.py AND b.user_id <> a.user_id
        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
              <= {_GEO_EPS * _GEO_EPS}
@@ -8004,7 +8033,13 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical candidate generation to the neighbor join
     (constant 9x replication, cell-key equi-join), one
     map-side-combined per-point count, a left join back for isolated
-    points, a 1-row reduce."""
+    points, a 1-row reduce. r13: the build side keeps only
+    _DBSCAN_CELLCAP smallest-id points per cell, so the candidate
+    stream is 9·cap·N — linear in corpus size (the uncapped cell join
+    did O(density²) CPU work; no bite on provided testdata, mirrored
+    in the oracle)."""
+    from pyspark.sql import Window
+
     u = load_table(spark, sf_dir, "events").select("user_id").distinct()
     x = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
     y = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
@@ -8018,6 +8053,12 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"x div {_GEO_EPS}").alias("cx"),
         F.expr(f"y div {_GEO_EPS}").alias("cy"),
     )
+    wcell = Window.partitionBy("cx", "cy").orderBy(F.asc("user_id"))
+    bcells = (
+        cells.withColumn("crn", F.row_number().over(wcell))
+        .filter(F.col("crn") <= _DBSCAN_CELLCAP)
+        .drop("crn")
+    )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
     )
@@ -8028,7 +8069,7 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cx") + F.col("dx")).alias("px"),
         (F.col("cy") + F.col("dy")).alias("py"),
     )
-    b = cells.select(
+    b = bcells.select(
         F.col("user_id").alias("idb"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
@@ -8103,6 +8144,12 @@ _DBSCAN_EDGECAP = 64
       SELECT user_id, x, y, x // {_GEO_EPS} AS cx, y // {_GEO_EPS} AS cy
       FROM pt
     ),
+    bcells AS (
+      SELECT user_id, x, y, cx, cy FROM (
+        SELECT *, row_number() OVER (PARTITION BY cx, cy
+                                     ORDER BY user_id ASC) AS crn
+        FROM cells) WHERE crn <= {_DBSCAN_CELLCAP}
+    ),
     probe AS (
       SELECT c.user_id, c.x, c.y, c.cx + dx.d AS px, c.cy + dy.d AS py
       FROM cells c
@@ -8111,7 +8158,7 @@ _DBSCAN_EDGECAP = 64
     ),
     nbp AS (
       SELECT a.user_id AS id_a, b.user_id AS id_b
-      FROM probe a JOIN cells b
+      FROM probe a JOIN bcells b
         ON b.cx = a.px AND b.cy = a.py AND b.user_id <> a.user_id
        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
              <= {_GEO_EPS * _GEO_EPS}
@@ -8193,12 +8240,13 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stream is never materialized (degree counting streams through
     a map-side-combining aggregate; r12: the _DBSCAN_EDGECAP adjacency
     truncation bounds every edge list actually KEPT at <= N·cap rows,
-    symmetrized for the core merge, no matter how dense the space
-    gets — the uncapped 100x pair list was ~2.5e8 rows and killed the
-    probe JVM); border attachment runs over the capped adjacency. This
-    is the standard production DBSCAN decomposition (region query ->
-    core graph CC -> border pass) with a bounded-degree epsilon
-    graph."""
+    symmetrized for the core merge; r13: the _DBSCAN_CELLCAP build-side
+    occupancy cap bounds the candidate STREAM at 9·cellcap·N rows, so
+    CPU work is linear in corpus size too — the r12 shape had bounded
+    memory but still did O(density²) work in the cell join); border
+    attachment runs over the capped adjacency. This is the standard
+    production DBSCAN decomposition (region query -> core graph CC ->
+    border pass) with a bounded-degree, bounded-work epsilon graph."""
     from dataengineeringproject_spark.operators.graph import (
         connected_components,
     )
@@ -8216,6 +8264,14 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"x div {_GEO_EPS}").alias("cx"),
         F.expr(f"y div {_GEO_EPS}").alias("cy"),
     )
+    from pyspark.sql import Window
+
+    wcell = Window.partitionBy("cx", "cy").orderBy(F.asc("user_id"))
+    bcells = (
+        cells.withColumn("crn", F.row_number().over(wcell))
+        .filter(F.col("crn") <= _DBSCAN_CELLCAP)
+        .drop("crn")
+    )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
     )
@@ -8226,7 +8282,7 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cx") + F.col("dx")).alias("px"),
         (F.col("cy") + F.col("dy")).alias("py"),
     )
-    bb = cells.select(
+    bb = bcells.select(
         F.col("user_id").alias("idb"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
@@ -8236,12 +8292,12 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
-    from pyspark.sql import Window
-
-    # the pair stream: deliberately NOT cached — at density-growing
-    # scales it is the quadratic object (see _DBSCAN_EDGECAP); each of
-    # the three consumers below either aggregates it on the fly (deg)
-    # or truncates it to a capped adjacency before materializing.
+    # the pair stream: deliberately NOT cached — each of the three
+    # consumers below either aggregates it on the fly (deg) or
+    # truncates it to a capped adjacency before materializing; r13: the
+    # capped build side (_DBSCAN_CELLCAP) bounds the stream itself at
+    # 9·cap·N candidate rows, so the WORK is linear too (the r12
+    # edge cap only bounded what gets kept).
     nbp = (
         probe.join(
             bb,

@@ -167,9 +167,13 @@ def _fuzzy_dropped_mass(spark, sf_dir: str) -> dict:
     re-derive the rep-level (band, bkey) frame and report how much of
     the rep-band mass the per-bucket cap cuts — kept vs total rows,
     over-cap bucket count, max occupancy. Prices the semantic recall
-    trade at each scale (max occupancy on provided sf0.1 is 223 < 256,
-    so nothing is dropped there and provided results are
-    byte-identical)."""
+    trade at each scale. On provided sf0.1 the cap DOES trim: max
+    occupancy 529 > 256, 3 buckets over cap, ~4.8% of rep-band rows
+    dropped (probe_scale100_battery_r12.json) — yet the OUTPUT stays
+    row-identical to uncapped, because every surviving pair's members
+    co-rank within the cap in some shared bucket (hash-matched at
+    sf0.001/0.01/0.1 in fresh sessions; commit b234482). The earlier
+    "223 < 256, no bite" claim used a wrong band-seed string."""
     import pyspark.sql.functions as F
 
     from dataengineeringproject_spark.queries.curation import (
@@ -243,6 +247,64 @@ def _fuzzy_dropped_mass(spark, sf_dir: str) -> dict:
     }
 
 
+def _dbscan_dropped_mass(spark, sf_dir: str) -> dict:
+    """Honesty metric for the DBSCAN family's _DBSCAN_CELLCAP (r13):
+    re-derive the epsilon-grid cell occupancy and report how much of
+    the build-side point mass the per-cell cap cuts — kept vs total
+    points, over-cap cell count, max occupancy. Prices the region
+    query's degree undercount at scale (a point in an over-cap cell is
+    invisible as a NEIGHBOR beyond the cap, though it still probes).
+    Provided sf0.1 max occupancy is 12 < 64, so the cap never binds
+    there."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.functions import text as X
+    from dataengineeringproject_spark.queries.advanced import (
+        _DBSCAN_CELLCAP,
+        _GEO_EPS,
+        _GEO_EXTENT,
+        _GEO_SEED,
+    )
+    from dataengineeringproject_spark.schemas import load_table
+
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    x = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
+    y = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
+    occ = (
+        u.select(
+            (x % _GEO_EXTENT).alias("x"),
+            (y % _GEO_EXTENT).alias("y"),
+        )
+        .select(
+            F.expr(f"x div {_GEO_EPS}").alias("cx"),
+            F.expr(f"y div {_GEO_EPS}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .agg(
+            F.sum("occ").alias("total"),
+            F.sum(F.least(F.col("occ"), F.lit(_DBSCAN_CELLCAP))).alias(
+                "kept"
+            ),
+            F.sum(
+                F.when(F.col("occ") > _DBSCAN_CELLCAP, 1).otherwise(0)
+            ).alias("cells_over_cap"),
+            F.count(F.lit(1)).alias("cells"),
+            F.max("occ").alias("max_occupancy"),
+        )
+        .collect()[0]
+    )
+    return {
+        "cell_cap": _DBSCAN_CELLCAP,
+        "points_total": int(occ["total"]),
+        "build_points_kept": int(occ["kept"]),
+        "dropped_frac": round(1 - occ["kept"] / max(occ["total"], 1), 4),
+        "cells_over_cap": int(occ["cells_over_cap"]),
+        "cells": int(occ["cells"]),
+        "max_occupancy": int(occ["max_occupancy"]),
+    }
+
+
 def _metrics(name: str, pdf) -> dict:
     out: dict = {"rows": int(len(pdf))}
     if name == "knn_classifier_eval_lsh" and len(pdf) == 1:
@@ -313,6 +375,8 @@ def main() -> None:
                 rows[name].update(_overlap_dropped_mass(spark, d))
             if name == "fuzzy_pairs_blocked":
                 rows[name].update(_fuzzy_dropped_mass(spark, d))
+            if name in ("dbscan_clusters", "dbscan_core_points"):
+                rows[name].update(_dbscan_dropped_mass(spark, d))
             print(f"{label:>4} {name}: {sec:.2f}s rows={len(pdf)}", flush=True)
         result["per_scale"][label] = rows
     for name in QUERIES:
