@@ -87,6 +87,80 @@ def test_fuzzy_rewritten_oracle_equals_raw_formulation():
     assert rep == raw, (len(rep), len(raw), rep[:3], raw[:3])
 
 
+def test_staged_producers_match_inline_build(spark):
+    """r13 staged shared producers (VERDICT r12 item 4): the parquet
+    round-trip must be value-lossless — the staged tokset equals the
+    inline explode+distinct shingle build, and the staged fuzzy
+    band-key frame equals the inline rep+HOF derivation. If either
+    drifts (a schema change, a normalization edit on one side only),
+    every consumer goes wrong in a way the construction-mirrored
+    oracles might not catch."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.operators import dedup as D
+    from dataengineeringproject_spark.queries import curation as C
+    from dataengineeringproject_spark.queries import llm_text as L
+
+    docs = L._docs(spark, SF)
+    staged = set(
+        map(
+            tuple,
+            spark.read.parquet(L._staged_tokset(spark, SF)).collect(),
+        )
+    )
+    inline = set(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.explode(D.shingles(F.col("text"), L._SHINGLE_K)).alias("w"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    assert staged == inline and len(staged) > 0
+
+    staged_k = set(
+        map(
+            tuple,
+            spark.read.parquet(C._staged_fuz_keys(spark, SF))
+            .select("doc_id", "pfx", "band", "bkey")
+            .collect(),
+        )
+    )
+    pfx = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        1,
+        C._LEV_PREFIX,
+    )
+    reps = (
+        docs.select("doc_id", pfx.alias("pfx"))
+        .groupBy("pfx")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    inline_k = set()
+    for b in range(C._FUZ_BANDS):
+        key = F.expr(
+            "concat("
+            + ", ".join(
+                f"array_min(transform(sequence(1, greatest(length(pfx) - 2,"
+                f" 1)), i -> md5(concat('{b}r{r}|', substring(pfx, i, 3)))))"
+                for r in range(C._FUZ_ROWS)
+            )
+            + ")"
+        )
+        inline_k |= set(
+            map(
+                tuple,
+                reps.select(
+                    "doc_id", "pfx", F.lit(b).alias("band"), key.alias("bkey")
+                ).collect(),
+            )
+        )
+    assert staged_k == inline_k and len(staged_k) > 0
+
+
 # --- r13 _DBSCAN_CELLCAP (VERDICT r12 item 2) ------------------------------
 
 
