@@ -19,16 +19,21 @@ one subprocess each (fully cold JVMs):
     4 GB each: same 32 cores, but churn lands in executor heaps that
     the timed query's executors share ONLY via the cluster's normal
     shuffle/broadcast paths (and the driver JVM does plans only).
-Sequence inside each subprocess (battery methodology: clearCache +
-re-prestage before every timed run, timing action toPandas):
-  1. prestage, time knn (FRESH);
-  2. churn: ann_ivfpq_topk + dedup_semantic (the two heavy cache-heavy
-     queries the r12 battery ran before knn);
-  3. clearCache + re-prestage, time knn again (WARM).
-Verdict rule: if warm/fresh >> 1 under local[32] but ~1 under
+Sequence inside each subprocess (timing action toPandas):
+  1. time knn PRISTINE — first action in the cold JVM, before
+     prestage (valid: knn consumes no staged artifact; this is the
+     r12 "fresh-session single-query" condition);
+  2. clearCache + prestage, time knn (POST-PRESTAGE — the r13 first
+     run showed the prestage pass alone already moves knn to ~180 s);
+  3. churn: ann_ivfpq_topk + dedup_semantic (the two heavy queries the
+     r12 battery ran before knn), clearCache + re-prestage;
+  4. time knn again (WARM).
+Verdict rule: if warm/pristine >> 1 under local[32] but ~1 under
 local-cluster, the gap is single-JVM heap churn — record the
-fresh-session number as the local contract and move on; if the gap
-survives separate executor JVMs, it is plan/state cost and stays open.
+pristine-session number as the local contract and move on; if the gap
+survives separate executor JVMs, it is executor-side accumulated
+state (GC/JIT/allocator growth) that a real long-lived cluster would
+also see — a different, more interesting conclusion.
 
 Usage: python tools/probe_knn_split.py [out_json] [fixture_dir]
 Defaults: probe_knn_split_r13.json /tmp/deps_scale100.
@@ -75,23 +80,32 @@ from dataengineeringproject_spark import registry
 
 qs = registry.queries()
 
-def timed(name):
-    spark.catalog.clearCache()
-    registry.prestage(spark, d)
+def timed(name, stage=True):
+    if stage:
+        spark.catalog.clearCache()
+        registry.prestage(spark, d)
     t0 = time.perf_counter()
     n = len(qs[name](spark, d).toPandas())
     return round(time.perf_counter() - t0, 2), n
 
-fresh_sec, fresh_rows = timed("knn_classifier_eval_lsh")
+# knn consumes no staged artifact (it computes buckets from the raw
+# embeddings table), so a PRISTINE timing — first action in the cold
+# JVM, before prestage runs anything heavy — is valid and is the r12
+# "fresh-session single-query" condition. The r13 first run showed the
+# prestage pass ALONE (sig index + codebooks + posting tables) already
+# moves the subsequent knn to ~180 s, i.e. "warm" starts at prestage.
+pristine_sec, pristine_rows = timed("knn_classifier_eval_lsh", stage=False)
+post_stage_sec, _ = timed("knn_classifier_eval_lsh")
 churn = {}
 for cq in ("ann_ivfpq_topk", "dedup_semantic"):
     churn[cq], _ = timed(cq)
 warm_sec, warm_rows = timed("knn_classifier_eval_lsh")
 print("CHILD_RESULT " + json.dumps({
-    "master": master, "fresh_sec": fresh_sec, "warm_sec": warm_sec,
-    "warm_over_fresh": round(warm_sec / max(fresh_sec, 1e-9), 2),
-    "churn_sec": churn, "rows": fresh_rows,
-    "rows_stable": fresh_rows == warm_rows,
+    "master": master, "pristine_sec": pristine_sec,
+    "post_prestage_sec": post_stage_sec, "warm_sec": warm_sec,
+    "warm_over_pristine": round(warm_sec / max(pristine_sec, 1e-9), 2),
+    "churn_sec": churn, "rows": pristine_rows,
+    "rows_stable": pristine_rows == warm_rows,
 }))
 spark.stop()
 """
@@ -127,13 +141,16 @@ def main() -> None:
         r = run_master(master, fixture)
         print(" ", r, flush=True)
         result["runs"].append(r)
-    g_local = result["runs"][0]["warm_over_fresh"]
-    g_split = result["runs"][1]["warm_over_fresh"]
+    g_local = result["runs"][0]["warm_over_pristine"]
+    g_split = result["runs"][1]["warm_over_pristine"]
     result["verdict"] = (
         "single-JVM heap churn (gap vanishes with separate executor JVMs)"
         if g_local >= 1.5 and g_split < 1.3
-        else "gap persists under split executors — not heap churn"
-        if g_local >= 1.5
+        else "gap persists under split executors — executor-side"
+        " accumulated state, not driver/executor co-residency"
+        if g_local >= 1.5 and g_split >= 1.5
+        else "gap only under split executors"
+        if g_split >= 1.5
         else "no warm-session gap reproduced this run"
     )
     Path(out).write_text(json.dumps(result, indent=2) + "\n")
