@@ -2505,6 +2505,16 @@ def _staged_tokset(spark: SparkSession, sf_dir: str) -> str:
     ).distinct()
     path = tempfile.mkdtemp(prefix="deps_tokset_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # Plain parquet, NOT a bucketed table — measured, not assumed: a
+    # doc_id-bucketed+sorted variant (bucketBy(32).sortBy, one file per
+    # bucket, read via spark.table) was tried in r13 and measured
+    # SLOWER at sf0.1 (14.7/17.2 s vs 8.9 s in identical fresh
+    # sessions): the fixed 32-bucket scan pins partitioning and defeats
+    # AQE coalescing, while half the consumers (document frequency,
+    # the posting join) need w-keyed shuffles the doc_id layout cannot
+    # serve. At a real 100 TB deployment the posting table would be
+    # bucketed by `w` FOR the posting join specifically — here the
+    # dominant win is simply not re-shingling the corpus per call.
     tokset.write.mode("overwrite").parquet(path)
     _TOKSET_STAGED[sf_dir] = path
     return path
@@ -2599,7 +2609,8 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged parquet table (_staged_tokset — built once per sf_dir and
     shared across calls), not re-shingled from raw text on every
     call; the parquet round-trip is value-lossless so output is
-    byte-identical."""
+    byte-identical. (A doc_id-bucketed variant measured slower —
+    see _staged_tokset.)"""
     tokset_all = spark.read.parquet(_staged_tokset(spark, sf_dir))
     # doc -> set-group key (docs with an empty shingle set have no
     # tokset rows and are absent, exactly as in the raw formulation).
