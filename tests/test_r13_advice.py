@@ -121,6 +121,31 @@ def test_staged_producers_match_inline_build(spark):
     )
     assert staged == inline and len(staged) > 0
 
+    staged_g = set(
+        map(
+            tuple,
+            spark.read.parquet(L._staged_docg(spark, SF)).collect(),
+        )
+    )
+    inline_g = set(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.explode(D.shingles(F.col("text"), L._SHINGLE_K)).alias("w"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(
+                F.md5(
+                    F.concat_ws("\n", F.array_sort(F.collect_list("w")))
+                ).alias("gh")
+            )
+            .collect(),
+        )
+    )
+    assert staged_g == inline_g and len(staged_g) > 0
+
     staged_k = set(
         map(
             tuple,
