@@ -1460,7 +1460,11 @@ def split_leakage_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = shg.filter(F.col("split") == "train").select("sh").distinct()
     marked = (
         shg.filter(F.col("split") != "train")
-        .join(train_sh.withColumn("__hit", F.lit(1)), "sh", "left")
+        # merge hint (r13): the train shingle vocabulary scales with
+        # the corpus — broadcasting it is the dedup_substring_exact /
+        # jaccard r12 failure mode (AQE underestimates the
+        # post-distinct frame, the real build blows the driver)
+        .join(train_sh.withColumn("__hit", F.lit(1)).hint("merge"), "sh", "left")
     )
     ev = marked.groupBy("doc_id", "split").agg(
         F.count(F.lit(1)).alias("n_sh"),

@@ -3580,8 +3580,14 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     dup_c = F.sum(F.when(F.col("nd") >= 2, F.col("c")))
+    # merge hint (r13): BOTH sides of the gram join scale with the
+    # corpus — gc is one row per distinct 40-char window, and at 100x
+    # AQE's post-aggregate estimate put it under the 64 MB broadcast
+    # threshold while the real build serialized 1.1 GB and blew the
+    # driver's maxResultSize (the exact jaccard r12 failure mode).
+    # Sort-merge costs a sort but never a driver-side build.
     return (
-        dg.join(gc, "gram")
+        dg.join(gc.hint("merge"), "gram")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("total_pos"),

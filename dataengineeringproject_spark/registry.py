@@ -425,6 +425,12 @@ _PRIORITY_R13: list[str] = [
     # the staged parquet table (_staged_tokset) instead of re-shingling
     # per call — re-earn the driver row on the new plan:
     "jaccard_prefix_filter_join",
+    # r13 physical change (output-identical): merge hints on the
+    # corpus-scaled gram / train-vocabulary joins — AQE-broadcast of
+    # the post-aggregate frame blew the 100x driver (1.1 GB real vs
+    # <64 MB estimated); re-earn on the new plan:
+    "dedup_substring_exact",
+    "split_leakage_ngram",
 ]
 _PRIORITY_PINS = _PRIORITY_R13
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
