@@ -247,6 +247,35 @@ def _bench_set(qs) -> list[str]:
 BENCH_ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "collect")
 
 
+def _drift_control(spark, qs) -> dict:
+    """Ambient-drift normalizer embedded in every bench artifact
+    (VERDICT r13 item 5: separating the round's 1.2-1.36x box-speed
+    drift from real regressions cost ad-hoc control runs). Two probes:
+    a pure-CPU pandas groupby over 1M deterministic rows (no Spark —
+    isolates raw box speed) and 3 back-to-back repeats of the tiny
+    fixed flagship at sf0.001 (JVM/session health + variance). Compare
+    these fields across BENCH_r* files to normalize per-query rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    pdf = pd.DataFrame(
+        {"k": rng.integers(0, 1000, 1_000_000), "v": rng.random(1_000_000)}
+    )
+    t0 = time.perf_counter()
+    pdf.groupby("k")["v"].agg(["mean", "sum", "count"])
+    pandas_sec = time.perf_counter() - t0
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        len(qs["daily_agg"](spark, "/root/testdata/sf0.001").collect())
+        reps.append(round(time.perf_counter() - t0, 3))
+    return {
+        "pandas_groupby_1m_sec": round(pandas_sec, 3),
+        "spark_daily_agg_sf0001_sec": reps,
+    }
+
+
 def _run_headline(spark, qs, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names if names is not None else (n for n in HEADLINE if n in qs):
@@ -324,8 +353,13 @@ def main() -> None:
     # Stage the persisted side tables (LSH signature index, CDC base
     # snapshot) OUTSIDE the timed region: production maintains these
     # continuously, so the per-batch query cost must not include the
-    # one-time index build (ADVICE r6).
-    registry.prestage(spark, sf_dir)
+    # one-time index build (ADVICE r6). Per-hook wall time is recorded
+    # in the artifact (ADVICE r13) so staged queries' per-query rows
+    # aren't read as end-to-end costs.
+    prestage_sec = {
+        k: round(v, 2) for k, v in registry.prestage(spark, sf_dir).items()
+    }
+    drift = _drift_control(spark, qs)
 
     if "--scale-trend" in sys.argv[1:]:
         base = str(Path(sf_dir).parent)
@@ -374,6 +408,8 @@ def main() -> None:
             "n_headline": len([n for n in HEADLINE if n in raw]),
             "queries": timings,
             "diagnostic_queries": diag,
+            "prestage_sec": prestage_sec,
+            "drift_control": drift,
             "sf": sf,
         }
     )

@@ -8247,6 +8247,38 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     attachment runs over the capped adjacency. This is the standard
     production DBSCAN decomposition (region query -> core graph CC ->
     border pass) with a bounded-degree, bounded-work epsilon graph."""
+    pt, lab = _dbscan_labels(spark, sf_dir)
+    cl = lab.groupBy("cluster").agg(
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("n_core"),
+        F.sum(F.when(F.col("is_core"), 0).otherwise(1)).alias("n_border"),
+    )
+    noise = pt.join(lab, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cl.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_core").cast("long").alias("n_core"),
+        F.col("n_border").cast("long").alias("n_border"),
+        (F.col("n_core") + F.col("n_border")).cast("long").alias("n_total"),
+    ).unionAll(
+        noise.select(
+            F.lit(-1).cast("long"),
+            F.lit(0).cast("long"),
+            F.lit(0).cast("long"),
+            F.col("n").cast("long"),
+        )
+    )
+
+
+def _dbscan_labels(spark: SparkSession, sf_dir: str):
+    """Per-point DBSCAN assignment — (pt, lab) where lab is
+    (user_id, cluster, is_core); noise points are pt rows absent from
+    lab. Extracted from dbscan_clusters (r14, pure code motion — the
+    census derives from this frame) so tools/probe_scale100.py can
+    compute the capped-vs-uncapped cluster-assignment agreement metric
+    (VERDICT r13 item 3) by evaluating the SAME pipeline under a
+    monkeypatched _DBSCAN_CELLCAP, pricing what the cap costs in
+    assignment quality, not just dropped build mass."""
     from dataengineeringproject_spark.operators.graph import (
         connected_components,
     )
@@ -8350,26 +8382,7 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         border.select("user_id", "cluster", F.lit(False).alias("is_core"))
     )
-    cl = lab.groupBy("cluster").agg(
-        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("n_core"),
-        F.sum(F.when(F.col("is_core"), 0).otherwise(1)).alias("n_border"),
-    )
-    noise = pt.join(lab, "user_id", "left_anti").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return cl.select(
-        F.col("cluster").cast("long").alias("cluster"),
-        F.col("n_core").cast("long").alias("n_core"),
-        F.col("n_border").cast("long").alias("n_border"),
-        (F.col("n_core") + F.col("n_border")).cast("long").alias("n_total"),
-    ).unionAll(
-        noise.select(
-            F.lit(-1).cast("long"),
-            F.lit(0).cast("long"),
-            F.lit(0).cast("long"),
-            F.col("n").cast("long"),
-        )
-    )
+    return pt, lab
 
 
 # --- one-step Huber M-estimator of location ---------------------------------------

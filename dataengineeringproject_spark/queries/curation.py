@@ -1145,7 +1145,7 @@ def _fuz_band_min_sql(band: int, row: int) -> str:
     )
 
 
-_FUZ_KEYS_STAGED: dict[str, str] = {}
+_FUZ_KEYS_STAGED: dict[tuple, str] = {}
 
 
 def _staged_fuz_keys(spark: SparkSession, sf_dir: str) -> str:
@@ -1159,9 +1159,13 @@ def _staged_fuz_keys(spark: SparkSession, sf_dir: str) -> str:
     and tests monkeypatch it), so the staged artifact is
     cap-independent, exactly like _staged_sig_index's band index. At
     100 TB this is the persisted LSH key table maintained next to the
-    corpus, bucketed by (band, bkey)."""
-    if sf_dir in _FUZ_KEYS_STAGED:
-        return _FUZ_KEYS_STAGED[sf_dir]
+    corpus, bucketed by (band, bkey).  Cache keyed on the source
+    parquet's content fingerprint, not path alone (ADVICE r13)."""
+    from dataengineeringproject_spark.registry import source_fingerprint
+
+    ck = source_fingerprint(sf_dir, "documents")
+    if ck in _FUZ_KEYS_STAGED:
+        return _FUZ_KEYS_STAGED[ck]
     import atexit
     import shutil
     import tempfile
@@ -1214,7 +1218,7 @@ def _staged_fuz_keys(spark: SparkSession, sf_dir: str) -> str:
     path = tempfile.mkdtemp(prefix="deps_fuzkeys_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     k.write.mode("overwrite").parquet(path)
-    _FUZ_KEYS_STAGED[sf_dir] = path
+    _FUZ_KEYS_STAGED[ck] = path
     return path
 
 

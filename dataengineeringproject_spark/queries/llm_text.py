@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from dataengineeringproject_spark.functions import text as X
 from dataengineeringproject_spark.operators import dedup as D
 from dataengineeringproject_spark.operators import similarity as SIM
+from dataengineeringproject_spark import registry as R
 from dataengineeringproject_spark.registry import register, register_prestage
 from dataengineeringproject_spark.schemas import load_table, local_df
 
@@ -2478,7 +2479,7 @@ def bpe_train_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPJ_T = 0.7          # Jaccard threshold (e-notation in oracle)
 _PPJ_T_SQL = "0.7e0"
 
-_TOKSET_STAGED: dict[str, str] = {}
+_TOKSET_STAGED: dict[tuple, str] = {}
 
 
 def _staged_tokset(spark: SparkSession, sf_dir: str) -> str:
@@ -2492,9 +2493,11 @@ def _staged_tokset(spark: SparkSession, sf_dir: str) -> str:
     co-locates — and rebuilding it per query is exactly the waste the
     staged-artifact discipline exists to avoid. The parquet round-trip
     is value-lossless ((bigint, string) rows), so query output is
-    byte-identical to the inline build."""
-    if sf_dir in _TOKSET_STAGED:
-        return _TOKSET_STAGED[sf_dir]
+    byte-identical to the inline build.  Cache keyed on the source
+    parquet's content fingerprint, not path alone (ADVICE r13)."""
+    ck = R.source_fingerprint(sf_dir, "documents")
+    if ck in _TOKSET_STAGED:
+        return _TOKSET_STAGED[ck]
     import atexit
     import shutil
     import tempfile
@@ -2516,13 +2519,13 @@ def _staged_tokset(spark: SparkSession, sf_dir: str) -> str:
     # bucketed by `w` FOR the posting join specifically — here the
     # dominant win is simply not re-shingling the corpus per call.
     tokset.write.mode("overwrite").parquet(path)
-    _TOKSET_STAGED[sf_dir] = path
+    _TOKSET_STAGED[ck] = path
     return path
 
 
 register_prestage(_staged_tokset)
 
-_DOCG_STAGED: dict[str, str] = {}
+_DOCG_STAGED: dict[tuple, str] = {}
 
 
 def _staged_docg(spark: SparkSession, sf_dir: str) -> str:
@@ -2537,9 +2540,11 @@ def _staged_docg(spark: SparkSession, sf_dir: str) -> str:
     \\s+ tokenization into a shingle, so two DIFFERENT sets can never
     fuse to one concat string (see jaccard's docstring). In
     production this is the set-fingerprint column of the posting
-    index, maintained alongside it."""
-    if sf_dir in _DOCG_STAGED:
-        return _DOCG_STAGED[sf_dir]
+    index, maintained alongside it.  Cache keyed on the source
+    parquet's content fingerprint, not path alone (ADVICE r13)."""
+    ck = R.source_fingerprint(sf_dir, "documents")
+    if ck in _DOCG_STAGED:
+        return _DOCG_STAGED[ck]
     import atexit
     import shutil
     import tempfile
@@ -2553,7 +2558,7 @@ def _staged_docg(spark: SparkSession, sf_dir: str) -> str:
     path = tempfile.mkdtemp(prefix="deps_docg_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     docg.write.mode("overwrite").parquet(path)
-    _DOCG_STAGED[sf_dir] = path
+    _DOCG_STAGED[ck] = path
     return path
 
 

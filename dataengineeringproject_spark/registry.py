@@ -49,49 +49,7 @@ _SCALE_CLASS: dict[str, str] = {}
 # each round, regenerate from the union of CORRECTNESS_r0*.json (latest
 # green round per query; see tools/gen_sweep_tiers.py).
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # --- round 3 is the newest green driver row (1 queries)
-    "ewma_daily_by_type": 3,
-    # --- round 4 is the newest green driver row (39 queries)
-    "ann_lsh_topk": 4,
-    "bloom_prefilter_join": 4,
-    "bm25_topk": 4,
-    "bpe_apply_merges": 4,
-    "bpe_pair_counts": 4,
-    "cdc_latest_state_tombstones": 4,
-    "cms_heavy_hitters": 4,
-    "corpus_curation_pipeline": 4,
-    "cosine_topk": 4,
-    "dedup_embedding_cosine": 4,
-    "dedup_exact": 4,
-    "doc_fingerprints": 4,
-    "drift_ks_binned": 4,
-    "drift_ks_value": 4,
-    "embedding_norms": 4,
-    "event_path_top3": 4,
-    "fuzzy_pairs_levenshtein": 4,
-    "fuzzy_recall_blocked": 4,
-    "gap_fill_daily_interp": 4,
-    "histogram_equidepth_approx": 4,
-    "hll_daily_to_monthly_rollup": 4,
-    "hll_distinct_users": 4,
-    "hll_rolling_7d_distinct": 4,
-    "lang_id": 4,
-    "multimodal_frame_sample": 4,
-    "multimodal_image_features": 4,
-    "ngram_novelty": 4,
-    "quality_unigram_nll": 4,
-    "rrf_fusion_topk": 4,
-    "split_leakage_ngram": 4,
-    "streaming_cms_heavy_hitters": 4,
-    "streaming_hll_daily_distinct": 4,
-    "streaming_session_window": 4,
-    "text_normalize": 4,
-    "text_stats": 4,
-    "token_counts_bpe": 4,
-    "value_quantiles_binned": 4,
-    "variant_props_extract": 4,
-    "window_rank_family": 4,
-    # --- round 5 is the newest green driver row (41 queries)
+    # --- round 5 is the newest green driver row (36 queries)
     "ann_recall_matryoshka": 5,
     "attribution_first_last_touch": 5,
     "audience_overlap_daily": 5,
@@ -106,18 +64,13 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "domain_centroid_topk": 5,
     "drift_js_binned": 5,
     "drift_mannwhitney_binned": 5,
-    "drift_psi_value": 5,
     "fk_integrity_audit": 5,
     "funnel_latency_quantiles": 5,
     "hard_negative_mining": 5,
-    "hll_intersection_estimate": 5,
     "lang_mix_entropy_by_source": 5,
     "langid_confusion": 5,
-    "pagerank_event_graph": 5,
     "pca_power_iteration": 5,
-    "profile_table": 5,
     "quality_bigram_nll": 5,
-    "quantiles_binned_rollup": 5,
     "revenue_gini_by_nation": 5,
     "revenue_lorenz_deciles": 5,
     "rfm_segments": 5,
@@ -180,7 +133,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "trend_theil_sen": 7,
     "validation_summary": 7,
     "wind_buckets": 7,
-    # --- round 8 is the newest green driver row (49 queries)
+    # --- round 8 is the newest green driver row (48 queries)
     "abtest_power_analysis": 8,
     "abtest_two_proportion": 8,
     "anova_value_by_type": 8,
@@ -310,7 +263,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "streaming_multimodal_ingest": 10,
     "training_mix_budget_sample": 10,
     "window_running_sum": 10,
-    # --- round 11 is the newest green driver row (37 queries)
+    # --- round 11 is the newest green driver row (36 queries)
     "asof_join_purchase_click": 11,
     "bootstrap_ci_mean": 11,
     "corpus_release_gate_neardup": 11,
@@ -322,7 +275,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_minhash_lsh": 11,
     "dedup_signal_agreement": 11,
     "dedup_simhash": 11,
-    "dedup_substring_exact": 11,
     "graph_khop_reach": 11,
     "json_props_rollup": 11,
     "minhash_signatures": 11,
@@ -348,7 +300,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "time_band_join": 11,
     "value_quantiles": 11,
     "zscore_per_group": 11,
-    # --- round 12 is the newest green driver row (50 queries)
+    # --- round 12 is the newest green driver row (47 queries)
     "ann_ivf_topk": 12,
     "ann_ivf_trained_topk": 12,
     "ann_ivfpq_topk": 12,
@@ -362,11 +314,9 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_semantic": 12,
     "drift_chi2_event_mix": 12,
     "embedding_quantize_int8": 12,
-    "fuzzy_pairs_blocked": 12,
     "grouping_sets_agg": 12,
     "histogram_equidepth_value": 12,
     "histogram_value_buckets": 12,
-    "jaccard_prefix_filter_join": 12,
     "kmeans_cluster_stats": 12,
     "knn_classifier_eval": 12,
     "knn_classifier_eval_lsh": 12,
@@ -398,41 +348,82 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "unpivot_daily_metrics": 12,
     "window_lag_delta": 12,
     "window_range_rolling_7d": 12,
+    # --- round 13 is the newest green driver row (50 queries)
+    "ann_lsh_topk": 13,
+    "bloom_prefilter_join": 13,
+    "bm25_topk": 13,
+    "bpe_apply_merges": 13,
+    "bpe_pair_counts": 13,
+    "cdc_latest_state_tombstones": 13,
+    "cms_heavy_hitters": 13,
+    "corpus_curation_pipeline": 13,
+    "cosine_topk": 13,
+    "dbscan_clusters": 13,
+    "dbscan_core_points": 13,
+    "dedup_embedding_cosine": 13,
+    "dedup_exact": 13,
+    "dedup_substring_exact": 13,
+    "doc_fingerprints": 13,
+    "drift_ks_binned": 13,
+    "drift_ks_value": 13,
+    "drift_psi_value": 13,
+    "embedding_norms": 13,
+    "event_path_top3": 13,
+    "ewma_daily_by_type": 13,
+    "fuzzy_pairs_blocked": 13,
+    "fuzzy_pairs_levenshtein": 13,
+    "fuzzy_recall_blocked": 13,
+    "gap_fill_daily_interp": 13,
+    "histogram_equidepth_approx": 13,
+    "hll_daily_to_monthly_rollup": 13,
+    "hll_distinct_users": 13,
+    "hll_intersection_estimate": 13,
+    "hll_rolling_7d_distinct": 13,
+    "jaccard_prefix_filter_join": 13,
+    "lang_id": 13,
+    "multimodal_frame_sample": 13,
+    "multimodal_image_features": 13,
+    "ngram_novelty": 13,
+    "pagerank_event_graph": 13,
+    "profile_table": 13,
+    "quality_unigram_nll": 13,
+    "quantiles_binned_rollup": 13,
+    "rrf_fusion_topk": 13,
+    "split_leakage_ngram": 13,
+    "streaming_cms_heavy_hitters": 13,
+    "streaming_hll_daily_distinct": 13,
+    "streaming_session_window": 13,
+    "text_normalize": 13,
+    "text_stats": 13,
+    "token_counts_bpe": 13,
+    "value_quantiles_binned": 13,
+    "variant_props_extract": 13,
+    "window_rank_family": 13,
 }
 
 
 # _PRIORITY_R11 retired (all 28 entries green in CORRECTNESS_r11).
 # _PRIORITY_R12 retired (all 14 entries green in CORRECTNESS_r12).
-# Round-13 explicit priority front-list (VERDICT r12 item 1): keep the
-# fuzzy pair pinned one more round — the construction-mirrored oracle
-# rewrite deserves a second consecutive driver check — plus any query
-# whose code or oracle changes this round.  The sweep tail then spends
-# the budget on the stalest green cohort (r3/r4: ewma, the text/sketch
-# family, bpe, cosine_topk).  Retire after CORRECTNESS_r13 lands.
-_PRIORITY_R13: list[str] = [
-    # r13 semantic change: _DBSCAN_CELLCAP build-side occupancy cap on
-    # the epsilon cell join (VERDICT r12 item 2 — the candidate STREAM
-    # was still density-quadratic work; oracle mirrored, no bite on
-    # provided testdata):
-    "dbscan_clusters",
-    "dbscan_core_points",
-    # second consecutive driver check of the r12 rep+cap mirrored
-    # oracle (VERDICT r12 "watch" item 3); both also consume the r13
-    # staged band-key table (_staged_fuz_keys):
-    "fuzzy_pairs_blocked",
-    "fuzzy_recall_blocked",
-    # r13 physical change (output-identical): posting frame read from
-    # the staged parquet table (_staged_tokset) instead of re-shingling
-    # per call — re-earn the driver row on the new plan:
+# _PRIORITY_R13 retired (all 7 entries green in CORRECTNESS_r13).
+# Round-14 explicit priority front-list (VERDICT r13 item 1): no
+# semantic changes are pending at round start, so pin ONLY queries r14
+# actually touches (physical-plan changes that must re-earn their
+# driver row).  The sweep tail then spends the budget on the stalest
+# green cohort — 36 queries last checked in r5 (drift/langid/cohort
+# families, attribution, rfm, gini, kaplan-meier, …).  Retire after
+# CORRECTNESS_r14 lands.
+_PRIORITY_R14: list[str] = [
+    # r14 physical change (output-identical): posting join consumes the
+    # w-bucketed staged tokset table (VERDICT r13 item 6) — re-earn the
+    # driver row on the new plan:
     "jaccard_prefix_filter_join",
-    # r13 physical change (output-identical): merge hints on the
-    # corpus-scaled gram / train-vocabulary joins — AQE-broadcast of
-    # the post-aggregate frame blew the 100x driver (1.1 GB real vs
-    # <64 MB estimated); re-earn on the new plan:
-    "dedup_substring_exact",
-    "split_leakage_ngram",
+    # r14 code motion (output-identical): the per-point label pipeline
+    # was extracted to _dbscan_labels so the scale probe can compute
+    # the capped-vs-uncapped assignment-agreement metric (VERDICT r13
+    # item 3) — re-earn on the refactored construction:
+    "dbscan_clusters",
 ]
-_PRIORITY_PINS = _PRIORITY_R13
+_PRIORITY_PINS = _PRIORITY_R14
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 
 
@@ -483,19 +474,57 @@ def register(
 _PRESTAGE: list[Callable[[SparkSession, str], object]] = []
 
 
+def source_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Cache key for staged side tables: (sf_dir, mtime_ns, size) of
+    the source parquet, so regenerating a dataset at the same path
+    within one process invalidates the staged copy (ADVICE r13).
+    Works for both single-file and directory parquet layouts."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if not f.startswith("_")
+        )
+        sig = tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in parts)
+        return (sf_dir, table, sig)
+    st = os.stat(p)
+    return (sf_dir, table, st.st_mtime_ns, st.st_size)
+
+
 def register_prestage(
     fn: Callable[[SparkSession, str], object],
 ) -> Callable[[SparkSession, str], object]:
-    """Register a one-time staging hook (idempotent per sf_dir)."""
+    """Register a one-time staging hook (idempotent per sf_dir).
+
+    Cache-keying convention: hooks staging a table DERIVED from a
+    source parquet should key their in-process cache with
+    source_fingerprint(sf_dir, table) so a regenerated dataset at the
+    same path is re-staged.  Older hooks that key by sf_dir alone
+    assume one generation per process — valid for the driver and
+    bench (testdata is immutable) but a foot-gun for reused fixture
+    dirs (ADVICE r13)."""
     _PRESTAGE.append(fn)
     return fn
 
 
-def prestage(spark: SparkSession, sf_dir: str) -> None:
-    """Run every staging hook for sf_dir (each caches internally)."""
+def prestage(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Run every staging hook for sf_dir (each caches internally).
+
+    Returns per-hook wall seconds so bench artifacts can record
+    staging cost alongside per-query rows (ADVICE r13: staged
+    producers move dominant cost out of the timed run; the artifact
+    must carry it so staged queries' rows aren't read as end-to-end
+    costs). Cached (already-staged) hooks record ~0."""
+    import time as _time
+
     _load_all()
+    timings: dict[str, float] = {}
     for fn in _PRESTAGE:
+        t0 = _time.perf_counter()
         fn(spark, sf_dir)
+        timings[fn.__name__] = _time.perf_counter() - t0
+    return timings
 
 
 def scale_classes() -> dict[str, str]:

@@ -235,10 +235,16 @@ def test_dbscan_cellcap_binding_cross_engine(spark, monkeypatch):
 
     sf_dir = "/root/testdata/sf0.01"
     cap = 2
+    prod_cap = A._DBSCAN_CELLCAP
     monkeypatch.setattr(A, "_DBSCAN_CELLCAP", cap)
     for name in ("dbscan_clusters", "dbscan_core_points"):
+        # derive the pattern from the production constant (saved above
+        # before the monkeypatch) so a future cap change cannot turn
+        # the replace into a silent no-op (ADVICE r13)
+        pattern = f"crn <= {prod_cap}"
+        assert pattern in registry.oracle_sql()[name], (name, pattern)
         oracle = registry.oracle_sql()[name].replace(
-            "crn <= 64", f"crn <= {cap}"
+            pattern, f"crn <= {cap}"
         )
         con = duckdb.connect()
         con.execute(

@@ -305,6 +305,119 @@ def _dbscan_dropped_mass(spark, sf_dir: str) -> dict:
     }
 
 
+def _ari_from_contingency(cont: dict[tuple, int]) -> float:
+    """Adjusted Rand Index from a {(label_a, label_b): n} contingency
+    table (exact, no sklearn). Noise (-1) is treated as its own label —
+    the strict reading: a point the capped run calls noise but the
+    uncapped run clusters counts against agreement."""
+    from math import comb
+
+    rows: dict = {}
+    cols: dict = {}
+    n = 0
+    sum_comb = 0
+    for (a, b), c in cont.items():
+        rows[a] = rows.get(a, 0) + c
+        cols[b] = cols.get(b, 0) + c
+        n += c
+        sum_comb += comb(c, 2)
+    sum_rows = sum(comb(c, 2) for c in rows.values())
+    sum_cols = sum(comb(c, 2) for c in cols.values())
+    total = comb(n, 2)
+    if total == 0:
+        return 1.0
+    expected = sum_rows * sum_cols / total
+    max_index = (sum_rows + sum_cols) / 2
+    if max_index == expected:
+        return 1.0
+    return (sum_comb - expected) / (max_index - expected)
+
+
+def _dbscan_agreement(spark, sf_dir: str) -> dict:
+    """Capped-vs-uncapped cluster-assignment agreement (VERDICT r13
+    item 3): the dropped-mass metric says how many build points the
+    _DBSCAN_CELLCAP discards, but not what that costs in ASSIGNMENT
+    quality — the analog of fuzzy_recall_blocked for this family. Runs
+    the identical _dbscan_labels pipeline twice (production cap vs an
+    effectively-infinite cap), then reports per-point role agreement
+    (core/border/noise) and ARI over cluster labels (noise as its own
+    label). Only call where the uncapped run is feasible (1x, 10x, the
+    dense fixture) — at 100x the uncapped candidate stream is the
+    O(density^2) blow-up the cap exists to prevent."""
+    import pandas as pd  # noqa: F401
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.queries import advanced as A
+
+    def labels(cap: int):
+        prev = A._DBSCAN_CELLCAP
+        A._DBSCAN_CELLCAP = cap
+        try:
+            pt, lab = A._dbscan_labels(spark, sf_dir)
+            return (
+                pt.select("user_id")
+                .join(lab, "user_id", "left")
+                .select(
+                    "user_id",
+                    F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
+                    F.when(F.col("is_core"), "core")
+                    .when(F.col("cluster").isNotNull(), "border")
+                    .otherwise("noise")
+                    .alias("role"),
+                )
+                .toPandas()
+            )
+        finally:
+            A._DBSCAN_CELLCAP = prev
+
+    prod_cap = A._DBSCAN_CELLCAP
+    capped = labels(prod_cap).set_index("user_id")
+    unc = labels(1 << 31).set_index("user_id")
+    m = capped.join(unc, lsuffix="_c", rsuffix="_u")
+    cont = (
+        m.groupby(["cluster_c", "cluster_u"]).size().to_dict()
+    )
+    return {
+        "cell_cap": prod_cap,
+        "n_points": int(len(m)),
+        "role_agreement": round(
+            float((m["role_c"] == m["role_u"]).mean()), 4
+        ),
+        "ari_vs_uncapped": round(_ari_from_contingency(cont), 4),
+        "n_clusters_capped": int(m["cluster_c"].nunique()),
+        "n_clusters_uncapped": int(m["cluster_u"].nunique()),
+    }
+
+
+def _make_dense_fixture(spark, n_users: int = 40_000) -> str:
+    """Synthetic dense DBSCAN fixture (VERDICT r13 item 3): n_users
+    distinct ids hashed into the fixed _GEO_EXTENT space gives mean
+    cell occupancy ~n/289 (~138 at 40k) — the 64 cap bites HARD
+    (unlike provided testdata, max occupancy 12) while the uncapped
+    run stays feasible (~9·m²·cells ≈ 5e7 candidates). Events schema
+    matches load_table's contract; one row per user is all the DBSCAN
+    family reads (it starts from DISTINCT user_id)."""
+    import pyspark.sql.functions as F
+
+    d = "/tmp/deps_dbscan_dense"
+    if (Path(d) / "events.parquet").exists():
+        return d
+    Path(d).mkdir(parents=True, exist_ok=True)
+    df = (
+        spark.range(1, n_users + 1)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            F.col("id").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    df.coalesce(8).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
 def _metrics(name: str, pdf) -> dict:
     out: dict = {"rows": int(len(pdf))}
     if name == "knn_classifier_eval_lsh" and len(pdf) == 1:
@@ -316,10 +429,64 @@ def _metrics(name: str, pdf) -> dict:
     return out
 
 
+def _measure_one(label: str, d: str, name: str) -> dict:
+    """One COLD measurement: fresh session (this process is a fresh
+    JVM when invoked via --child), staging hooks untimed, then the
+    timed toPandas + the family's honesty metrics (untimed).
+
+    r12 note kept for the record: the probe session uses the engine's
+    stock configs — the same session shape bench.py and the external
+    driver run (the r11 4 MB maxPartitionBytes override distorted
+    measurements)."""
+    spark = get_spark("probe_scale100")
+    qs = registry.queries()
+    registry.prestage(spark, d)
+    t0 = time.perf_counter()
+    pdf = qs[name](spark, d).toPandas()
+    sec = time.perf_counter() - t0
+    row = {"sec": round(sec, 3), **_metrics(name, pdf)}
+    if name == "tfidf_cosine_pairs":
+        row.update(_tfidf_kept_mass(spark, d))
+    if name == "session_overlap_top_pairs":
+        row.update(_overlap_dropped_mass(spark, d))
+    if name == "fuzzy_pairs_blocked":
+        row.update(_fuzzy_dropped_mass(spark, d))
+    if name in ("dbscan_clusters", "dbscan_core_points"):
+        row.update(_dbscan_dropped_mass(spark, d))
+        # assignment-quality counterweight to the dropped-mass number
+        # (VERDICT r13 item 3) — only where uncapped is feasible
+        if name == "dbscan_clusters" and label in ("1x", "10x", "dense"):
+            row["agreement"] = _dbscan_agreement(spark, d)
+    return row
+
+
 def main() -> None:
     # usage: probe_scale100.py [out_json] [--queries a,b,c] [--scales 1x,100x]
+    #        probe_scale100.py --child <label> <dir> <query>   (internal)
+    #        probe_scale100.py --dbscan-dense [out_json]
     global QUERIES
     args = sys.argv[1:]
+
+    if "--child" in args:
+        i = args.index("--child")
+        label, d, name = args[i + 1], args[i + 2], args[i + 3]
+        print("RESULT " + json.dumps({name: _measure_one(label, d, name)}))
+        return
+
+    if "--dbscan-dense" in args:
+        # synthetic dense fixture where the cell cap bites hard (mean
+        # occupancy ~138 >> cap 64) but uncapped stays feasible — the
+        # agreement number that prices the 100x build-point drop
+        out = args[args.index("--dbscan-dense") + 1] if len(
+            args
+        ) > args.index("--dbscan-dense") + 1 else "/tmp/probe_dbscan_dense.json"
+        spark = get_spark("probe_scale100")
+        d = _make_dense_fixture(spark)
+        row = _measure_one("dense", d, "dbscan_clusters")
+        Path(out).write_text(json.dumps({"dense": row}, indent=2) + "\n")
+        print("wrote", out)
+        return
+
     out_path = "/tmp/probe_scale100.json"
     scales = dict(SCALES)
     rest = []
@@ -334,50 +501,49 @@ def main() -> None:
             rest.append(args[i]); i += 1
     if rest:
         out_path = rest[0]
-    # r12: the probe session now uses the engine's stock configs, the
-    # same session shape bench.py and the external driver run. The r11
-    # 4 MB maxPartitionBytes override compensated for one-file
-    # fixtures, but make_scale10.py has written 32 files per table
-    # since r11 — and the override itself distorted measurements
-    # (knn_classifier_eval_lsh at 100x: 126-186 s under 4 MB splits vs
-    # ~50 s under the default in an otherwise identical fresh
-    # session). Heavy pre-shuffle producers are protected by
-    # ensure_min_parallelism in the queries themselves, where the
-    # production code — not the probe harness — owns the guarantee.
-    spark = get_spark("probe_scale100")
-    qs = registry.queries()
-    result: dict = {"method": "toPandas wall-clock, one warm session", "per_scale": {}}
+    # Pristine-per-query (r14, VERDICT r13 item 4): each (scale, query)
+    # measurement runs in its own COLD subprocess — the r13 battery ran
+    # one warm session and its 1x rows carried a 1.5-2x accumulated
+    # executor-JVM tax (fuzzy 4.4 s warm vs 3.99 s fresh; jaccard 19.1
+    # vs 8.94), the effect tools/probe_knn_split.py pinned to executor
+    # old-gen/GC state. Cold subprocesses also subsume the r12
+    # clearCache-between-queries isolation.
+    import subprocess
+
+    result: dict = {
+        "method": "toPandas wall-clock, one cold subprocess per (scale, query)",
+        "per_scale": {},
+    }
     for label, d in scales.items():
         if not Path(d).exists():
             print("missing fixture:", d, "— run tools/make_scale10.py")
             continue
         rows = {}
         for name in QUERIES:
-            # Per-query cache isolation (r12): queries that .cache()
-            # internally (the ANN index builds) leak that state into
-            # whatever runs next in the same session — measured 4x on
-            # knn_classifier_eval_lsh at 100x when it followed
-            # ann_ivfpq_topk (198 s polluted vs ~50 s fresh-session).
-            # Wipe everything, then re-run the staging hooks so each
-            # query is timed against exactly the staged state a fresh
-            # driver session would see (staged artifacts are
-            # index-build costs, not per-query costs — the bench.py
-            # convention; the re-stage itself is outside the timer).
-            spark.catalog.clearCache()
-            registry.prestage(spark, d)
-            t0 = time.perf_counter()
-            pdf = qs[name](spark, d).toPandas()
-            sec = time.perf_counter() - t0
-            rows[name] = {"sec": round(sec, 3), **_metrics(name, pdf)}
-            if name == "tfidf_cosine_pairs":
-                rows[name].update(_tfidf_kept_mass(spark, d))
-            if name == "session_overlap_top_pairs":
-                rows[name].update(_overlap_dropped_mass(spark, d))
-            if name == "fuzzy_pairs_blocked":
-                rows[name].update(_fuzzy_dropped_mass(spark, d))
-            if name in ("dbscan_clusters", "dbscan_core_points"):
-                rows[name].update(_dbscan_dropped_mass(spark, d))
-            print(f"{label:>4} {name}: {sec:.2f}s rows={len(pdf)}", flush=True)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child", label, d, name],
+                capture_output=True,
+                text=True,
+                cwd=str(Path(__file__).resolve().parent.parent),
+            )
+            line = next(
+                (
+                    ln[len("RESULT "):]
+                    for ln in proc.stdout.splitlines()
+                    if ln.startswith("RESULT ")
+                ),
+                None,
+            )
+            if proc.returncode != 0 or line is None:
+                rows[name] = {"error": (proc.stderr or proc.stdout)[-2000:]}
+                print(f"{label:>4} {name}: CHILD FAILED", flush=True)
+                continue
+            rows[name] = json.loads(line)[name]
+            print(
+                f"{label:>4} {name}: {rows[name]['sec']:.2f}s "
+                f"rows={rows[name].get('rows')}",
+                flush=True,
+            )
         result["per_scale"][label] = rows
     for name in QUERIES:
         try:
