@@ -144,6 +144,13 @@ def child(variant: str, sf_dir: str) -> None:
     tok_path = _staged_tokset(spark, sf_dir)
     _staged_docg(spark, sf_dir)
     if variant == "wbucket":
+        # each child gets a fresh derby metastore but the managed-table
+        # LOCATION persists in the warehouse dir across processes —
+        # clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/{TBL}", ignore_errors=True)
         tokset_all = spark.read.parquet(tok_path)
         docg = spark.read.parquet(_staged_docg(spark, sf_dir))
         reps = docg.groupBy("gh").agg(F.min("doc_id").alias("doc_id"))
@@ -185,7 +192,7 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     out = args[1] if len(args) > 1 else "/tmp/exp_jaccard_wbucket.json"
     runs = []
-    for rep in range(2):
+    for rep in range(3):
         for variant in ("base", "wbucket"):
             proc = subprocess.run(
                 [sys.executable, __file__, "--child", variant, sf_dir],
