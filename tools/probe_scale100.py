@@ -429,7 +429,7 @@ def _metrics(name: str, pdf) -> dict:
     return out
 
 
-def _measure_one(label: str, d: str, name: str) -> dict:
+def _measure_one(label: str, d: str, name: str, do_prestage: bool = True) -> dict:
     """One COLD measurement: fresh session (this process is a fresh
     JVM when invoked via --child), staging hooks untimed, then the
     timed toPandas + the family's honesty metrics (untimed).
@@ -440,7 +440,8 @@ def _measure_one(label: str, d: str, name: str) -> dict:
     measurements)."""
     spark = get_spark("probe_scale100")
     qs = registry.queries()
-    registry.prestage(spark, d)
+    if do_prestage:
+        registry.prestage(spark, d)
     t0 = time.perf_counter()
     pdf = qs[name](spark, d).toPandas()
     sec = time.perf_counter() - t0
@@ -482,7 +483,9 @@ def main() -> None:
         ) > args.index("--dbscan-dense") + 1 else "/tmp/probe_dbscan_dense.json"
         spark = get_spark("probe_scale100")
         d = _make_dense_fixture(spark)
-        row = _measure_one("dense", d, "dbscan_clusters")
+        # events-only fixture: skip the corpus staging hooks (the
+        # DBSCAN family reads nothing staged)
+        row = _measure_one("dense", d, "dbscan_clusters", do_prestage=False)
         Path(out).write_text(json.dumps({"dense": row}, indent=2) + "\n")
         print("wrote", out)
         return

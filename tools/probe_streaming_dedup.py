@@ -147,7 +147,7 @@ def main() -> None:
         "bench_r13_sec": {"streaming_dedup_daily_counts": 28.49},
         "runs": runs,
     }
-    out_path = Path(__file__).parent / "probe_streaming_dedup_r14.json"
+    out_path = Path(__file__).parent.parent / "probe_streaming_dedup_r14.json"
     out_path.write_text(json.dumps(art, indent=1) + "\n")
     print(f"wrote {out_path}")
 
