@@ -2582,7 +2582,12 @@ def _staged_tokset_wb(spark: SparkSession, sf_dir: str) -> str:
     bucket-local w partitions instead of shuffling the full posting
     frame. The r13 doc_id-bucketed attempt measured SLOWER (see
     _staged_tokset): bucketing only pays when the bucket key matches
-    the heavy join's key. Consumers read via spark.table(), which
+    the heavy join's key. Plan-level proof at sf0.01: the executed
+    jaccard plan shows 8 bucketed scans and ZERO
+    `Exchange hashpartitioning(w)` nodes — the document-frequency
+    aggregate and the prefix-filter self-join run bucket-local; the
+    remaining exchanges are the doc/gh-keyed verification joins,
+    which no w layout can serve. Consumers read via spark.table(), which
     requires the staging session == query session (one session per
     process — the driver's and bench's shape).
 
