@@ -1151,16 +1151,27 @@ _FUZ_KEYS_STAGED: dict[tuple, str] = {}
 def _staged_fuz_keys(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the PRE-CAP rep-level band-key frame — (doc_id,
     pfx, band, bkey), one row per (distinct-prefix representative,
-    band) — to parquet ONCE per sf_dir (r13, VERDICT r12 item 4: the
-    per-rep band-key HOF — ~{_LEV_PREFIX - 2} md5 calls per band-row
-    per rep — dominated fuzzy_pairs_blocked's 1x time and was
-    recomputed on every call, twice per fuzzy_recall_blocked run).
-    The _FUZ_BUCKCAP rank/cap stays IN the query (it is semantics,
-    and tests monkeypatch it), so the staged artifact is
-    cap-independent, exactly like _staged_sig_index's band index. At
-    100 TB this is the persisted LSH key table maintained next to the
-    corpus, bucketed by (band, bkey).  Cache keyed on the source
-    parquet's content fingerprint, not path alone (ADVICE r13)."""
+    band) — ONCE per sf_dir (r13, VERDICT r12 item 4: the per-rep
+    band-key HOF — ~{_LEV_PREFIX - 2} md5 calls per band-row per rep —
+    dominated fuzzy_pairs_blocked's 1x time and was recomputed on
+    every call, twice per fuzzy_recall_blocked run), returning a
+    catalog TABLE NAME. r14: the table is external parquet BUCKETED
+    (32) by (band, bkey) and sorted by (band, bkey, doc_id) — the
+    _FUZ_BUCKCAP window and the candidate self-join are BOTH keyed on
+    (band, bkey), so the bucketed scan serves them shuffle-free.
+    Measured verdict (tools/exp_fuzzy_bkbucket.py, cold interleaved
+    subprocesses, output hash-identical across all 12 runs): sf0.1
+    won EVERY pair — 8.75->3.67, 5.18->2.95, 4.98->3.73 s; 100x
+    medians 30.3->24.6 s (the output-sized member expansion dilutes
+    the win there). The _FUZ_BUCKCAP rank/cap stays IN the query (it
+    is semantics, and tests monkeypatch it), so the staged artifact
+    is cap-independent, exactly like _staged_sig_index's band index.
+    At 100 TB this is the persisted LSH key table maintained next to
+    the corpus, bucketed by (band, bkey) — now literally. Cache keyed
+    on the source parquet's content fingerprint, not path alone
+    (ADVICE r13); spark.table() requires staging session == query
+    session (one session per process — the driver's and bench's
+    shape, same note as _staged_tokset_wb)."""
     from dataengineeringproject_spark.registry import source_fingerprint
 
     ck = source_fingerprint(sf_dir, "documents")
@@ -1217,9 +1228,18 @@ def _staged_fuz_keys(spark: SparkSession, sf_dir: str) -> str:
     ).select("doc_id", "pfx", "bk.band", "bk.bkey")
     path = tempfile.mkdtemp(prefix="deps_fuzkeys_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
-    k.write.mode("overwrite").parquet(path)
-    _FUZ_KEYS_STAGED[ck] = path
-    return path
+    name = f"deps_fuz_keys_bk_{len(_FUZ_KEYS_STAGED)}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        k.write.bucketBy(32, "band", "bkey")
+        .sortBy("band", "bkey", "doc_id")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    _FUZ_KEYS_STAGED[ck] = name
+    return name
 
 
 register_prestage(_staged_fuz_keys)
@@ -1320,13 +1340,15 @@ def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mem = d.select("doc_id", pfx.alias("pfx"))
     # r13 (VERDICT r12 item 4): the pre-cap rep band-key frame comes
-    # from the staged parquet table (_staged_fuz_keys — built once per
-    # sf_dir, shared with fuzzy_recall_blocked's second pass), not
-    # re-derived via the band-key HOF on every call. reps is recovered
-    # from the staged frame's band-0 rows (one row per rep per band,
-    # so band 0 is exactly the rep set) instead of re-aggregating the
-    # member frame.
-    k = spark.read.parquet(_staged_fuz_keys(spark, sf_dir))
+    # from the staged table (_staged_fuz_keys — built once per sf_dir,
+    # shared with fuzzy_recall_blocked's second pass), not re-derived
+    # via the band-key HOF on every call. reps is recovered from the
+    # staged frame's band-0 rows (one row per rep per band, so band 0
+    # is exactly the rep set) instead of re-aggregating the member
+    # frame. r14: the table is bucketed by (band, bkey), so the cap
+    # window and the candidate self-join below run shuffle-free on the
+    # bucketed scan (measured verdict in _staged_fuz_keys).
+    k = spark.table(_staged_fuz_keys(spark, sf_dir))
     reps = k.filter(F.col("band") == 0).select("pfx", "doc_id")
     # r12: per-bucket concurrency cap (see _FUZ_BUCKCAP) — rank reps
     # within each (band, bkey) by doc_id and keep the cap smallest;

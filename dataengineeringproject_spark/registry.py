@@ -422,6 +422,13 @@ _PRIORITY_R14: list[str] = [
     # the capped-vs-uncapped assignment-agreement metric (VERDICT r13
     # item 3) — re-earn on the refactored construction:
     "dbscan_clusters",
+    # r14 physical change (output-identical): the staged band-key
+    # table is now bucketed by (band, bkey) — the cap window and the
+    # candidate self-join run shuffle-free on the bucketed scan
+    # (measured in tools/exp_fuzzy_bkbucket.py) — re-earn both
+    # consumers' driver rows on the new plan:
+    "fuzzy_pairs_blocked",
+    "fuzzy_recall_blocked",
 ]
 _PRIORITY_PINS = _PRIORITY_R14
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}

@@ -146,10 +146,12 @@ def test_staged_producers_match_inline_build(spark):
     )
     assert staged_g == inline_g and len(staged_g) > 0
 
+    # r14: _staged_fuz_keys returns a (band, bkey)-bucketed catalog
+    # table name rather than a parquet path
     staged_k = set(
         map(
             tuple,
-            spark.read.parquet(C._staged_fuz_keys(spark, SF))
+            spark.table(C._staged_fuz_keys(spark, SF))
             .select("doc_id", "pfx", "band", "bkey")
             .collect(),
         )

@@ -20,6 +20,13 @@ identity via sorted result hash.
 
 Usage: python tools/exp_fuzzy_bkbucket.py [sf_dir] [out_json]
        python tools/exp_fuzzy_bkbucket.py --child {base|bkbucket} SF_DIR
+
+ADOPTED (r14): the verdict was positive (sf0.1 won every interleaved
+pair 8.75->3.67 / 5.18->2.95 / 4.98->3.73 s; 100x medians
+30.3->24.6 s) and _staged_fuz_keys now produces the bucketed table in
+production — so a re-run's "base" measures the ADOPTED plan and the
+two variants should now tie. Artifacts from the pre-adoption run:
+exp_fuzzy_bkbucket_{sf01,100x}_r14.json.
 """
 
 from __future__ import annotations
@@ -134,7 +141,7 @@ def child(variant: str, sf_dir: str) -> None:
         shutil.rmtree(f"{wh}/{TBL}", ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {TBL}")
         (
-            spark.read.parquet(keys_path)
+            spark.table(keys_path)  # r14: staged producer returns a table name
             .write.bucketBy(32, "band", "bkey")
             .sortBy("band", "bkey", "doc_id")
             .mode("overwrite")
