@@ -328,6 +328,31 @@ def test_jaccard_prefix_filter_posting_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_jaccard_bucket_local_w_joins(spark):
+    """r14: the rep-level posting table is bucketed by `w`
+    (_staged_tokset_wb) precisely so the document-frequency aggregate
+    and the prefix-filter self-join run bucket-local — the plan must
+    show bucketed scans and ZERO exchanges keyed on bare `w` (a
+    checkpoint or layout regression silently reintroduces the posting
+    shuffle the 100x measurement paid 225 s for)."""
+    plan = _physical_plan(spark, "jaccard_prefix_filter_join")
+    assert "Bucketed: true" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning\(w#\d+,", plan), plan
+
+
+def test_fuzzy_bucket_local_bandkey_window_and_join(spark):
+    """r14: the staged band-key table is bucketed by (band, bkey)
+    (_staged_fuz_keys) so the _FUZ_BUCKCAP window and the candidate
+    self-join run on the bucketed scan — the plan must show bucketed
+    scans and ZERO exchanges keyed on (band, bkey) in either order."""
+    plan = _physical_plan(spark, "fuzzy_pairs_blocked")
+    assert "Bucketed: true" in plan, plan
+    assert not re.search(
+        r"Exchange hashpartitioning\((?:band#\d+, bkey#\d+|bkey#\d+, band#\d+),",
+        plan,
+    ), plan
+
+
 def test_ann_ivfpq_no_all_pairs(spark):
     """ann_ivfpq_topk prunes the corpus to probed IVF lists before the
     PQ/ADC ranking — the plan must stay equi-join only: no

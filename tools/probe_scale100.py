@@ -389,6 +389,54 @@ def _dbscan_agreement(spark, sf_dir: str) -> dict:
     }
 
 
+def _dbscan_cap_curve(spark, sf_dir: str, caps: list[int]) -> dict:
+    """Agreement-vs-cap sensitivity curve on PROVIDED data (r14
+    follow-through on the agreement metric): production cap 64 never
+    binds at sf0.1 (max occupancy 12), so sweep caps BELOW occupancy
+    where the truncation genuinely bites real data, comparing each
+    capped assignment against uncapped. Answers 'how low could the cap
+    go before assignments change' — the operating-margin reading the
+    single production-cap number can't give."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.queries import advanced as A
+
+    def labels(cap: int):
+        prev = A._DBSCAN_CELLCAP
+        A._DBSCAN_CELLCAP = cap
+        try:
+            pt, lab = A._dbscan_labels(spark, sf_dir)
+            return (
+                pt.select("user_id")
+                .join(lab, "user_id", "left")
+                .select(
+                    "user_id",
+                    F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
+                    F.when(F.col("is_core"), "core")
+                    .when(F.col("cluster").isNotNull(), "border")
+                    .otherwise("noise")
+                    .alias("role"),
+                )
+                .toPandas()
+                .set_index("user_id")
+            )
+        finally:
+            A._DBSCAN_CELLCAP = prev
+
+    unc = labels(1 << 31)
+    out = {}
+    for cap in caps:
+        capped = labels(cap)
+        m = capped.join(unc, lsuffix="_c", rsuffix="_u")
+        cont = m.groupby(["cluster_c", "cluster_u"]).size().to_dict()
+        out[str(cap)] = {
+            "role_agreement": round(float((m["role_c"] == m["role_u"]).mean()), 4),
+            "ari_vs_uncapped": round(_ari_from_contingency(cont), 4),
+            "n_clusters_capped": int(m["cluster_c"].nunique()),
+        }
+    return out
+
+
 def _make_dense_fixture(spark, n_users: int = 40_000) -> str:
     """Synthetic dense DBSCAN fixture (VERDICT r13 item 3): n_users
     distinct ids hashed into the fixed _GEO_EXTENT space gives mean
@@ -472,6 +520,24 @@ def main() -> None:
         i = args.index("--child")
         label, d, name = args[i + 1], args[i + 2], args[i + 3]
         print("RESULT " + json.dumps({name: _measure_one(label, d, name)}))
+        return
+
+    if "--dbscan-cap-curve" in args:
+        i = args.index("--dbscan-cap-curve")
+        out = args[i + 1] if len(args) > i + 1 else "/tmp/probe_dbscan_curve.json"
+        spark = get_spark("probe_scale100")
+        sf_dir = "/root/testdata/sf0.1"
+        curve = _dbscan_cap_curve(spark, sf_dir, caps=[2, 3, 4, 6, 8, 12])
+        art = {
+            "sf_dir": sf_dir,
+            "note": (
+                "max cell occupancy 12 at sf0.1, so caps below it bind on "
+                "real data; production cap is 64"
+            ),
+            "agreement_vs_cap": curve,
+        }
+        Path(out).write_text(json.dumps(art, indent=2) + "\n")
+        print("wrote", out)
         return
 
     if "--dbscan-dense" in args:
