@@ -3620,11 +3620,20 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per window), the (doc, gram) pre-aggregation partial-combines
     map-side before the gram-grain shuffle, and the doc-count join
     back onto the compressed (doc, gram) frame is gram-keyed — never
-    all-pairs, no window sort. At 100 TB the only change is the
-    shuffle key: ship xxhash64(gram) (8 bytes) instead of the
-    {_SSTR_L}-char text, an engine-internal swap that leaves these
-    per-document ratios identical up to hash collisions (~1e-9 at
-    10^13 windows with a 128-bit key)."""
+    all-pairs, no window sort. r14: the shuffle key IS xxhash64(gram)
+    (8 bytes) rather than the {_SSTR_L}-char text — an
+    engine-internal swap (the text-based oracle is untouched) that
+    leaves these per-document ratios identical up to 64-bit hash
+    collisions (~n²/2^65; ~5e-9 even at the 100x fixture's ~2e5
+    distinct windows, and verified hash-identical against the
+    text-keyed plan at sf0.1 AND 100x). Measured verdict
+    (tools/exp_substr_hashkey.py, cold interleaved subprocesses,
+    exp_substr_hashkey_{{sf01,100x}}_r14.json): sf0.1 a wash, 100x
+    339/341 -> 148/149 s (2.3x, both pairs) — at the third decade
+    this query is shuffle-byte-bound and the 40-char key WAS the
+    bottleneck. At a real 100 TB run, collision risk scales as the
+    docstring's original estimate (~1e-9 at 10^13 windows needs the
+    128-bit variant: xxhash64 over (gram, salt) pairs or sha2-128)."""
     d = SIM.ensure_min_parallelism(
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -3637,13 +3646,16 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.length("text") - _SSTR_L + 1)
         ).alias("i"),
         "text",
-    ).select("doc_id", F.expr(f"substring(text, i, {_SSTR_L})").alias("gram"))
+    ).select(
+        "doc_id",
+        F.xxhash64(F.expr(f"substring(text, i, {_SSTR_L})")).alias("gram"),
+    )
     dg = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     dup_c = F.sum(F.when(F.col("nd") >= 2, F.col("c")))
     # merge hint (r13): BOTH sides of the gram join scale with the
-    # corpus — gc is one row per distinct 40-char window, and at 100x
-    # AQE's post-aggregate estimate put it under the 64 MB broadcast
+    # corpus — gc is one row per distinct window, and at 100x AQE's
+    # post-aggregate estimate put it under the 64 MB broadcast
     # threshold while the real build serialized 1.1 GB and blew the
     # driver's maxResultSize (the exact jaccard r12 failure mode).
     # Sort-merge costs a sort but never a driver-side build.

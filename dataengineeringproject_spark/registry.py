@@ -429,6 +429,11 @@ _PRIORITY_R14: list[str] = [
     # consumers' driver rows on the new plan:
     "fuzzy_pairs_blocked",
     "fuzzy_recall_blocked",
+    # r14 physical change (output-identical up to 64-bit collisions,
+    # hash-verified at sf0.1 and 100x): the gram shuffles key on
+    # xxhash64(gram) instead of 40-char text — 341 -> 149 s at 100x
+    # (tools/exp_substr_hashkey.py) — re-earn on the new plan:
+    "dedup_substring_exact",
 ]
 _PRIORITY_PINS = _PRIORITY_R14
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
