@@ -49,57 +49,16 @@ _SCALE_CLASS: dict[str, str] = {}
 # each round, regenerate from the union of CORRECTNESS_r0*.json (latest
 # green round per query; see tools/gen_sweep_tiers.py).
 _LAST_GREEN_ROUND: dict[str, int] = {
-    # --- round 5 is the newest green driver row (36 queries)
-    "ann_recall_matryoshka": 5,
-    "attribution_first_last_touch": 5,
-    "audience_overlap_daily": 5,
-    "bpe_train_apply_e2e": 5,
-    "bpe_train_k_merges": 5,
-    "burstiness_by_user_topk": 5,
-    "char_entropy_quality": 5,
-    "cohort_ltv_triangle": 5,
-    "copurchase_lift_pairs": 5,
-    "corr_chars_quality_by_source": 5,
-    "dedup_cluster_size_histogram": 5,
-    "domain_centroid_topk": 5,
-    "drift_js_binned": 5,
-    "drift_mannwhitney_binned": 5,
-    "fk_integrity_audit": 5,
-    "funnel_latency_quantiles": 5,
-    "hard_negative_mining": 5,
-    "lang_mix_entropy_by_source": 5,
-    "langid_confusion": 5,
-    "pca_power_iteration": 5,
-    "quality_bigram_nll": 5,
-    "revenue_gini_by_nation": 5,
-    "revenue_lorenz_deciles": 5,
-    "rfm_segments": 5,
-    "sample_neyman_allocation": 5,
-    "score_calibration_bins": 5,
-    "score_decile_lift": 5,
-    "ship_lead_time_quantiles": 5,
-    "snapshot_diff_users": 5,
-    "survival_kaplan_meier": 5,
-    "token_pmi_pairs": 5,
-    "topic_terms_ctfidf": 5,
-    "triangle_count_suppliers": 5,
-    "user_behavior_outliers": 5,
-    "vocab_coverage_topk": 5,
-    "zipf_slope_vocab": 5,
-    # --- round 7 is the newest green driver row (46 queries)
+    # --- round 7 is the newest green driver row (37 queries)
     "acf_daily_by_type": 7,
     "ann_recall_lsh": 7,
-    "cdc_merge_on_read_compaction": 7,
     "clamp_median_fill": 7,
     "csv_roundtrip_daily": 7,
     "cusum_level_shift": 7,
     "daily_agg": 7,
-    "dedup_chunks_c4": 7,
-    "dedup_corpus_materialize": 7,
     "dedup_keep_first": 7,
     "dedup_threshold_sensitivity": 7,
     "drop_unparseable": 7,
-    "dsir_importance_score": 7,
     "ewma_control_chart": 7,
     "jsonl_roundtrip_docs": 7,
     "monthly_agg": 7,
@@ -107,15 +66,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "multimodal_phash_clusters": 7,
     "pacf_daily_by_type": 7,
     "partition_prune_readback": 7,
-    "pca_top2_deflation": 7,
     "periodogram_power_daily": 7,
-    "pii_redact": 7,
     "pipeline_daily_weather_analog": 7,
     "q1_pricing_summary": 7,
     "q3_shipping_priority": 7,
     "q5_region_revenue": 7,
-    "quality_logistic_score": 7,
-    "sample_weighted_priority": 7,
     "scalar_exprs": 7,
     "seasonal_dow_anomaly": 7,
     "session_peak_concurrency": 7,
@@ -126,7 +81,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "streaming_drift_psi": 7,
     "streaming_seasonal_dow": 7,
     "streaming_trend_slope": 7,
-    "tfidf_top_terms": 7,
     "topk_per_group": 7,
     "trend_mann_kendall": 7,
     "trend_slope_daily": 7,
@@ -348,7 +302,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "unpivot_daily_metrics": 12,
     "window_lag_delta": 12,
     "window_range_rolling_7d": 12,
-    # --- round 13 is the newest green driver row (50 queries)
+    # --- round 13 is the newest green driver row (45 queries)
     "ann_lsh_topk": 13,
     "bloom_prefilter_join": 13,
     "bm25_topk": 13,
@@ -358,11 +312,9 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "cms_heavy_hitters": 13,
     "corpus_curation_pipeline": 13,
     "cosine_topk": 13,
-    "dbscan_clusters": 13,
     "dbscan_core_points": 13,
     "dedup_embedding_cosine": 13,
     "dedup_exact": 13,
-    "dedup_substring_exact": 13,
     "doc_fingerprints": 13,
     "drift_ks_binned": 13,
     "drift_ks_value": 13,
@@ -370,16 +322,13 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "embedding_norms": 13,
     "event_path_top3": 13,
     "ewma_daily_by_type": 13,
-    "fuzzy_pairs_blocked": 13,
     "fuzzy_pairs_levenshtein": 13,
-    "fuzzy_recall_blocked": 13,
     "gap_fill_daily_interp": 13,
     "histogram_equidepth_approx": 13,
     "hll_daily_to_monthly_rollup": 13,
     "hll_distinct_users": 13,
     "hll_intersection_estimate": 13,
     "hll_rolling_7d_distinct": 13,
-    "jaccard_prefix_filter_join": 13,
     "lang_id": 13,
     "multimodal_frame_sample": 13,
     "multimodal_image_features": 13,
@@ -399,43 +348,75 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "value_quantiles_binned": 13,
     "variant_props_extract": 13,
     "window_rank_family": 13,
+    # --- round 14 is the newest green driver row (50 queries)
+    "ann_recall_matryoshka": 14,
+    "attribution_first_last_touch": 14,
+    "audience_overlap_daily": 14,
+    "bpe_train_apply_e2e": 14,
+    "bpe_train_k_merges": 14,
+    "burstiness_by_user_topk": 14,
+    "cdc_merge_on_read_compaction": 14,
+    "char_entropy_quality": 14,
+    "cohort_ltv_triangle": 14,
+    "copurchase_lift_pairs": 14,
+    "corr_chars_quality_by_source": 14,
+    "dbscan_clusters": 14,
+    "dedup_chunks_c4": 14,
+    "dedup_cluster_size_histogram": 14,
+    "dedup_corpus_materialize": 14,
+    "dedup_substring_exact": 14,
+    "domain_centroid_topk": 14,
+    "drift_js_binned": 14,
+    "drift_mannwhitney_binned": 14,
+    "dsir_importance_score": 14,
+    "fk_integrity_audit": 14,
+    "funnel_latency_quantiles": 14,
+    "fuzzy_pairs_blocked": 14,
+    "fuzzy_recall_blocked": 14,
+    "hard_negative_mining": 14,
+    "jaccard_prefix_filter_join": 14,
+    "lang_mix_entropy_by_source": 14,
+    "langid_confusion": 14,
+    "pca_power_iteration": 14,
+    "pca_top2_deflation": 14,
+    "pii_redact": 14,
+    "quality_bigram_nll": 14,
+    "quality_logistic_score": 14,
+    "revenue_gini_by_nation": 14,
+    "revenue_lorenz_deciles": 14,
+    "rfm_segments": 14,
+    "sample_neyman_allocation": 14,
+    "sample_weighted_priority": 14,
+    "score_calibration_bins": 14,
+    "score_decile_lift": 14,
+    "ship_lead_time_quantiles": 14,
+    "snapshot_diff_users": 14,
+    "survival_kaplan_meier": 14,
+    "tfidf_top_terms": 14,
+    "token_pmi_pairs": 14,
+    "topic_terms_ctfidf": 14,
+    "triangle_count_suppliers": 14,
+    "user_behavior_outliers": 14,
+    "vocab_coverage_topk": 14,
+    "zipf_slope_vocab": 14,
 }
 
 
 # _PRIORITY_R11 retired (all 28 entries green in CORRECTNESS_r11).
 # _PRIORITY_R12 retired (all 14 entries green in CORRECTNESS_r12).
 # _PRIORITY_R13 retired (all 7 entries green in CORRECTNESS_r13).
-# Round-14 explicit priority front-list (VERDICT r13 item 1): no
-# semantic changes are pending at round start, so pin ONLY queries r14
-# actually touches (physical-plan changes that must re-earn their
-# driver row).  The sweep tail then spends the budget on the stalest
-# green cohort — 36 queries last checked in r5 (drift/langid/cohort
-# families, attribution, rfm, gini, kaplan-meier, …).  Retire after
-# CORRECTNESS_r14 lands.
-_PRIORITY_R14: list[str] = [
-    # r14 physical change (output-identical): posting join consumes the
-    # w-bucketed staged tokset table (VERDICT r13 item 6) — re-earn the
-    # driver row on the new plan:
-    "jaccard_prefix_filter_join",
-    # r14 code motion (output-identical): the per-point label pipeline
-    # was extracted to _dbscan_labels so the scale probe can compute
-    # the capped-vs-uncapped assignment-agreement metric (VERDICT r13
-    # item 3) — re-earn on the refactored construction:
-    "dbscan_clusters",
-    # r14 physical change (output-identical): the staged band-key
-    # table is now bucketed by (band, bkey) — the cap window and the
-    # candidate self-join run shuffle-free on the bucketed scan
-    # (measured in tools/exp_fuzzy_bkbucket.py) — re-earn both
-    # consumers' driver rows on the new plan:
-    "fuzzy_pairs_blocked",
-    "fuzzy_recall_blocked",
-    # r14 physical change (output-identical up to 64-bit collisions,
-    # hash-verified at sf0.1 and 100x): the gram shuffles key on
-    # xxhash64(gram) instead of 40-char text — 341 -> 149 s at 100x
-    # (tools/exp_substr_hashkey.py) — re-earn on the new plan:
-    "dedup_substring_exact",
-]
-_PRIORITY_PINS = _PRIORITY_R14
+# _PRIORITY_R14 retired (all 5 entries green in CORRECTNESS_r14).
+# Round-15 explicit priority front-list (VERDICT r14 item 1): the
+# stalest official cohort is the 37-query reference-parity core last
+# checked in r07 (`daily_agg`, `monthly_agg`, `scalar_exprs`, TPC-H
+# q1/q3/q5, streaming trend/drift family, …).  No semantic change is
+# pending at round start, and stalest-first ordering already fronts
+# that cohort, so the pin list starts with only the queries round 15
+# physically touches (added as the round progresses — each must
+# re-earn its driver row on the new plan).  Retire after
+# CORRECTNESS_r15 lands.
+_PRIORITY_R15: list[str] = []
+_PRIORITY_PINS = _PRIORITY_R15
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 
 
@@ -490,18 +471,46 @@ def source_fingerprint(sf_dir: str, table: str) -> tuple:
     """Cache key for staged side tables: (sf_dir, mtime_ns, size) of
     the source parquet, so regenerating a dataset at the same path
     within one process invalidates the staged copy (ADVICE r13).
-    Works for both single-file and directory parquet layouts."""
+    Works for single-file, flat-directory, and nested/partitioned
+    parquet layouts — the directory walk is recursive (ADVICE r14: a
+    top-level-only listing missed in-place rewrites of nested part
+    files that leave the subdir mtime untouched), stats each entry
+    once, and fails with a clear message when the source is absent."""
     import os
 
     p = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isdir(p):
-        parts = sorted(
-            os.path.join(p, f) for f in os.listdir(p) if not f.startswith("_")
-        )
-        sig = tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in parts)
-        return (sf_dir, table, sig)
-    st = os.stat(p)
-    return (sf_dir, table, st.st_mtime_ns, st.st_size)
+    try:
+        if os.path.isdir(p):
+            sig = []
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    if f.startswith("_"):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), p)
+                    sig.append((rel, st.st_mtime_ns, st.st_size))
+            return (sf_dir, table, tuple(sig))
+        st = os.stat(p)
+        return (sf_dir, table, st.st_mtime_ns, st.st_size)
+    except FileNotFoundError as ex:
+        raise FileNotFoundError(
+            f"source parquet for table {table!r} not found under "
+            f"{sf_dir!r} (expected {p}); staged side tables need the "
+            f"source dataset present"
+        ) from ex
+
+
+def fingerprint_token(ck: tuple) -> str:
+    """Short stable hex token of a source_fingerprint cache key, for
+    content-addressing staged CATALOG TABLE names (ADVICE r14: names
+    derived from an in-process counter are safe with the in-memory
+    catalog, but two processes sharing a persistent metastore would
+    both claim `..._0` and clobber each other's table; a fingerprint
+    hash makes the name process-independent and generation-unique)."""
+    import hashlib
+
+    return hashlib.md5(repr(ck).encode()).hexdigest()[:12]
 
 
 def register_prestage(
