@@ -254,26 +254,39 @@ def _drift_control(spark, qs) -> dict:
     a pure-CPU pandas groupby over 1M deterministic rows (no Spark —
     isolates raw box speed) and 3 back-to-back repeats of the tiny
     fixed flagship at sf0.001 (JVM/session health + variance). Compare
-    these fields across BENCH_r* files to normalize per-query rows."""
-    import numpy as np
-    import pandas as pd
+    these fields across BENCH_r* files to normalize per-query rows.
 
-    rng = np.random.default_rng(42)
-    pdf = pd.DataFrame(
-        {"k": rng.integers(0, 1000, 1_000_000), "v": rng.random(1_000_000)}
-    )
-    t0 = time.perf_counter()
-    pdf.groupby("k")["v"].agg(["mean", "sum", "count"])
-    pandas_sec = time.perf_counter() - t0
-    reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        len(qs["daily_agg"](spark, "/root/testdata/sf0.001").collect())
-        reps.append(round(time.perf_counter() - t0, 3))
-    return {
-        "pandas_groupby_1m_sec": round(pandas_sec, 3),
-        "spark_daily_agg_sf0001_sec": reps,
+    Each probe is independently best-effort (ADVICE r14): on a box
+    without the sf0.001 fixture (or with daily_agg unregistered) the
+    field is null instead of the whole bench run crashing before its
+    artifact lands — the normalizer is diagnostic, never load-bearing."""
+    out: dict = {
+        "pandas_groupby_1m_sec": None,
+        "spark_daily_agg_sf0001_sec": None,
     }
+    try:
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        pdf = pd.DataFrame(
+            {"k": rng.integers(0, 1000, 1_000_000), "v": rng.random(1_000_000)}
+        )
+        t0 = time.perf_counter()
+        pdf.groupby("k")["v"].agg(["mean", "sum", "count"])
+        out["pandas_groupby_1m_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as ex:  # pragma: no cover - environment-dependent
+        out["pandas_groupby_1m_err"] = repr(ex)[:200]
+    try:
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            len(qs["daily_agg"](spark, "/root/testdata/sf0.001").collect())
+            reps.append(round(time.perf_counter() - t0, 3))
+        out["spark_daily_agg_sf0001_sec"] = reps
+    except Exception as ex:  # pragma: no cover - environment-dependent
+        out["spark_daily_agg_sf0001_err"] = repr(ex)[:200]
+    return out
 
 
 def _run_headline(spark, qs, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
@@ -347,7 +360,10 @@ def main() -> None:
     # "watch items" in r2 that cold-vs-warm analysis traced to warmup,
     # SURVEY §8.6.5). daily_agg + monthly_agg cover the scan, shuffle,
     # window, and date-bucketing code paths the headline set opens with.
-    qs["daily_agg"](spark, "/root/testdata/sf0.001").count()
+    try:  # best-effort, like _drift_control: sf0.001 may be absent
+        qs["daily_agg"](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
     for warm in ("daily_agg", "monthly_agg"):
         qs[warm](spark, sf_dir).count()
     # Stage the persisted side tables (LSH signature index, CDC base

@@ -1228,7 +1228,11 @@ def _staged_fuz_keys(spark: SparkSession, sf_dir: str) -> str:
     ).select("doc_id", "pfx", "bk.band", "bk.bkey")
     path = tempfile.mkdtemp(prefix="deps_fuzkeys_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
-    name = f"deps_fuz_keys_bk_{len(_FUZ_KEYS_STAGED)}"
+    # content-addressed name (ADVICE r14): unique per source
+    # generation AND per process — see registry.fingerprint_token
+    from dataengineeringproject_spark.registry import fingerprint_token
+
+    name = f"deps_fuz_keys_bk_{fingerprint_token(ck)}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         k.write.bucketBy(32, "band", "bkey")
