@@ -333,6 +333,37 @@ def _ari_from_contingency(cont: dict[tuple, int]) -> float:
     return (sum_comb - expected) / (max_index - expected)
 
 
+def _dbscan_role_labels(spark, sf_dir: str, cap: int):
+    """Run the production _dbscan_labels pipeline under a temporary
+    cell cap and return a pandas frame (user_id, cluster, role) —
+    shared by the agreement metric, the cap-sensitivity curve, and the
+    mixed-density probe (r15 refactor of three identical closures)."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.queries import advanced as A
+
+    prev = A._DBSCAN_CELLCAP
+    A._DBSCAN_CELLCAP = cap
+    try:
+        pt, lab = A._dbscan_labels(spark, sf_dir)
+        return (
+            pt.select("user_id")
+            .join(lab, "user_id", "left")
+            .select(
+                "user_id",
+                F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
+                F.when(F.col("is_core"), "core")
+                .when(F.col("cluster").isNotNull(), "border")
+                .otherwise("noise")
+                .alias("role"),
+            )
+            .toPandas()
+            .set_index("user_id")
+        )
+    finally:
+        A._DBSCAN_CELLCAP = prev
+
+
 def _dbscan_agreement(spark, sf_dir: str) -> dict:
     """Capped-vs-uncapped cluster-assignment agreement (VERDICT r13
     item 3): the dropped-mass metric says how many build points the
@@ -344,35 +375,11 @@ def _dbscan_agreement(spark, sf_dir: str) -> dict:
     label). Only call where the uncapped run is feasible (1x, 10x, the
     dense fixture) — at 100x the uncapped candidate stream is the
     O(density^2) blow-up the cap exists to prevent."""
-    import pandas as pd  # noqa: F401
-    import pyspark.sql.functions as F
-
     from dataengineeringproject_spark.queries import advanced as A
 
-    def labels(cap: int):
-        prev = A._DBSCAN_CELLCAP
-        A._DBSCAN_CELLCAP = cap
-        try:
-            pt, lab = A._dbscan_labels(spark, sf_dir)
-            return (
-                pt.select("user_id")
-                .join(lab, "user_id", "left")
-                .select(
-                    "user_id",
-                    F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
-                    F.when(F.col("is_core"), "core")
-                    .when(F.col("cluster").isNotNull(), "border")
-                    .otherwise("noise")
-                    .alias("role"),
-                )
-                .toPandas()
-            )
-        finally:
-            A._DBSCAN_CELLCAP = prev
-
     prod_cap = A._DBSCAN_CELLCAP
-    capped = labels(prod_cap).set_index("user_id")
-    unc = labels(1 << 31).set_index("user_id")
+    capped = _dbscan_role_labels(spark, sf_dir, prod_cap)
+    unc = _dbscan_role_labels(spark, sf_dir, 1 << 31)
     m = capped.join(unc, lsuffix="_c", rsuffix="_u")
     cont = (
         m.groupby(["cluster_c", "cluster_u"]).size().to_dict()
@@ -397,36 +404,10 @@ def _dbscan_cap_curve(spark, sf_dir: str, caps: list[int]) -> dict:
     capped assignment against uncapped. Answers 'how low could the cap
     go before assignments change' — the operating-margin reading the
     single production-cap number can't give."""
-    import pyspark.sql.functions as F
-
-    from dataengineeringproject_spark.queries import advanced as A
-
-    def labels(cap: int):
-        prev = A._DBSCAN_CELLCAP
-        A._DBSCAN_CELLCAP = cap
-        try:
-            pt, lab = A._dbscan_labels(spark, sf_dir)
-            return (
-                pt.select("user_id")
-                .join(lab, "user_id", "left")
-                .select(
-                    "user_id",
-                    F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
-                    F.when(F.col("is_core"), "core")
-                    .when(F.col("cluster").isNotNull(), "border")
-                    .otherwise("noise")
-                    .alias("role"),
-                )
-                .toPandas()
-                .set_index("user_id")
-            )
-        finally:
-            A._DBSCAN_CELLCAP = prev
-
-    unc = labels(1 << 31)
+    unc = _dbscan_role_labels(spark, sf_dir, 1 << 31)
     out = {}
     for cap in caps:
-        capped = labels(cap)
+        capped = _dbscan_role_labels(spark, sf_dir, cap)
         m = capped.join(unc, lsuffix="_c", rsuffix="_u")
         cont = m.groupby(["cluster_c", "cluster_u"]).size().to_dict()
         out[str(cap)] = {
@@ -464,6 +445,123 @@ def _make_dense_fixture(spark, n_users: int = 40_000) -> str:
     )
     df.coalesce(8).write.mode("overwrite").parquet(f"{d}/events.parquet")
     return d
+
+
+def _make_mixed_fixture(spark) -> str:
+    """Mixed-density DBSCAN fixture (VERDICT r14 item 6): a dense core
+    AND a sparse halo in ONE dataset — the single regime uniform id
+    hashing cannot produce, and the cap's only unpriced geometry (a
+    capped dense core could in principle shed border points into the
+    surrounding sparse field, or starve halo points of their
+    neighbors' build rows).
+
+    Points are still placed by the PRODUCTION hash (user_id -> (x, y)
+    via token_hash, so the fixture exercises the real code path);
+    non-uniformity comes from rejection-sampling the ID SPACE: scan
+    ids 1..100_000, keep every id whose hash lands inside the 3x3-cell
+    core square [0, 3*eps)^2 (~3.2% of ids => ~360 points per core
+    cell, 5.6x over the 64 cap), and keep ids elsewhere only when
+    id % 89 == 0 (~1.1k halo points over 280 cells, ~4 per cell —
+    around the minpts=3 threshold, so the halo carries a genuine
+    core/border/noise mix). Uncapped stays feasible: ~9 * 360^2 * 9
+    ~ 1.1e7 core candidates."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.functions import text as X
+    from dataengineeringproject_spark.queries.advanced import (
+        _GEO_EPS,
+        _GEO_EXTENT,
+        _GEO_SEED,
+    )
+
+    d = "/tmp/deps_dbscan_mixed"
+    if (Path(d) / "events.parquet").exists():
+        return d
+    Path(d).mkdir(parents=True, exist_ok=True)
+    ids = spark.range(1, 100_001).select(F.col("id").alias("user_id"))
+    x = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-x")
+    y = X.token_hash(F.col("user_id").cast("string"), seed=_GEO_SEED + "-y")
+    core_lim = 3 * _GEO_EPS
+    pts = ids.select(
+        "user_id",
+        (x % _GEO_EXTENT).alias("x"),
+        (y % _GEO_EXTENT).alias("y"),
+    )
+    kept = pts.filter(
+        ((F.col("x") < core_lim) & (F.col("y") < core_lim))
+        | (F.col("user_id") % 89 == 0)
+    )
+    df = kept.select(
+        F.col("user_id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("user_id")).alias(
+            "ts"
+        ),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    df.coalesce(8).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def _dbscan_mixed_agreement(spark, d: str) -> dict:
+    """Capped-vs-uncapped agreement on the mixed fixture, SPLIT BY
+    REGIME (core square vs halo): the global ARI can hide a localized
+    halo failure behind the much larger core population, so each
+    regime gets its own role-agreement and ARI."""
+    import pyspark.sql.functions as F
+
+    from dataengineeringproject_spark.functions import text as X
+    from dataengineeringproject_spark.queries import advanced as A
+
+    capped = _dbscan_role_labels(spark, d, A._DBSCAN_CELLCAP)
+    unc = _dbscan_role_labels(spark, d, 1 << 31)
+    m = capped.join(unc, lsuffix="_c", rsuffix="_u").reset_index()
+    core_lim = 3 * A._GEO_EPS
+    regime = (
+        spark.createDataFrame(m[["user_id"]])
+        .select(
+            "user_id",
+            (
+                (
+                    X.token_hash(
+                        F.col("user_id").cast("string"),
+                        seed=A._GEO_SEED + "-x",
+                    )
+                    % A._GEO_EXTENT
+                    < core_lim
+                )
+                & (
+                    X.token_hash(
+                        F.col("user_id").cast("string"),
+                        seed=A._GEO_SEED + "-y",
+                    )
+                    % A._GEO_EXTENT
+                    < core_lim
+                )
+            ).alias("in_core"),
+        )
+        .toPandas()
+    )
+    m = m.merge(regime, on="user_id")
+    out = {"cell_cap": A._DBSCAN_CELLCAP, "n_points": int(len(m))}
+    for label, sub in (
+        ("overall", m),
+        ("core_region", m[m["in_core"]]),
+        ("halo_region", m[~m["in_core"]]),
+    ):
+        cont = sub.groupby(["cluster_c", "cluster_u"]).size().to_dict()
+        out[label] = {
+            "n_points": int(len(sub)),
+            "role_agreement": round(
+                float((sub["role_c"] == sub["role_u"]).mean()), 4
+            ),
+            "ari_vs_uncapped": round(_ari_from_contingency(cont), 4),
+            "n_clusters_capped": int(sub["cluster_c"].nunique()),
+            "n_clusters_uncapped": int(sub["cluster_u"].nunique()),
+        }
+    return out
 
 
 def _metrics(name: str, pdf) -> dict:
@@ -537,6 +635,21 @@ def main() -> None:
             "agreement_vs_cap": curve,
         }
         Path(out).write_text(json.dumps(art, indent=2) + "\n")
+        print("wrote", out)
+        return
+
+    if "--dbscan-mixed" in args:
+        # dense core + sparse halo in one dataset (VERDICT r14 item 6)
+        # — the cap binds only in the core square; the per-regime
+        # split shows whether capping the core disturbs halo labels
+        out = args[args.index("--dbscan-mixed") + 1] if len(
+            args
+        ) > args.index("--dbscan-mixed") + 1 else "/tmp/probe_dbscan_mixed.json"
+        spark = get_spark("probe_scale100")
+        d = _make_mixed_fixture(spark)
+        row = _measure_one("mixed", d, "dbscan_clusters", do_prestage=False)
+        row["agreement_by_regime"] = _dbscan_mixed_agreement(spark, d)
+        Path(out).write_text(json.dumps({"mixed": row}, indent=2) + "\n")
         print("wrote", out)
         return
 
