@@ -3600,6 +3600,49 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SSTR_L = 40  # window length = minimum duplicated-span length detected
 
+# Gram-grain shuffle sizing (r15, VERDICT r14 item 3): the window
+# explode emits ~one row per corpus CHARACTER, so the gram-grain
+# exchanges carry ~40-300x the source's compressed bytes. Under the
+# session's input-independent shuffle partition count (32) the 100x
+# fixture put ~4.5M rows into every concurrently-sorting task — the
+# probe measured 157 s (spill-bound) or a straight executor OOM on
+# the 8g heap, while the same plan at 256 partitions ran 114 s with
+# headroom (tools/probe_substr_decade.py; census proved every
+# intermediate frame grows exactly ~10.8x per decade, so the 18.4x
+# decade was an execution-regime artifact, not candidate growth).
+# The plan therefore sizes its own gram-grain exchanges: windows are
+# estimated from the documents parquet's on-disk bytes (census
+# calibration: 1.45e8 windows / 68 MB compressed ~= 2.2 windows per
+# byte) at ~600k windows per partition — ~14 MB of (8B hash, 8B doc,
+# 8B count) rows per sort, the same cells-per-task a 1000-executor
+# job would target. Returns None when the estimate does not exceed
+# the session conf, so small scales keep the stock AQE-coalesced
+# plan untouched.
+_SSTR_WINDOWS_PER_PART = 600_000
+_SSTR_WINDOWS_PER_BYTE = 2.2
+
+
+def _sstr_gram_parts(spark: SparkSession, sf_dir: str) -> int | None:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(p)
+                for f in files
+                if not f.startswith("_")
+            )
+        else:
+            nbytes = os.path.getsize(p)
+    except OSError:
+        return None  # non-local path (e.g. object store): keep conf
+    est_windows = nbytes * _SSTR_WINDOWS_PER_BYTE
+    n = int(est_windows // _SSTR_WINDOWS_PER_PART)
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return n if n > conf else None
+
 
 @register(
     "dedup_substring_exact",
@@ -3650,7 +3693,18 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query is shuffle-byte-bound and the 40-char key WAS the
     bottleneck. At a real 100 TB run, collision risk scales as the
     docstring's original estimate (~1e-9 at 10^13 windows needs the
-    128-bit variant: xxhash64 over (gram, salt) pairs or sha2-128)."""
+    128-bit variant: xxhash64 over (gram, salt) pairs or sha2-128).
+
+    r15 (VERDICT r14 item 3): the superlinear third decade (18.4x for
+    10x data) was PRICED and fixed — the census proved every
+    intermediate frame linear (~10.8x per decade, c==1 everywhere, so
+    no candidate multiplicity and nothing for a gram-frequency cap to
+    bound), and the cost was the conf's input-independent 32 shuffle
+    partitions putting ~4.5M gram rows in every concurrent sort (157 s
+    spill-bound or a straight 8g-heap OOM). The plan now sizes its own
+    gram-grain exchanges (_sstr_gram_parts); 100x runs 78.8 s
+    hash-identical and the decade is sublinear
+    (probe_substr_decade_r15.json)."""
     d = SIM.ensure_min_parallelism(
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -3667,7 +3721,20 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xxhash64(F.expr(f"substring(text, i, {_SSTR_L})")).alias("gram"),
     )
+    # r15 (VERDICT r14 item 3): size the gram-grain exchanges to the
+    # input instead of inheriting the conf's 32 — see _sstr_gram_parts.
+    # When it engages (estimated windows >> conf), the aggregates run
+    # on explicit hash partitioning: the (doc,gram) aggregate loses
+    # map-side partial combine, which the census proved worthless here
+    # (c == 1 for effectively every (doc, gram) — n_dg == n_windows at
+    # 1x/10x/100x), and dgr's partitioning is reused by BOTH the nd
+    # aggregate and the merge join, so the shuffle count is unchanged.
+    n_parts = _sstr_gram_parts(spark, sf_dir)
+    if n_parts is not None:
+        g = g.repartition(n_parts, "doc_id", "gram")
     dg = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    if n_parts is not None:
+        dg = dg.repartition(n_parts, "gram")
     gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     dup_c = F.sum(F.when(F.col("nd") >= 2, F.col("c")))
     # merge hint (r13): BOTH sides of the gram join scale with the

@@ -415,7 +415,15 @@ _LAST_GREEN_ROUND: dict[str, int] = {
 # physically touches (added as the round progresses — each must
 # re-earn its driver row on the new plan).  Retire after
 # CORRECTNESS_r15 lands.
-_PRIORITY_R15: list[str] = []
+_PRIORITY_R15: list[str] = [
+    # r15 physical change (output-identical, hash-verified at 100x and
+    # oracle-green at sf0.01): the gram-grain exchanges are sized to
+    # the input via explicit repartition when the window estimate
+    # exceeds the session conf (probe_substr_decade_r15.json: 100x
+    # 157 s/OOM -> 78.8 s, decade ratio 18.4x -> ~4x); plan unchanged
+    # at sf<=10x — re-earn the driver row on the new plan:
+    "dedup_substring_exact",
+]
 _PRIORITY_PINS = _PRIORITY_R15
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 

@@ -110,3 +110,61 @@ def test_drift_control_best_effort(spark):
     assert out["pandas_groupby_1m_sec"] is not None
     assert out["spark_daily_agg_sf0001_sec"] is None
     assert "spark_daily_agg_sf0001_err" in out
+
+
+def test_sstr_gram_parts_thresholds(tmp_path):
+    """Input-sized gram-shuffle partitioning (VERDICT r14 item 3):
+    below the regime boundary the estimator returns None (stock plan
+    preserved); above it, partitions scale with on-disk bytes."""
+    from dataengineeringproject_spark.queries.llm_text import (
+        _SSTR_WINDOWS_PER_BYTE,
+        _SSTR_WINDOWS_PER_PART,
+        _sstr_gram_parts,
+    )
+
+    class FakeConf:
+        def get(self, k):
+            assert k == "spark.sql.shuffle.partitions"
+            return "32"
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "documents.parquet").write_bytes(b"x" * 1024)
+    assert _sstr_gram_parts(FakeSpark(), str(small)) is None
+
+    big = tmp_path / "big"
+    big.mkdir()
+    nbytes = 64 * 1024 * 1024
+    with open(big / "documents.parquet", "wb") as f:
+        f.truncate(nbytes)
+    n = _sstr_gram_parts(FakeSpark(), str(big))
+    assert n == int(nbytes * _SSTR_WINDOWS_PER_BYTE // _SSTR_WINDOWS_PER_PART)
+    assert n > 32
+
+    assert _sstr_gram_parts(FakeSpark(), str(tmp_path / "missing")) is None
+
+
+def test_substr_plan_stock_below_regime(spark):
+    """At provided-testdata scales the substring plan must stay the
+    stock AQE-coalesced shape: no REPARTITION_BY_NUM exchange (the
+    input-sized repartition engages only past the regime boundary)."""
+    from dataengineeringproject_spark import registry
+
+    import re
+
+    df = registry.queries()["dedup_substring_exact"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ensure_min_parallelism's doc_id repartition is expected; the
+    # GRAM-grain exchanges must stay ENSURE_REQUIREMENTS (coalescible)
+    gram_pins = [
+        ln
+        for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln
+        and re.search(r"hashpartitioning\([^)]*gram#", ln)
+    ]
+    assert gram_pins == []
