@@ -2737,7 +2737,16 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair at the 100x fixture (median 1.55x, tools/
     exp_jaccard_wbucket.py). The r13 localCheckpoint is gone: a
     checkpoint erases bucketing metadata, and each consumer re-reads
-    the bucketed table instead (scan-cheap, shuffle-free on w)."""
+    the bucketed table instead (scan-cheap, shuffle-free on w).
+
+    r15 (VERDICT r14 item 4): the remaining doc/gh-keyed verification
+    joins were re-measured with a SECOND, doc_id-bucketed projection
+    of the rep tokset serving only them (tools/
+    exp_jaccard_dual_layout.py) — marginal (100x medians 61.1 vs
+    54.3 s, one pair a statistical tie; sf0.1 a wash), NOT adopted:
+    the verification joins are candidate-bounded, so a permanent 2x
+    posting-table footprint buys ~10%. The w-bucketed single layout
+    stands."""
     # doc -> set-group key, read from the staged parquet map (r13:
     # _staged_docg — the collect_list+sort+md5 full-corpus aggregate
     # recomputed per call before; semantics and the "\n" joiner

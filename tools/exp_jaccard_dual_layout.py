@@ -22,6 +22,18 @@ identity asserted via sorted result hash.
 
 Usage: python tools/exp_jaccard_dual_layout.py [sf_dir] [out_json]
        python tools/exp_jaccard_dual_layout.py --child {base|dual} SF_DIR
+
+VERDICT (r15, measured): MARGINAL — not adopted. At 100x the dual
+layout never lost but only split the pairs (55.3/54.55 a statistical
+tie, 66.95/54.12 a win; medians 61.1 vs 54.3, ~1.13x); sf0.1 was a
+wash inside ambient noise (21.8/25.7, 16.0/14.2). Output
+hash-identical (exp_jaccard_dual_{sf01,100x}_r15.json). A second full
+projection of the posting table (2x storage + build, forever) for a
+~10% end-to-end win fails the fleet's adoption bar ("won every
+interleaved cold pair"); the verification joins are output-bounded
+(candidates only), so the doc-keyed side the bucketing serves is not
+the dominant cost. The r13 negative result therefore stands for the
+rep-level table too.
 """
 
 from __future__ import annotations

@@ -31,6 +31,17 @@ identity via sorted result hash.
 
 Usage: python tools/exp_sigindex_bucket.py [sf_dir] [out_json]
        python tools/exp_sigindex_bucket.py --child {base|bkbucket} SF_DIR
+
+VERDICT (r15, measured): NEGATIVE — keep plain parquet. The base
+plan won every interleaved cold pair at BOTH scales (sf0.1: 6.99/9.01,
+7.99/15.73, 19.94/15.3 with the last pair ambient-inflated; 100x:
+19.66/27.58, 19.87/22.03, 23.96/34.89 — base sweeps), output
+hash-identical throughout (exp_sigindex_bucket_{sf01,100x}_r15.json).
+Exactly the prior plan reading: the candidate join broadcasts the
+batch bands, so there is no index-side exchange for bucketing to
+delete, and the bucketed scan only adds pinned-partitioning overhead
+(the r13 doc_id-tokset failure mode). Re-test only if a daily batch
+ever outgrows the broadcast threshold.
 """
 
 from __future__ import annotations
