@@ -248,7 +248,27 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny next to the edge list — is broadcast into each expansion
     join, so the 100 TB edge table is never shuffled: each level is
     one broadcast-hash join + one distinct at frontier grain. k is a
-    fixed plan constant (unrolled, no driver loop)."""
+    fixed plan constant (unrolled, no driver loop).
+
+    r15 (measured, OPTIMIZATION_r15.md): the LAST hop is
+    direction-optimizing (Beamer et al.'s top-down/bottom-up switch,
+    the published BFS optimization). Measured at sf0.1 the hop-3
+    frontier TOTALLY saturates (|S3(seed)| == |S| == 1000 for all 207
+    seeds), so the top-down hop-4 expansion generated ~122M
+    (seed, p) candidate rows (sum over s3 of deg(s)) feeding a
+    multi-million-entry hash distinct per task — 34 s of the query's
+    ~26-31 s cold wall, and the bench session's worst GC source.
+    Bottom-up computes the same reach EXACTLY from the complement:
+    C(seed) = S \\ S3(seed), a part is UNREACHED iff ALL its suppliers
+    are in C(seed), and reach_4 = |P| - |U(seed)| - 1 + [seed in U].
+    Work is sum(|C|) x deg — ZERO rows at full saturation — while the
+    top-down cost is |s3| x deg; bottom-up is cheaper exactly when the
+    frontier is more than half full, which is the measured switch (the
+    probes are 3 scalar counts on cached frames, the repo's standard
+    two-pass pattern). Sparse frontiers keep the original top-down
+    plan, with the edge side spread by s before the expansion join
+    (measured 23.6 -> 15.5 s on the fallback at sf0.1: the fan-out's
+    partial distinct was concentrating on the cached scan layout)."""
     li = load_table(spark, sf_dir, "lineitem")
     # The distinct edge list feeds all four expansion levels and the
     # seed filter — cache it so the lineitem scan+distinct runs once,
@@ -289,13 +309,15 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heap should hold — let AQE broadcast it while it is small and
     # fall back to a shuffle join when it is not.
     p2 = e.join(F.broadcast(s1), "s").select("seed", "p").distinct().cache()
+    # s3 is consumed by the direction probe AND the chosen hop-4 plan —
+    # cache so the probe's count doesn't rebuild the 3-hop chain.
     s3 = (
         e.join(p2.repartition(par, "seed", "p"), "p")
         .select("seed", "s")
         .distinct()
         .repartition(par, "seed", "s")
+        .cache()
     )
-    p4 = e.join(s3, "s").select("seed", "p").distinct()
 
     def _cnt(fr: DataFrame, name: str) -> DataFrame:
         return fr.groupBy("seed").agg(
@@ -304,9 +326,63 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(name)
         )
 
+    # Direction-optimizing hop 4 (see docstring): three scalar probes
+    # decide top-down vs bottom-up. Break-even: top-down work is
+    # |s3| x avg_deg, bottom-up is (|seeds| x |S| - |s3|) x avg_deg,
+    # so bottom-up wins exactly when s3 fills more than half the
+    # |seeds| x |S| rectangle.
+    sup_all = e.select("s").distinct()
+    n_sup = sup_all.count()
+    n_seed = seeds.count()
+    n_s3 = s3.count()
+    if 2 * n_s3 > n_seed * n_sup:
+        # BOTTOM-UP: count unreached parts per seed from the frontier
+        # complement. Exact algebra: U(seed) = {p : suppliers(p) is a
+        # subset of C(seed)}; |P4| = |P| - |U|; the oracle's p <> seed
+        # filter makes reach_4 = |P4| - [seed in P4], and seed is in P
+        # by construction (seeds are drawn from e), so
+        # reach_4 = n_parts - |U| - 1 + [seed in U].
+        n_parts = e.select("p").distinct().count()
+        comp = sup_all.crossJoin(seeds).join(s3, ["seed", "s"], "left_anti")
+        deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+        hits = (
+            e.join(comp, "s")
+            .groupBy("seed", "p")
+            .agg(F.count(F.lit(1)).alias("c_in_comp"))
+        )
+        unreached = hits.join(F.broadcast(deg), "p").filter(
+            F.col("c_in_comp") == F.col("deg")
+        )
+        u_per_seed = unreached.groupBy("seed").agg(
+            F.count(F.lit(1)).alias("n_unreached"),
+            F.max((F.col("p") == F.col("seed")).cast("int")).alias("self_in_u"),
+        )
+        c4 = seeds.join(u_per_seed, "seed", "left").select(
+            "seed",
+            (
+                F.lit(n_parts)
+                - F.coalesce(F.col("n_unreached"), F.lit(0))
+                - F.lit(1)
+                + F.coalesce(F.col("self_in_u"), F.lit(0))
+            )
+            .cast("long")
+            .alias("reach_4"),
+        )
+    else:
+        # TOP-DOWN (sparse frontier): original expansion, with the
+        # edge side spread by join key so the fan-out's partial
+        # distinct runs at full parallelism (measured 23.6 -> 15.5 s).
+        p4 = (
+            e.repartition(par, "s")
+            .join(s3, "s")
+            .select("seed", "p")
+            .distinct()
+        )
+        c4 = _cnt(p4, "reach_4")
+
     return (
         _cnt(p2, "reach_2")
-        .join(_cnt(p4, "reach_4"), "seed")
+        .join(c4, "seed")
         .select(F.col("seed").alias("seed_part"), "reach_2", "reach_4")
     )
 
