@@ -286,6 +286,31 @@ def _drift_control(spark, qs) -> dict:
         out["spark_daily_agg_sf0001_sec"] = reps
     except Exception as ex:  # pragma: no cover - environment-dependent
         out["spark_daily_agg_sf0001_err"] = repr(ex)[:200]
+    try:
+        # PARALLEL-throughput probe (r15): the two probes above are
+        # effectively single-threaded, and this sandbox's host-level
+        # parallel capacity was measured drifting 2-3x BETWEEN
+        # same-code bench sessions while both stayed flat (the r15
+        # mid-round session: fleet total 592 -> 842 s on identical
+        # code, task-heavy queries 2-4x, one-job queries unchanged,
+        # pandas probe 0.034 -> 0.032). A fixed 32-way shuffle of a
+        # deterministic range exposes exactly that axis; compare this
+        # field across BENCH_r* files before reading any task-heavy
+        # row as a regression.
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 32_000_000, 1, 32)
+                .selectExpr("id % 9973 AS k", "id AS v")
+                .groupBy("k")
+                .count()
+                .count()
+            )
+            reps.append(round(time.perf_counter() - t0, 3))
+        out["spark_parallel_shuffle_32way_sec"] = reps
+    except Exception as ex:  # pragma: no cover - environment-dependent
+        out["spark_parallel_shuffle_32way_err"] = repr(ex)[:200]
     return out
 
 

@@ -7774,8 +7774,13 @@ def spatial_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"x div {_GEO_EPS}").alias("cx"),
         F.expr(f"y div {_GEO_EPS}").alias("cy"),
     )
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    offsets = local_df(
+        # pure-JVM literal (r15): createDataFrame(py_list) builds a
+        # Python-RDD-backed plan that launches Python workers on every
+        # execution of the broadcast build (see schemas.local_df)
+        spark,
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
     )
     probe = cells.crossJoin(F.broadcast(offsets)).select(
         F.col("user_id").alias("id_a"),
@@ -8059,8 +8064,13 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= _DBSCAN_CELLCAP)
         .drop("crn")
     )
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    offsets = local_df(
+        # pure-JVM literal (r15): createDataFrame(py_list) builds a
+        # Python-RDD-backed plan that launches Python workers on every
+        # execution of the broadcast build (see schemas.local_df)
+        spark,
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
     )
     probe = cells.crossJoin(F.broadcast(offsets)).select(
         F.col("user_id").alias("ida"),
@@ -8304,8 +8314,13 @@ def _dbscan_labels(spark: SparkSession, sf_dir: str):
         .filter(F.col("crn") <= _DBSCAN_CELLCAP)
         .drop("crn")
     )
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    offsets = local_df(
+        # pure-JVM literal (r15): createDataFrame(py_list) builds a
+        # Python-RDD-backed plan that launches Python workers on every
+        # execution of the broadcast build (see schemas.local_df)
+        spark,
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
     )
     probe = cells.crossJoin(F.broadcast(offsets)).select(
         F.col("user_id").alias("ida"),

@@ -208,6 +208,10 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- k-hop BFS reach (bipartite part—supplier graph) -------------------------
 
 _KHOP_SEED_MOD = 97  # deterministic seed set: parts with p % 97 == 0
+# Test hook for the hop-4 direction switch: None = measured auto
+# (the production behavior), "bottomup"/"topdown" pin a branch so the
+# equivalence test can run BOTH on one fixture and compare outputs.
+_KHOP_FORCE_DIRECTION: str | None = None
 
 
 @register(
@@ -335,7 +339,11 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sup = sup_all.count()
     n_seed = seeds.count()
     n_s3 = s3.count()
-    if 2 * n_s3 > n_seed * n_sup:
+    if _KHOP_FORCE_DIRECTION is not None:  # test hook: pin a branch
+        bottom_up = _KHOP_FORCE_DIRECTION == "bottomup"
+    else:
+        bottom_up = 2 * n_s3 > n_seed * n_sup
+    if bottom_up:
         # BOTTOM-UP: count unreached parts per seed from the frontier
         # complement. Exact algebra: U(seed) = {p : suppliers(p) is a
         # subset of C(seed)}; |P4| = |P| - |U|; the oracle's p <> seed

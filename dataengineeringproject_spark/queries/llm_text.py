@@ -3822,26 +3822,39 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(tokens) via the trend family's micro-unit integer quantization.
 
     Scale shape: the corpus is touched ONCE — a bucket-tagged token
-    explode feeding two map-side-combined aggregates (per-bucket
-    occurrence counts; per-token min-bucket then per-bucket vocab
-    counts). Everything after is arithmetic on two <=100-row frames;
-    the prefix cross-joins never see the corpus."""
+    explode collapsing to (bucket, token) occurrence grain in a single
+    map-side-combined aggregate; the per-bucket occurrence and
+    min-bucket vocab aggregates run over that |vocab| x 100-bounded
+    frame, never the corpus. Everything after is arithmetic on two
+    <=100-row frames; the prefix cross-joins never see the corpus.
+
+    r15 (measured, OPTIMIZATION_r15.md): the docstring's "touched
+    ONCE" used to be false — occ_b and voc_b each hung their own
+    aggregate off the token explode, so the corpus explode ran TWICE
+    (guide §2.4 duplicated subtree); the shared (b, tok) pre-aggregate
+    makes it actually once. The cuts literal also moved off
+    `spark.createDataFrame` (a Python-RDD-backed plan that launches
+    Python workers per execution — see schemas.local_df) onto the
+    pure-JVM literal plan. Cold interleaved pairs in
+    exp_small_plans_sf01_r15.json."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        (X.token_hash(F.col("doc_id").cast("string"), seed=_HEAPS_SEED) % 100)
-        .alias("b"),
-        F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+    tb = (
+        docs.select(
+            (X.token_hash(F.col("doc_id").cast("string"), seed=_HEAPS_SEED) % 100)
+            .alias("b"),
+            F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("b", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    occ_b = toks.groupBy("b").agg(F.count(F.lit(1)).alias("occ"))
+    occ_b = tb.groupBy("b").agg(F.sum("c").alias("occ"))
     voc_b = (
-        toks.groupBy("tok")
+        tb.groupBy("tok")
         .agg(F.min("b").alias("mb"))
         .groupBy("mb")
         .agg(F.count(F.lit(1)).alias("v"))
     )
-    cuts = spark.createDataFrame(
-        [(c,) for c in _HEAPS_CUTS], "cut int"
-    )
+    cuts = local_df(spark, [(c,) for c in _HEAPS_CUTS], "cut int")
     p = (
         cuts.join(F.broadcast(occ_b), F.col("b") < F.col("cut"))
         .groupBy("cut")
@@ -3941,8 +3954,20 @@ def corpus_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: distinct (source, shingle) projection; the signature
     is a |sources|-row aggregate; the exact-Jaccard side (kept for
-    audit) is one shingle-keyed equi-join — at petabyte scale you'd
-    drop it and keep only the signature comparison, which is free."""
+    audit) is one per-shingle pair expansion — at petabyte scale you'd
+    drop it and keep only the signature comparison, which is free.
+
+    r15 (measured, OPTIMIZATION_r15.md): the explode+distinct shingle
+    projection fed FOUR subtrees before (signature agg, count agg, and
+    both sides of the exact-intersection self-join) — recomputed four
+    times, guide §2.4's duplicated-subtree smell. Now two passes: the
+    signature mins and the per-source count fold into ONE aggregate
+    (same grain, same rows), and the intersection self-join is
+    replaced by a per-shingle source-set aggregate + in-set pair
+    expansion (|sources| is small and bounded, so combinations per
+    shingle are bounded; at 100 TB this is the same map-side-combined
+    shingle-grain aggregate the signature pass does). Cold interleaved
+    pairs and value hashes in exp_corpus_sim_sf01_r15.json."""
     docs = _docs(spark, sf_dir)
     ss = docs.select(
         "source",
@@ -3955,27 +3980,28 @@ def corpus_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.min((F.col("h") * a + b) % D.MINHASH_P).alias(f"mh_{j}")
         )
-    sigs = h.groupBy("source").agg(*aggs)
-    cnt = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        cnt.alias("a")
-        .join(cnt.alias("b"), F.col("a.source") < F.col("b.source"))
-        .select(
-            F.col("a.source").alias("sa"),
-            F.col("b.source").alias("sb"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-    )
+    # ONE pass: signature component mins AND the distinct-shingle count
+    # per source (h is 1:1 with ss rows, so count(*) here == |set|).
+    sigs = h.groupBy("source").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    # Exact intersections in ONE shingle-grain pass: sources sharing a
+    # shingle, expanded to ordered (sa < sb) pairs inside the sorted
+    # per-shingle source set — replaces the shingle-keyed self-join
+    # (which scanned the projection twice).
     inter = (
-        ss.alias("a")
-        .join(
-            ss.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") < F.col("b.source")),
+        ss.groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("pr")
         )
         .groupBy(
-            F.col("a.source").alias("isa"), F.col("b.source").alias("isb")
+            F.col("pr.sa").alias("isa"), F.col("pr.sb").alias("isb")
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -3987,20 +4013,21 @@ def corpus_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i0 = F.coalesce(F.col("i"), F.lit(0))
     return (
-        pairs.join(F.broadcast(x), F.col("x.source") == F.col("sa"))
-        .join(F.broadcast(y), F.col("y.source") == F.col("sb"))
+        x.join(y, F.col("x.source") < F.col("y.source"))
         .join(
             F.broadcast(inter),
-            (F.col("isa") == F.col("sa")) & (F.col("isb") == F.col("sb")),
+            (F.col("isa") == F.col("x.source"))
+            & (F.col("isb") == F.col("y.source")),
             "left",
         )
         .select(
-            F.col("sa").alias("source_a"),
-            F.col("sb").alias("source_b"),
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
             agree.cast("long").alias("n_agree"),
             F.round(agree * F.lit(1.0) / _N_HASHES, 6).alias("jaccard_minhash"),
-            F.round(i0 * F.lit(1.0) / (F.col("na") + F.col("nb") - i0), 6)
-            .alias("jaccard_exact"),
+            F.round(
+                i0 * F.lit(1.0) / (F.col("x.n") + F.col("y.n") - i0), 6
+            ).alias("jaccard_exact"),
         )
     )
 

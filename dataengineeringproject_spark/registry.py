@@ -423,6 +423,24 @@ _PRIORITY_R15: list[str] = [
     # 157 s/OOM -> 78.8 s, decade ratio 18.4x -> ~4x); plan unchanged
     # at sf<=10x — re-earn the driver row on the new plan:
     "dedup_substring_exact",
+    # r15 OPTIMIZATION-round physical changes (all output-identical,
+    # hash-verified + oracle-green at sf0.01 AND sf0.1 this round; see
+    # OPTIMIZATION_r15.md and the exp_*_r15.json artifacts) — each
+    # re-earns its driver row on the new plan:
+    # direction-optimizing hop 4 (bottom-up complement count when the
+    # measured frontier fills > 1/2; exp_khop_bottomup_sf01_r15.json):
+    "graph_khop_reach",
+    # shingle projection 4 passes -> 2, self-join -> per-shingle pair
+    # expansion (exp_corpus_sim_sf01_r15.json):
+    "corpus_similarity_minhash",
+    # shared (b,tok) pre-aggregate + pure-JVM cuts literal
+    # (exp_small_plans_sf01_r15.json):
+    "heaps_law_vocab_growth",
+    # offsets literal moved off the Python-RDD-backed createDataFrame
+    # (schemas.local_df) in the shared spatial cell machinery:
+    "spatial_neighbor_join",
+    "dbscan_core_points",
+    "dbscan_clusters",
 ]
 _PRIORITY_PINS = _PRIORITY_R15
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
