@@ -212,6 +212,11 @@ _KHOP_SEED_MOD = 97  # deterministic seed set: parts with p % 97 == 0
 # (the production behavior), "bottomup"/"topdown" pin a branch so the
 # equivalence test can run BOTH on one fixture and compare outputs.
 _KHOP_FORCE_DIRECTION: str | None = None
+# set by graph_khop_reach on every call: which hop-4 branch the auto
+# switch (or the force hook) selected — lets tests assert the DECISION
+# on a saturated fixture instead of comparing a branch to itself
+# (ADVICE r15 low).
+_KHOP_LAST_DIRECTION: str | None = None
 
 
 @register(
@@ -265,11 +270,15 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bottom-up computes the same reach EXACTLY from the complement:
     C(seed) = S \\ S3(seed), a part is UNREACHED iff ALL its suppliers
     are in C(seed), and reach_4 = |P| - |U(seed)| - 1 + [seed in U].
-    Work is sum(|C|) x deg — ZERO rows at full saturation — while the
-    top-down cost is |s3| x deg; bottom-up is cheaper exactly when the
-    frontier is more than half full, which is the measured switch (the
-    probes are 3 scalar counts on cached frames, the repo's standard
-    two-pass pattern). Sparse frontiers keep the original top-down
+    The DOWNSTREAM edge-expansion work is sum(|C|) x deg — zero rows
+    at full saturation — while the top-down cost is |s3| x deg;
+    building C itself still scans the |seeds| x |S| rectangle
+    (crossJoin + anti-join) every run regardless of fill, which is the
+    same frontier-bound O(|seeds| x |S|) the top-down distinct already
+    carries (ADVICE r15: the earlier wording claimed zero TOTAL work).
+    Bottom-up is cheaper exactly when the frontier is more than half
+    full, which is the measured switch (the probes are 3 scalar counts
+    on cached frames, the repo's standard two-pass pattern). Sparse frontiers keep the original top-down
     plan, with the edge side spread by s before the expansion join
     (measured 23.6 -> 15.5 s on the fallback at sf0.1: the fan-out's
     partial distinct was concentrating on the cached scan layout)."""
@@ -343,6 +352,11 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         bottom_up = _KHOP_FORCE_DIRECTION == "bottomup"
     else:
         bottom_up = 2 * n_s3 > n_seed * n_sup
+    # observability hook (ADVICE r15 low): record which branch the auto
+    # switch took, so tests can assert the DECISION, not just output
+    # equality of whatever branch happened to run.
+    global _KHOP_LAST_DIRECTION
+    _KHOP_LAST_DIRECTION = "bottomup" if bottom_up else "topdown"
     if bottom_up:
         # BOTTOM-UP: count unreached parts per seed from the frontier
         # complement. Exact algebra: U(seed) = {p : suppliers(p) is a
@@ -358,7 +372,13 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("seed", "p")
             .agg(F.count(F.lit(1)).alias("c_in_comp"))
         )
-        unreached = hits.join(F.broadcast(deg), "p").filter(
+        # NO broadcast hint on deg (r16, ADVICE r15 medium): deg has
+        # one row per distinct part — |P|-sized, far beyond what a
+        # driver heap should hold at the 100 TB scale this branch
+        # targets. AQE broadcasts it while it is small (still a BHJ at
+        # sf0.1 — plans/r16/graph_khop_reach_after.txt) and falls back
+        # to a shuffled equi-join on p when it is not.
+        unreached = hits.join(deg, "p").filter(
             F.col("c_in_comp") == F.col("deg")
         )
         u_per_seed = unreached.groupBy("seed").agg(
@@ -816,61 +836,86 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-unit-quantized BEFORE the per-pair sum, so scores are exact
     integers with deterministic ties.
 
-    Scale shape: the wedge enumeration (adjacency self-join on the
-    middle node) is bounded STRUCTURALLY at |V|·{_AA_MIDCAP}² rows by
-    the per-middle fan-in cap (see _AA_MIDCAP: the uncapped
-    Σ_w deg(w)² is 298M wedge rows at sf0.1 on this flat-degree
-    co-occurrence graph — measured OOM on a 1g vanilla heap; the cap
-    is the same neighbor-list truncation item-item CF and the
-    triangle family use, deterministic and identical in the oracle).
-    The capped scores are the documented approximation of full AA —
-    true degree still feeds every 1/ln(deg) weight. Candidate
-    filtering is one anti-join against the edge list; output is a
-    WindowGroupLimit-pruned top-k."""
+    Scale shape: the wedge enumeration (all pairs sharing a middle
+    node) is bounded STRUCTURALLY at |V|·{_AA_MIDCAP}² rows by the
+    per-middle fan-in cap (see _AA_MIDCAP: the uncapped Σ_w deg(w)²
+    is 298M wedge rows at sf0.1 on this flat-degree co-occurrence
+    graph — measured OOM on a 1g vanilla heap; the cap is the same
+    neighbor-list truncation item-item CF and the triangle family
+    use, deterministic and identical in the oracle). The capped
+    scores are the documented approximation of full AA — true degree
+    still feeds every 1/ln(deg) weight. Candidate filtering is one
+    anti-join against the edge list; output is a
+    WindowGroupLimit-pruned top-k.
+
+    r16 (measured, OPTIMIZATION_r16.md / exp_aa_inset_sf01_r16.json —
+    the corpus_similarity_minhash r15 in-set expansion pattern applied
+    twice, guide §2.4/§3):
+    - PAIR GENERATION: the a×b self-join on l_orderkey + distinct is
+      now an in-set ordered-pair expansion of the per-order sorted
+      distinct item set (collect_set folds the (ok, pk) distinct into
+      the same aggregate; TPC-H baskets are structurally tiny, ≤ 7
+      lineitems, so the expansion is bounded). Two lineitem-grain
+      shuffles + a join become ONE map-side-combined aggregate.
+    - MIDDLE STAGE: deg (a full by-u shuffle of adj), the row_number
+      cap window and the wedge self-join on w collapse into ONE by-w
+      shuffle: count-over-window degree + row_number cap in the same
+      sorted pass, a ≤{_AA_MIDCAP}-element sorted neighbor list per
+      middle, in-set ordered-pair expansion. au = round(1e9/ln(deg(w)))
+      depends only on the middle, so it rides the same aggregate; the
+      a-side's deg ≥ 2 filter is implied (a pair needs ≥ 2 capped
+      neighbors). Exact equivalences pinned by tests/test_r16_opt.py;
+      cold interleaved pairs + value hashes in the exp artifact."""
     li = load_table(spark, sf_dir, "lineitem")
-    s = li.select("l_orderkey", "l_partkey").distinct()
-    a = s.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sa")
-    )
-    b = s.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sb")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 2)
     )
     p = (
-        a.join(b, "ok")
-        .filter(F.col("sa") < F.col("sb"))
-        .select("sa", "sb")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.sa").alias("sa"), F.col("pr.sb").alias("sb"))
         .distinct()
         .cache()
     )
     adj = p.select(F.col("sa").alias("u"), F.col("sb").alias("w")).unionAll(
         p.select(F.col("sb").alias("u"), F.col("sa").alias("w"))
     )
-    deg = adj.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
     wcap = Window.partitionBy("w").orderBy(F.asc("u"))
-    adjc = (
+    wd = Window.partitionBy("w")
+    capped = (
         adj.withColumn("rn", F.row_number().over(wcap))
+        .withColumn("d", F.count(F.lit(1)).over(wd))
         .filter(F.col("rn") <= _AA_MIDCAP)
-        .drop("rn")
     )
-    adjw = adjc.join(
-        deg.filter(F.col("d") >= 2), adjc["w"] == deg["node"]
-    ).select(
-        "u",
-        "w",
-        F.round(1e9 / F.log(F.col("d"))).cast("long").alias("au"),
-    )
-    right = adjc.select(F.col("u").alias("nb"), F.col("w").alias("wb"))
-    wedge = (
-        adjw.select(F.col("u").alias("na"), "w", "au")
-        .join(right, F.col("w") == F.col("wb"))
-        .filter(F.col("na") < F.col("nb"))
-        .groupBy("na", "nb")
-        .agg(
-            F.count(F.lit(1)).alias("cn"),
-            F.sum("au").cast("long").alias("aau"),
+    mid = (
+        capped.groupBy("w", "d")
+        .agg(F.sort_array(F.collect_list("u")).alias("ns"))
+        .filter(F.size("ns") >= 2)
+        .select(
+            F.round(1e9 / F.log(F.col("d"))).cast("long").alias("au"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "y -> struct(x AS na, y AS nb))))"
+                )
+            ).alias("pr"),
         )
+    )
+    wedge = mid.groupBy(
+        F.col("pr.na").alias("na"), F.col("pr.nb").alias("nb")
+    ).agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum("au").cast("long").alias("aau"),
     )
     cand = wedge.join(
         p,

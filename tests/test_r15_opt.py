@@ -48,9 +48,14 @@ def test_khop_auto_picks_bottomup_on_saturated_fixture(spark):
     import dataengineeringproject_spark.queries.graph_q as G
 
     auto = _rows(G.graph_khop_reach(spark, SF01))
+    # assert the DECISION itself (ADVICE r15: without this, a
+    # non-saturating fixture would compare top-down to itself and the
+    # test would pass without ever exercising the switch)
+    assert G._KHOP_LAST_DIRECTION == "bottomup"
     try:
         G._KHOP_FORCE_DIRECTION = "topdown"
         top = _rows(G.graph_khop_reach(spark, SF01))
+        assert G._KHOP_LAST_DIRECTION == "topdown"
     finally:
         G._KHOP_FORCE_DIRECTION = None
     assert auto == top
