@@ -62,19 +62,58 @@ _PAIR_CTE = """
     )"""
 
 
+def _baskets(li: DataFrame, item_col: str) -> DataFrame:
+    """(l_orderkey, items) with items = the order's SORTED distinct
+    item set — ONE map-side-combined aggregate replacing the
+    distinct-incidence shuffle AND the a×b (×c) self-joins on
+    l_orderkey everywhere a query consumes per-basket combinations
+    (r16, the corpus_similarity/link_prediction in-set expansion
+    pattern, guide §2.4/§3). TPC-H baskets are structurally tiny
+    (≤ 7 lineitems per order), so per-basket pair/triple expansion is
+    bounded; collect_set IS the per-order distinct, so no separate
+    distinct pass remains. Every consumer's reference to this frame
+    carries the identical aggregate, which AQE stage reuse dedupes at
+    runtime (ReusedExchange — the heaps_law r15 pattern, proven for
+    this family in plans/r16/)."""
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set(item_col)).alias("items")
+    )
+
+
+# ordered in-set expansions over the sorted per-basket item list:
+# all (sa, sb) with sa < sb, and all (i1, i2, i3) with i1 < i2 < i3.
+_PAIR_EXPAND = (
+    "flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), "
+    "y -> struct(x AS sa, y AS sb))))"
+)
+_TRIPLE_EXPAND = (
+    "flatten(transform(items, (x, i) -> "
+    "flatten(transform(slice(items, i + 2, size(items)), (y, j) -> "
+    "transform(slice(items, i + j + 3, size(items)), "
+    "z -> struct(x AS i1, y AS i2, z AS i3))))))"
+)
+
+
 def _lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lift-scored supplier co-occurrence pairs (sa < sb): the shared
-    front half of both queries below."""
+    front half of both queries below. r16: pair counts, per-supplier
+    basket degree and the basket count all derive from ONE _baskets
+    aggregate (pair expansion in-set; deg = items explode; singleton
+    baskets contribute no pairs because the expansion of a 1-element
+    list is empty — no size filter needed, and nb counts ALL
+    baskets)."""
     li = load_table(spark, sf_dir, "lineitem")
-    s = li.select("l_orderkey", "l_suppkey").distinct()
-    n = s.agg(F.countDistinct("l_orderkey").alias("nb"))
-    deg = s.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
-    a = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    b = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    bk = _baskets(li, "l_suppkey")
+    n = bk.agg(F.count(F.lit(1)).alias("nb"))
+    deg = (
+        bk.select(F.explode("items").alias("l_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     p = (
-        a.join(b, "ok")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
+        bk.select(F.explode(F.expr(_PAIR_EXPAND)).alias("pr"))
+        .groupBy(F.col("pr.sa").alias("sa"), F.col("pr.sb").alias("sb"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
     da = deg.select(F.col("l_suppkey").alias("sa"), F.col("c").alias("ca"))
@@ -574,30 +613,39 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on, not itemsets). Each surviving triple yields its three rules;
     ranking uses rounded lift with full deterministic tie-breaks.
 
-    Scale shape: the triple and pair supports are the same
-    map-side-combined aggregates as the L2/L3 passes; rule expansion
-    is a 3-branch union over the (already tiny, min-support-bounded)
-    triple frame with broadcast support lookups; top-K is a heap."""
+    Scale shape (r16): pair and triple supports are per-basket
+    2-/3-combination in-set expansions over ONE _baskets aggregate,
+    map-side combined on the pair/triple key (the three l_orderkey
+    self-joins are gone — exp_basket_inset_sf01_r16.json); rule
+    expansion is a 3-branch union over the (already tiny,
+    min-support-bounded) triple frame with broadcast support lookups;
+    top-K is a heap."""
     li = load_table(spark, sf_dir, "lineitem")
-    s = li.select("l_orderkey", "l_suppkey").distinct()
-    nb = s.agg(F.countDistinct("l_orderkey").alias("nb"))
+    # r16: basket in-set expansions — the pair AND triple supports
+    # come from per-order 2-/3-combinations of ONE _baskets aggregate
+    # (three self-joins on l_orderkey deleted; see _baskets). The
+    # min-support filter is unchanged and still sits directly on the
+    # triple aggregate, exactly the oracle's HAVING.
+    bk = _baskets(li, "l_suppkey")
+    nb = bk.agg(F.count(F.lit(1)).alias("nb"))
     wmin = F.expr(f"(nb * {_FIS_NUM} + {_FIS_DEN - 1}) div {_FIS_DEN}")
-    deg = s.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
-    a = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("i1"))
-    b = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("i2"))
-    c = s.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("i3"))
+    deg = (
+        bk.select(F.explode("items").alias("l_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     p = (
-        a.join(b, "ok")
-        .filter(F.col("i1") < F.col("i2"))
-        .groupBy("i1", "i2")
+        bk.select(F.explode(F.expr(_PAIR_EXPAND)).alias("pr"))
+        .groupBy(F.col("pr.sa").alias("i1"), F.col("pr.sb").alias("i2"))
         .agg(F.count(F.lit(1)).alias("w2"))
     )
     t = (
-        a.join(b, "ok")
-        .filter(F.col("i1") < F.col("i2"))
-        .join(c, "ok")
-        .filter(F.col("i2") < F.col("i3"))
-        .groupBy("i1", "i2", "i3")
+        bk.select(F.explode(F.expr(_TRIPLE_EXPAND)).alias("tr"))
+        .groupBy(
+            F.col("tr.i1").alias("i1"),
+            F.col("tr.i2").alias("i2"),
+            F.col("tr.i3").alias("i3"),
+        )
         .agg(F.count(F.lit(1)).alias("w3"))
         .crossJoin(F.broadcast(nb))
         .filter(F.col("w3") >= wmin)
@@ -702,16 +750,18 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     list; the dedup'd pair pass is the same bounded per-basket
     explosion as copurchase_lift_pairs.
 
-    Scale shape: one distinct-incidence shuffle, one bounded pair
-    aggregate, a broadcast degree lookup, a 1-row reduce."""
+    Scale shape (r16): one per-basket collect_set aggregate, a
+    bounded in-set pair expansion, a broadcast degree lookup, a 1-row
+    reduce (the self-join formulation's extra shuffles are gone —
+    exp_basket_inset_sf01_r16.json)."""
     li = load_table(spark, sf_dir, "lineitem")
-    s = li.select("l_orderkey", "l_partkey").distinct()
-    a = s.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sa"))
-    b = s.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("sb"))
+    # r16: distinct co-occurring pairs via the _baskets in-set
+    # expansion (one lineitem-grain aggregate instead of the
+    # distinct-incidence shuffle + self-join on l_orderkey).
     p = (
-        a.join(b, "ok")
-        .filter(F.col("sa") < F.col("sb"))
-        .select("sa", "sb")
+        _baskets(li, "l_partkey")
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("pr"))
+        .select(F.col("pr.sa").alias("sa"), F.col("pr.sb").alias("sb"))
         .distinct()
     )
     deg = (

@@ -3821,21 +3821,29 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     a growing crawl accretes), then beta = OLS slope of ln(vocab) on
     ln(tokens) via the trend family's micro-unit integer quantization.
 
-    Scale shape: the corpus is touched ONCE — a bucket-tagged token
-    explode collapsing to (bucket, token) occurrence grain in a single
-    map-side-combined aggregate; the per-bucket occurrence and
-    min-bucket vocab aggregates run over that |vocab| x 100-bounded
-    frame, never the corpus. Everything after is arithmetic on two
-    <=100-row frames; the prefix cross-joins never see the corpus.
+    Scale shape: ONE written (b, tok) pre-aggregate feeds both the
+    per-bucket occurrence and min-bucket vocab aggregates; everything
+    downstream is arithmetic on two <=100-row frames, and the prefix
+    cross-joins never see the corpus. Both corpus-side shuffles are
+    map-side combined to |vocab|-bounded bytes.
 
-    r15 (measured, OPTIMIZATION_r15.md): the docstring's "touched
-    ONCE" used to be false — occ_b and voc_b each hung their own
-    aggregate off the token explode, so the corpus explode ran TWICE
-    (guide §2.4 duplicated subtree); the shared (b, tok) pre-aggregate
-    makes it actually once. The cuts literal also moved off
-    `spark.createDataFrame` (a Python-RDD-backed plan that launches
-    Python workers per execution — see schemas.local_df) onto the
-    pure-JVM literal plan. Cold interleaved pairs in
+    r15 wrote a shared (b, tok) pre-aggregate; r16 PROVED AT RUNTIME
+    (VERDICT r15 item 5; probe_heaps_aqe_r16_before.json + the
+    plans/r16 _final_aqe dumps) that the executed plan still runs TWO
+    corpus explodes: the optimizer legitimately REWRITES the voc
+    branch to a direct per-token min(b) aggregate (pruning the
+    (b, tok) count it does not need), so the two tb references are
+    not identical subtrees and AQE stage reuse cannot fire — the r15
+    "corpus touched ONCE" claim was ahead of the evidence and is
+    retracted. Forcing true sharing with an in-query tb.cache() was
+    measured and REJECTED (warm 1.9 -> 3.1 s: the cache
+    materialization costs more than the duplicated explode saves at
+    bench scale); each specialized branch is individually cheaper
+    than what a shared exchange would hand it, and at a scale where
+    two corpus passes dominate, the cache line is the one-line fix —
+    documented, not applied. The r15 cuts-literal move off
+    `spark.createDataFrame` (Python-RDD-backed plan) onto the
+    pure-JVM literal stands. Cold interleaved pairs in
     exp_small_plans_sf01_r15.json."""
     docs = _docs(spark, sf_dir)
     tb = (

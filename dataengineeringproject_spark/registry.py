@@ -442,7 +442,33 @@ _PRIORITY_R15: list[str] = [
     "dbscan_core_points",
     "dbscan_clusters",
 ]
-_PRIORITY_PINS = _PRIORITY_R15
+# Round-16 (optimization round 2) priority front-list: every query
+# this round physically changes (all output-identical, hash-verified
+# cold A/B + oracle-green at sf0.01 AND sf0.1 — OPTIMIZATION_r16.md,
+# exp_*_r16.json) re-earns its driver row on the new plan. The r15
+# list is retired (all 7 green in CORRECTNESS_r15).
+_PRIORITY_R16: list[str] = [
+    # both self-joins -> in-set expansions (exp_aa_inset_sf01_r16):
+    "link_prediction_adamic_adar",
+    # bottom-up branch broadcast hint removed (exp_khop_nohint_sf01_r16):
+    "graph_khop_reach",
+    # basket collect_set + in-set pair/triple expansion
+    # (exp_basket_inset_sf01_r16):
+    "copurchase_lift_pairs",
+    "triangle_count_suppliers",
+    "degree_assortativity",
+    "association_rules_topk",
+    # connected_components: label compression + observed convergence +
+    # stats reset (exp_cc_final_sf01_r16; consumers re-earn rows):
+    "dbscan_clusters",
+    "dedup_clusters_minhash",
+    "dedup_keep_best_quality",
+    "corpus_release_gate_neardup",
+    "multimodal_phash_clusters",
+    "dedup_corpus_materialize",
+    "dedup_cluster_size_histogram",
+]
+_PRIORITY_PINS = _PRIORITY_R16
 _PRIORITY_RANK: dict[str, int] = {n: i for i, n in enumerate(_PRIORITY_PINS)}
 
 
